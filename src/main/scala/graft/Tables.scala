@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -10,16 +12,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes data fits on one node. Reads are plain parquet scans, so Catalyst
   * pushes filters/projections down to the scan (verify with
   * `.explain("formatted")` → `PushedFilters`, `ReadSchema`).
+  *
+  * Timestamps are normalized to TIMESTAMP_NTZ: the reference's TIMESTAMP has
+  * no time zone (lib/sqllib/src/timestamp.rs:85-93, millis since epoch), and
+  * NTZ also round-trips through parquet as isAdjustedToUTC=false, which the
+  * DuckDB oracle reads back as plain TIMESTAMP (a TZ-adjusted write would
+  * come back as TIMESTAMPTZ and fail the hash compare).
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        case _ => d
+      }
+    }
+  }
 
-  /** Register every table as a temp view named after its file. */
+  /** Register every table as a temp view named after its file (lazily:
+    * DataFrames are lazy, so registering all views costs only footer reads
+    * and one absent table only fails queries that touch it). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators: grouped fold, global fold, COUNT/SUM/SUM0/AVG/
+  * MIN/MAX, DISTINCT aggregates, empty-input correction.
+  *
+  * Reference: DBSPAggregateOperator.java:35 with the fold structure of
+  * ir/DBSPAggregate.java:46-120; per-function compilation in
+  * AggregateCompiler.java (COUNT :116-148, MIN/MAX :158-181, SUM :183-204,
+  * SUM0 :206-231, AVG :233-288); DISTINCT aggregates expanded by Calcite rule
+  * AGGREGATE_EXPAND_DISTINCT_AGGREGATES_TO_JOIN (CalciteCompiler.java:335-337).
+  * Spark's hash aggregate does map-side partial aggregation automatically, so
+  * one shuffle per groupBy — the plan a 1000-executor cluster wants.
+  */
+object Aggregates {
+  type QFn = (SparkSession, String) => DataFrame
+  private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def tsLit(x: String) = lit(x).cast(TimestampNTZType)
+
+  val defs: Map[String, QFn] = Map(
+    // TPC-H Q1 shape: the canonical grouped fold (all six aggregate fns)
+    "q03_agg_tpchq1" -> ((s, d) => {
+      val disc   = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= tsLit("2001-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.dsum(disc).as("sum_disc_price"),
+          Exact.dsum(charge).as("sum_charge"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          Exact.davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Global (no GROUP BY) aggregate: one row even on big input
+    "q04_agg_global" -> ((s, d) =>
+      T(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("n_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))),
+
+    // MIN/MAX over strings and timestamps (ordering semantics)
+    "q21_agg_minmax" -> ((s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          min(col("o_orderstatus")).as("min_status"),
+          max(col("o_orderstatus")).as("max_status"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          count(lit(1)).as("n"))),
+
+    // SUM on empty input → NULL; SUM0 → 0; COUNT → 0 (reference empty-input
+    // correction circuit, CalciteToDBSPCompiler.java:349-381)
+    "q22_agg_empty" -> ((s, d) => {
+      val e = T(s, d, "lineitem").filter(col("l_quantity") < 0)
+      e.agg(
+        count(lit(1)).as("cnt"),
+        Exact.dsum(col("l_quantity")).as("sum_null"),
+        coalesce(Exact.dsum(col("l_quantity")), lit(0.0)).as("sum0"))
+    }),
+
+    // DISTINCT aggregates (sum over the exact fixed-point image so the
+    // distinct-set and reduction are engine-independent)
+    "q27_distinct_agg" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          (sum_distinct(Exact.fix(col("l_quantity"))).cast(DoubleType) / lit(10000.0)).as("sum_dist_qty"),
+          count(lit(1)).as("n"))),
+
+    // AVG with nullable input (NULLIF-made nulls skipped by AVG)
+    "q23_avg_nullable" -> ((s, d) => {
+      val v = when(col("l_discount") > 0, col("l_extendedprice"))
+      T(s, d, "lineitem").groupBy(col("l_linestatus"))
+        .agg(
+          Exact.davg(v).as("avg_disc_price"),
+          count(v).as("n_discounted"),
+          count(lit(1)).as("n_total"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q03_agg_tpchq1" -> {
+      val disc = "l_extendedprice * (1.0 - l_discount)"
+      val charge = s"$disc * (1.0 + l_tax)"
+      s"""SELECT l_returnflag, l_linestatus,
+            ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+            ${Exact.sqlDsum("l_extendedprice")} AS sum_base_price,
+            ${Exact.sqlDsum(disc)} AS sum_disc_price,
+            ${Exact.sqlDsum(charge)} AS sum_charge,
+            ${Exact.sqlDavg("l_quantity")} AS avg_qty,
+            ${Exact.sqlDavg("l_extendedprice")} AS avg_price,
+            COUNT(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+          GROUP BY l_returnflag, l_linestatus"""
+    },
+    "q04_agg_global" ->
+      s"""SELECT COUNT(*) AS n_rows, COUNT(l_quantity) AS n_qty,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             ${Exact.sqlDsum("l_extendedprice")} AS sum_price,
+             MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+          FROM lineitem""",
+    "q21_agg_minmax" ->
+      """SELECT o_orderpriority, MIN(o_orderstatus) AS min_status,
+                MAX(o_orderstatus) AS max_status, MIN(o_orderdate) AS min_date,
+                MAX(o_orderdate) AS max_date, COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+    "q22_agg_empty" ->
+      s"""SELECT COUNT(*) AS cnt,
+             ${Exact.sqlDsum("l_quantity")} AS sum_null,
+             COALESCE(${Exact.sqlDsum("l_quantity")}, 0.0) AS sum0
+          FROM lineitem WHERE l_quantity < 0""",
+    "q27_distinct_agg" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+                (CAST(SUM(DISTINCT ${Exact.sqlFix("l_quantity")}) AS DOUBLE) / 10000.0) AS sum_dist_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q23_avg_nullable" -> {
+      val v = "CASE WHEN l_discount > 0 THEN l_extendedprice END"
+      s"""SELECT l_linestatus,
+             ${Exact.sqlDavg(v)} AS avg_disc_price,
+             COUNT($v) AS n_discounted, COUNT(*) AS n_total
+          FROM lineitem GROUP BY l_linestatus"""
+    }
+  )
+}
