@@ -35,11 +35,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.Relational.defs ++
-    _root_.graft.queries.Aggregates.defs
+    _root_.graft.queries.Aggregates.defs ++
+    _root_.graft.queries.Windows.defs ++
+    _root_.graft.queries.Temporal.defs ++
+    _root_.graft.queries.Scalar.defs ++
+    _root_.graft.queries.Arrays.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.Relational.oracles ++
-    _root_.graft.queries.Aggregates.oracles
+    _root_.graft.queries.Aggregates.oracles ++
+    _root_.graft.queries.Windows.oracles ++
+    _root_.graft.queries.Temporal.oracles ++
+    _root_.graft.queries.Scalar.oracles ++
+    _root_.graft.queries.Arrays.oracles
 }

@@ -25,11 +25,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which vanilla Spark rejects
+    // ([PARQUET_TYPE_ILLEGAL]); read nanos as raw longs and convert below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case TimestampType =>
           d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        case LongType if name == "events" && f.name == "ts" =>
+          // nanos → micros (truncating, same as DuckDB's read of NANOS),
+          // then to wall-clock NTZ. `div` floors for the positive epoch.
+          d.withColumn(f.name,
+            timestamp_micros(expr(s"${f.name} div 1000")).cast(TimestampNTZType))
         case _ => d
       }
     }

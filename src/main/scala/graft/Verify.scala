@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Reference semantics are non-ANSI: div-by-zero → NULL (lib/sqllib/
+      // src/lib.rs:245-352), array OOB → NULL (EndToEndTests.java:105),
+      // wrap-around overflow. Spark 4 defaults ANSI on, so pin it off.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
