@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.zset.ZSet
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance over weighted-delta DataFrames — the
+  * reference's distinctive layer (§4.2 of SURVEY.md).
+  *
+  * The reference incrementalizes a circuit by wrapping sources in I
+  * (integrate) and sinks in D (differentiate)
+  * (backend/optimize/IncrementalizeVisitor.java:35-63), then pushes the
+  * integrals through **linear** operators unchanged and replaces I∘op with
+  * dedicated incremental operators for the non-linear ones
+  * (OptimizeIncrementalVisitor.java:37-178: join :96-108, distinct :139-149,
+  * aggregate :152-164). We implement the same algebra directly:
+  *
+  *  - linear ops (map/filter/negate/union/minus): delta in → delta out;
+  *  - bilinear join: Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB
+  *    (DBSPIncrementalJoinOperator.java:35);
+  *  - aggregate / distinct: re-fold only the groups touched by the delta
+  *    against integrated state, emitting retractions of their previous
+  *    results (DBSPIncrementalAggregateOperator.java:35,
+  *    DBSPIncrementalDistinctOperator.java:31). Negative weights can shrink
+  *    MIN/MAX, so re-folding affected groups — not streaming accumulation —
+  *    is the only correct general strategy (SURVEY §7.4 risk 2).
+  *
+  * A node is (batch, delta): `batch` evaluates the operator over full
+  * integrated inputs; `delta` produces the output delta for one step given
+  * the *pre-step* integrated inputs and the step's input deltas. Batch ≡
+  * incremental equivalence (the reference's NaiveIncrementalTests.java:35
+  * axis) then holds by construction and is asserted in
+  * IncrementalEquivalenceSpec.
+  *
+  * Scale: each step's work is O(|delta| + touched groups), never O(state).
+  * State lives in consolidated Z-set DataFrames; on a cluster these would be
+  * checkpointed tables (Delta/parquet) merged per micro-batch via
+  * foreachBatch — here they are persisted DataFrames, re-consolidated each
+  * step so lineage stays O(1) deep.
+  */
+object Incremental {
+
+  type Inputs = Map[String, DataFrame] // name → Z-set (weighted)
+
+  /** A circuit node: full-recompute semantics + per-step delta semantics. */
+  final case class Inc(
+      batch: Inputs => DataFrame,
+      delta: (Inputs, Inputs) => DataFrame) {
+
+    /** Linear unary op lifted to both modes (map/filter/negate/…). */
+    def linear(f: DataFrame => DataFrame): Inc =
+      Inc(in => f(batch(in)), (i, d) => f(delta(i, d)))
+
+    def select(exprs: Column*): Inc = linear(ZSet.map(_)(exprs: _*))
+    def where(cond: Column): Inc = linear(_.filter(cond))
+    def negate: Inc = linear(ZSet.negate)
+
+    /** Weighted union (n-ary sum operator is linear). */
+    def union(other: Inc): Inc = Inc(
+      in => ZSet.plus(batch(in), other.batch(in)),
+      (i, d) => ZSet.plus(delta(i, d), other.delta(i, d)))
+
+    def minus(other: Inc): Inc = union(other.negate)
+
+    /** Bilinear incremental equi-join:
+      * Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB. */
+    def join(other: Inc, keys: Seq[String]): Inc = Inc(
+      in => ZSet.join(batch(in), other.batch(in), keys),
+      (i, d) => {
+        val a = batch(i); val b = other.batch(i)
+        val da = delta(i, d); val db = other.delta(i, d)
+        ZSet.plus(
+          ZSet.join(da, b, keys),
+          ZSet.join(a, db, keys),
+          ZSet.join(da, db, keys))
+      })
+
+    /** Incremental grouped aggregate: re-fold only groups present in the
+      * delta; emit (new result) − (old result) for those groups. */
+    def aggregate(keys: Seq[String], aggs: (String, Column)*): Inc = Inc(
+      in => ZSet.fromRows(ZSet.aggregate(batch(in), keys, aggs: _*)),
+      (i, d) => {
+        val oldChild = batch(i)
+        val dChild = delta(i, d)
+        val newChild = ZSet.plus(oldChild, dChild)
+        val touched = dChild.select(keys.map(col): _*).distinct()
+        def refold(child: DataFrame) =
+          ZSet.aggregate(
+            child.join(broadcastIfSmall(touched), keys, "left_semi"),
+            keys, aggs: _*)
+        ZSet.minus(
+          ZSet.fromRows(refold(newChild)),
+          ZSet.fromRows(refold(oldChild)))
+      })
+
+    /** Incremental distinct: re-evaluate presence only for touched rows. */
+    def distinct: Inc = Inc(
+      in => ZSet.distinct(batch(in)),
+      (i, d) => {
+        val oldChild = batch(i)
+        val dChild = delta(i, d)
+        val names = dChild.columns.filterNot(_ == ZSet.W).toSeq
+        val touched = dChild.select(names.map(col): _*).distinct()
+        def presence(child: DataFrame) =
+          ZSet.distinct(child.join(touched, names, "left_semi"))
+        ZSet.minus(presence(ZSet.plus(oldChild, dChild)), presence(oldChild))
+      })
+  }
+
+  /** Input node: its delta is the step's delta for `name`; its batch value
+    * is the integral of everything fed so far. */
+  def source(name: String): Inc = Inc(
+    in => in(name),
+    (_, d) => d(name))
+
+  /** In a real deployment `touched` is a per-batch key list — small; tell
+    * Catalyst so the semi-join broadcasts instead of shuffling state. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Step-driver: integrates input deltas and the output stream, asserting
+    * the DBSP contract out = D(Q(I(in))). Used by tests and as the v1
+    * runtime for incremental views. */
+  final class Runner(spark: SparkSession, query: Inc, schemas: Map[String, DataFrame]) {
+    /** Integrated inputs (consolidated Z-sets). */
+    private var integrated: Inputs =
+      schemas.map { case (n, df) => n -> ZSet.fromRows(df.limit(0)) }
+    /** Integrated output. */
+    private var outState: Option[DataFrame] = None
+
+    /** Feed one step of input deltas (weighted); returns the output delta. */
+    def step(deltas: Inputs): DataFrame = {
+      val full = integrated.map { case (n, z) =>
+        n -> deltas.getOrElse(n, z.limit(0))
+      }
+      val d = query.delta(integrated, full).persist()
+      d.count() // materialize before state advances
+      integrated = integrated.map { case (n, z) =>
+        n -> ZSet.consolidate(ZSet.plus(z, full(n))).persist()
+      }
+      outState = Some(ZSet.consolidate(outState match {
+        case Some(o) => ZSet.plus(o, d)
+        case None    => d
+      }).persist())
+      d
+    }
+
+    /** Integral of all output deltas so far (consolidated). */
+    def output: DataFrame = outState.getOrElse(
+      query.batch(integrated).limit(0))
+
+    /** Full recompute over the integrated inputs — the equivalence oracle. */
+    def recompute: DataFrame = ZSet.consolidate(query.batch(integrated))
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import graft.streaming.Incremental
+import graft.streaming.Incremental._
+import graft.zset.ZSet
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Batch ≡ incremental equivalence — the reference's NaiveIncrementalTests
+  * axis (NaiveIncrementalTests.java:35 re-runs every EndToEndTests golden
+  * with incremental=true and asserts identical outputs). Here: feed deltas
+  * step by step (including retractions = negative weights), then assert the
+  * integrated incremental output equals a full recompute over the
+  * integrated inputs.
+  */
+class IncrementalEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("inc-equiv")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val tSchema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType)))
+  private val uSchema = StructType(Seq(
+    StructField("k", StringType), StructField("w2", LongType)))
+
+  private def zset(schema: StructType, rows: (Any, Any, Long)*): DataFrame = {
+    val rdd = rows.map { case (a, b, w) => Row(a, b, w) }
+    spark.createDataFrame(rdd.asJava,
+      schema.add(StructField(ZSet.W, LongType)))
+  }
+
+  private def empty(schema: StructType): DataFrame =
+    spark.createDataFrame(List.empty[Row].asJava, schema)
+
+  /** Sorted canonical dump of a consolidated Z-set. */
+  private def canon(z: DataFrame): Seq[String] =
+    ZSet.consolidate(z).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  private def assertEquiv(query: Inc, steps: Seq[Map[String, DataFrame]],
+                          schemas: Map[String, DataFrame]): Unit = {
+    val r = new Runner(spark, query, schemas)
+    steps.foreach(r.step)
+    assert(canon(r.output) === canon(r.recompute))
+  }
+
+  private def stepsT(ss: Seq[(Any, Any, Long)]*): Seq[Map[String, DataFrame]] =
+    ss.map(s => Map("T" -> zset(tSchema, s: _*)))
+
+  private val schemasT = Map("T" -> empty(tSchema))
+  private val schemasTU = Map("T" -> empty(tSchema), "U" -> empty(uSchema))
+
+  test("linear map+filter: insert then retract") {
+    val q = source("T").where(col("v") > 1)
+      .select(col("k"), (col("v") * 2).as("v2"))
+    assertEquiv(q, stepsT(
+      Seq(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 2L)),
+      Seq(("b", 2L, -1L), ("d", 5L, 1L))), schemasT)
+  }
+
+  test("union / minus with negative weights") {
+    val a = source("T").where(col("v") > 1)
+    val b = source("T").where(col("v") > 2)
+    val q = a.minus(b) // rows with 1 < v <= 2
+    assertEquiv(q, stepsT(
+      Seq(("a", 2L, 1L), ("b", 3L, 1L)),
+      Seq(("a", 2L, -1L), ("c", 2L, 3L))), schemasT)
+  }
+
+  test("bilinear join: delta on both sides, then retraction") {
+    val q = source("T").join(source("U"), Seq("k"))
+    val steps = Seq(
+      Map("T" -> zset(tSchema, ("a", 1L, 1L), ("b", 2L, 1L)),
+          "U" -> zset(uSchema, ("a", 10L, 1L))),
+      Map("U" -> zset(uSchema, ("b", 20L, 1L), ("a", 30L, 2L))),
+      Map("T" -> zset(tSchema, ("a", 1L, -1L))))
+    assertEquiv(q, steps, schemasTU)
+  }
+
+  test("incremental aggregate: count+sum per key with retraction") {
+    val q = source("T").aggregate(Seq("k"),
+      "cnt" -> ZSet.wcount, "sum_v" -> ZSet.wsum(col("v")))
+    assertEquiv(q, stepsT(
+      Seq(("a", 1L, 1L), ("a", 2L, 1L), ("b", 5L, 1L)),
+      Seq(("a", 1L, -1L), ("b", 7L, 2L)),
+      Seq(("b", 5L, -1L), ("b", 7L, -2L))), schemasT) // group b vanishes
+  }
+
+  test("global aggregate (single group) stays correct on retraction") {
+    val q = source("T").select(lit(0).as("g"), col("v"))
+      .aggregate(Seq("g"), "cnt" -> ZSet.wcount, "sum_v" -> ZSet.wsum(col("v")))
+    assertEquiv(q, stepsT(
+      Seq(("a", 4L, 1L), ("b", 6L, 1L)),
+      Seq(("a", 4L, -1L))), schemasT)
+  }
+
+  test("incremental distinct: duplicate weights collapse; retraction below zero removes") {
+    val q = source("T").distinct
+    assertEquiv(q, stepsT(
+      Seq(("a", 1L, 3L), ("b", 2L, 1L)),
+      Seq(("a", 1L, -2L)),      // still present (weight 1)
+      Seq(("a", 1L, -1L))),     // now gone
+      schemasT)
+  }
+
+  test("join after aggregate (non-linear composed with bilinear)") {
+    val agg = source("T").aggregate(Seq("k"), "cnt" -> ZSet.wcount)
+    val q = agg.join(source("U"), Seq("k"))
+    val steps = Seq(
+      Map("T" -> zset(tSchema, ("a", 1L, 1L), ("a", 2L, 1L)),
+          "U" -> zset(uSchema, ("a", 10L, 1L))),
+      Map("T" -> zset(tSchema, ("a", 3L, 1L))),   // cnt 2→3: retract+insert flows through join
+      Map("U" -> zset(uSchema, ("a", 10L, -1L)))) // join partner retracted
+    assertEquiv(q, steps, schemasTU)
+  }
+
+  test("distinct after union (set union semantics)") {
+    val q = source("T").select(col("k"))
+      .union(source("U").select(col("k"))).distinct
+    val steps = Seq(
+      Map("T" -> zset(tSchema, ("a", 1L, 1L)),
+          "U" -> zset(uSchema, ("a", 9L, 1L), ("b", 9L, 1L))),
+      Map("T" -> zset(tSchema, ("a", 1L, -1L)))) // 'a' still in U
+    assertEquiv(q, steps, schemasTU)
+  }
+
+  test("empty step is a no-op") {
+    val q = source("T").aggregate(Seq("k"), "cnt" -> ZSet.wcount)
+    val r = new Runner(spark, q, schemasT)
+    r.step(Map("T" -> zset(tSchema, ("a", 1L, 1L))))
+    val before = canon(r.output)
+    val d = r.step(Map.empty)
+    assert(d.count() === 0)
+    assert(canon(r.output) === before)
+  }
+
+  test("retraction of a never-inserted row yields negative-weight output") {
+    val q = source("T").where(col("v") > 0)
+    val r = new Runner(spark, q, schemasT)
+    r.step(Map("T" -> zset(tSchema, ("a", 1L, -1L))))
+    val out = ZSet.consolidate(r.output).collect()
+    assert(out.length === 1 && out(0).getAs[Long](ZSet.W) === -1L)
+    assert(canon(r.output) === canon(r.recompute))
+  }
+
+  test("multi-step convergence: output delta of quiet keys is empty") {
+    val q = source("T").aggregate(Seq("k"), "sum_v" -> ZSet.wsum(col("v")))
+    val r = new Runner(spark, q, schemasT)
+    r.step(Map("T" -> zset(tSchema, ("a", 1L, 1L), ("b", 2L, 1L))))
+    val d2 = r.step(Map("T" -> zset(tSchema, ("a", 5L, 1L))))
+    // only group 'a' may appear in the second delta
+    val keys = ZSet.consolidate(d2).select("k").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keys === Set("a"))
+    assert(canon(r.output) === canon(r.recompute))
+  }
+}
