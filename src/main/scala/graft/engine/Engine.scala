@@ -1,0 +1,206 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** DDL-driven program driver: the reference's public API protocol
+  * (compiler/backend/DBSPCompiler.java:40-57 — "compileStatement/s" called
+  * repeatedly with CREATE TABLE / CREATE VIEW / INSERT, then the circuit is
+  * retrieved). A program is a SQL script in which `CREATE TABLE` declares an
+  * input, `CREATE VIEW` declares a standing query / output
+  * (doc/sql/structure.rst:1-12), and INSERT statements are interpreted into
+  * table contents at compile time, not run as operators
+  * (CalciteToDBSPCompiler.java:1129-1154, frontend/TableContents.java:112).
+  *
+  * Spark-first realization: tables are typed in-session datasets registered
+  * as temp views; views are registered as Spark temporary views, so Catalyst
+  * performs the reference's whole Calcite pipeline (parse → validate →
+  * decorrelate → optimize, SURVEY §3.1/§4.1) natively, lazily, at first
+  * evaluation of each view. Nothing is collected to the driver: `table` and
+  * `view` hand back lazy DataFrames that scale to any input size — register
+  * a parquet/stream source with `registerSource` and the same script text
+  * drives a 100 TB pipeline.
+  */
+final class Engine(val spark: SparkSession) {
+
+  /** name → declared schema (with reference nullability: NOT NULL default). */
+  private val tables = mutable.LinkedHashMap.empty[String, StructType]
+  /** name → accumulated contents. */
+  private val contents = mutable.HashMap.empty[String, DataFrame]
+  /** view name → SQL text, in declaration order. */
+  private val viewSql = mutable.LinkedHashMap.empty[String, String]
+
+  /** Execute a whole script (statements separated by ';'). */
+  def executeScript(script: String): Unit =
+    splitStatements(script).foreach(executeStatement)
+
+  /** Execute one statement: CREATE TABLE | CREATE VIEW | INSERT INTO. */
+  def executeStatement(stmt0: String): Unit = {
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    if (stmt.isEmpty) return
+    val upper = stmt.toUpperCase
+    if (upper.startsWith("CREATE TABLE")) createTable(stmt)
+    else if (upper.startsWith("CREATE VIEW") ||
+             upper.startsWith("CREATE OR REPLACE VIEW")) createView(stmt)
+    else if (upper.startsWith("INSERT INTO")) insert(stmt)
+    else throw new IllegalArgumentException(
+      s"Engine accepts CREATE TABLE / CREATE VIEW / INSERT INTO, got: ${stmt.take(60)}")
+  }
+
+  /** Register an existing DataFrame (e.g. a parquet or stream source) as a
+    * table — the scale path: contents never pass through the driver. */
+  def registerSource(name: String, df: DataFrame): Unit = {
+    tables(name) = df.schema
+    contents(name) = df
+    df.createOrReplaceTempView(name)
+  }
+
+  /** Current contents of a table. */
+  def table(name: String): DataFrame =
+    contents.getOrElse(name, emptyFor(name))
+
+  /** Evaluate a view (lazy DataFrame over current table contents). */
+  def view(name: String): DataFrame = {
+    require(viewSql.contains(name), s"unknown view $name")
+    spark.table(name)
+  }
+
+  /** Declared views in declaration order (the circuit's sinks). */
+  def views: Seq[String] = viewSql.keys.toSeq
+  def tableNames: Seq[String] = tables.keys.toSeq
+  def schemaOf(name: String): StructType = tables(name)
+
+  // ---- CREATE TABLE ----------------------------------------------------
+
+  private def createTable(stmt: String): Unit = {
+    val m = raw"(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*".r
+    stmt match {
+      case m(name, colsSrc) =>
+        val schema = StructType(splitTopLevel(colsSrc, ',').map(parseColumn))
+        tables(name) = schema
+        contents.remove(name)
+        emptyFor(name).createOrReplaceTempView(name)
+      case _ =>
+        throw new IllegalArgumentException(s"cannot parse CREATE TABLE: ${stmt.take(80)}")
+    }
+  }
+
+  /** `col TYPE [NULL | NOT NULL]` — non-nullable by default like the
+    * reference (doc/sql/types.rst:37-41). */
+  private def parseColumn(src: String): StructField = {
+    val s = src.trim
+    val m = raw"(?is)(\w+)\s+(.+?)(\s+NOT\s+NULL|\s+NULL)?\s*".r
+    s match {
+      case m(name, tpe, nullMod) =>
+        val nullable = nullMod != null && nullMod.trim.equalsIgnoreCase("NULL")
+        StructField(name, parseType(tpe.trim), nullable)
+      case _ => throw new IllegalArgumentException(s"cannot parse column: $s")
+    }
+  }
+
+  /** SQL type → Spark type, mirroring TypeCompiler.java:60-163. */
+  private def parseType(t0: String): DataType = {
+    val t = t0.trim.toUpperCase
+    val dec = raw"(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)".r
+    val decP = raw"(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*\)".r
+    val vch = raw"(?:VARCHAR|CHAR)\s*(?:\(\s*\d+\s*\))?".r
+    val arr = raw"(.+?)\s+ARRAY".r
+    t match {
+      case "BOOLEAN"                => BooleanType
+      case "TINYINT"                => ByteType
+      case "SMALLINT"               => ShortType
+      case "INTEGER" | "INT"        => IntegerType
+      case "BIGINT"                 => LongType
+      case dec(p, s)                => DecimalType(p.toInt, s.toInt)
+      case decP(p)                  => DecimalType(p.toInt, 0)
+      case "FLOAT" | "REAL"         => FloatType
+      case "DOUBLE"                 => DoubleType
+      case vch()                    => StringType
+      case "TIMESTAMP"              => TimestampNTZType // reference TIMESTAMP has no TZ
+      case "DATE"                   => DateType
+      case "INTERVAL YEAR TO MONTH" => YearMonthIntervalType()
+      case "INTERVAL DAY TO SECOND" => DayTimeIntervalType()
+      case "GEOMETRY"               => StructType(Seq(
+        StructField("x", DoubleType), StructField("y", DoubleType)))
+      case arr(inner)               => ArrayType(parseType(inner))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type: $other")
+    }
+  }
+
+  // ---- CREATE VIEW -----------------------------------------------------
+
+  private def createView(stmt: String): Unit = {
+    val m = raw"(?is)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)".r
+    stmt match {
+      case m(name, query) =>
+        viewSql(name) = query
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $query")
+      case _ =>
+        throw new IllegalArgumentException(s"cannot parse CREATE VIEW: ${stmt.take(80)}")
+    }
+  }
+
+  // ---- INSERT (compile-time table contents, TableContents.java:112) ----
+
+  private def insert(stmt: String): Unit = {
+    val m = raw"(?is)INSERT\s+INTO\s+(\w+)\s+VALUES\s*(.*)".r
+    stmt match {
+      case m(name, valuesSrc) =>
+        val schema = tables.getOrElse(name,
+          throw new IllegalArgumentException(s"INSERT into undeclared table $name"))
+        // Let Spark SQL parse the literal tuples, then cast to declared types.
+        val parsed = spark.sql(s"SELECT * FROM (VALUES $valuesSrc)")
+        require(parsed.schema.length == schema.length,
+          s"INSERT arity ${parsed.schema.length} != table arity ${schema.length}")
+        val casted = parsed.select(parsed.columns.zip(schema.fields).map {
+          case (c, f) => col(c).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        val next = contents.get(name) match {
+          case Some(prev) => prev.unionAll(casted)
+          case None       => casted
+        }
+        contents(name) = next
+        next.createOrReplaceTempView(name)
+      case _ =>
+        throw new IllegalArgumentException(s"cannot parse INSERT: ${stmt.take(80)}")
+    }
+  }
+
+  // ---- helpers ---------------------------------------------------------
+
+  private def emptyFor(name: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tables(name))
+
+  /** Split a script on ';' outside single-quoted strings. */
+  private def splitStatements(script: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    script.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case ';' if !inStr => out += cur.toString(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString()
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  /** Split `a INT, b DECIMAL(3,2)` on top-level commas only. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 => out += cur.toString(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -111,6 +111,20 @@ object SqlFunctions {
       .when(size(arr) === 0 || arr.isNull, lit(null))
       .otherwise(raise_error(lit("ELEMENT of array with more than 1 element")))
 
+  // ---- Floating-point division with IEEE-754 zero-divisor semantics.
+  //      Spark's non-ANSI `/` yields NULL for any zero divisor; the
+  //      reference's f64 division is Rust's, i.e. IEEE (0.0/0.0 = NaN,
+  //      x/0.0 = ±Inf — EndToEndTests.java floatDivTest). Signed-zero
+  //      divisors are approximated as +0 (Spark's `===` equates -0.0).
+
+  def fdiv(a: Column, b: Column): Column =
+    when(b === 0.0,
+      when(a.isNull, lit(null).cast(DoubleType))
+        .when(a === 0.0, lit(Double.NaN))
+        .when(a > 0, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity)))
+      .otherwise(a / b)
+
   // ---- Deterministic rounding for transcendental results: libm results may
   //      differ by 1 ULP across engines; fixing to 6 decimals makes the
   //      cross-engine compare stable without hiding real errors.

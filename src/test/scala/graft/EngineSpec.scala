@@ -1,0 +1,118 @@
+package graft
+
+import graft.engine.Engine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Engine/Catalog protocol tests: the reference's public API
+  * (DBSPCompiler.java:40-57 — statements fed one by one; README's minimal
+  * example; multi-view programs sharing inputs, MultiViewTests.java). */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("engine")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("README minimal example: table + view end-to-end") {
+    // README.md "CREATE TABLE T(COL0 INTEGER, COL1 INTEGER);" example
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE T0(COL0 INTEGER NOT NULL, COL1 INTEGER NOT NULL);
+        |CREATE VIEW V AS SELECT T0.COL1 FROM T0;
+        |INSERT INTO T0 VALUES (1, 10), (2, 20)""".stripMargin)
+    assert(e.view("V").collect().map(_.getInt(0)).sorted === Array(10, 20))
+    assert(e.views === Seq("V"))
+  }
+
+  test("typed DDL: nullability and the TypeCompiler type map") {
+    val e = new Engine(spark)
+    e.executeStatement(
+      """CREATE TABLE TY (
+        |  b BOOLEAN, t TINYINT, s SMALLINT, i INTEGER, l BIGINT,
+        |  d DECIMAL(10,2), f REAL, dd DOUBLE NOT NULL,
+        |  v VARCHAR NULL, c CHAR(3), ts TIMESTAMP, dt DATE,
+        |  arr INT ARRAY
+        |)""".stripMargin)
+    val sch = e.schemaOf("TY")
+    assert(sch("b").dataType === BooleanType)
+    assert(sch("t").dataType === ByteType)
+    assert(sch("s").dataType === ShortType)
+    assert(sch("i").dataType === IntegerType)
+    assert(sch("l").dataType === LongType)
+    assert(sch("d").dataType === DecimalType(10, 2))
+    assert(sch("f").dataType === FloatType)
+    assert(sch("dd").dataType === DoubleType)
+    assert(sch("v").dataType === StringType)
+    assert(sch("ts").dataType === TimestampNTZType) // reference TS has no TZ
+    assert(sch("dt").dataType === DateType)
+    assert(sch("arr").dataType === ArrayType(IntegerType))
+    // non-nullable by default (doc/sql/types.rst:37-41), NULL opts in
+    assert(!sch("dd").nullable && sch("v").nullable && !sch("i").nullable)
+  }
+
+  test("INSERTs accumulate and views see them (TableContents.java:112)") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE A(x INT NOT NULL);
+        |CREATE VIEW VA AS SELECT SUM(x) AS s FROM A""".stripMargin)
+    e.executeStatement("INSERT INTO A VALUES (1), (2)")
+    assert(e.view("VA").collect()(0).getLong(0) === 3L)
+    e.executeStatement("INSERT INTO A VALUES (10)")
+    assert(e.view("VA").collect()(0).getLong(0) === 13L)
+  }
+
+  test("multi-view program shares one input (MultiViewTests shape)") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE M(k VARCHAR NOT NULL, v INT NOT NULL);
+        |CREATE VIEW BIG AS SELECT k FROM M WHERE v > 10;
+        |CREATE VIEW SMALL AS SELECT k FROM M WHERE v <= 10;
+        |CREATE VIEW COUNTS AS SELECT COUNT(*) AS n FROM M;
+        |INSERT INTO M VALUES ('a', 5), ('b', 50), ('c', 7)""".stripMargin)
+    assert(e.views === Seq("BIG", "SMALL", "COUNTS"))
+    assert(e.view("BIG").collect().map(_.getString(0)).toSet === Set("b"))
+    assert(e.view("SMALL").collect().map(_.getString(0)).toSet === Set("a", "c"))
+    assert(e.view("COUNTS").collect()(0).getLong(0) === 3L)
+  }
+
+  test("views over views") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE N(x INT NOT NULL);
+        |CREATE VIEW V1 AS SELECT x * 2 AS y FROM N;
+        |CREATE VIEW V2 AS SELECT SUM(y) AS s FROM V1;
+        |INSERT INTO N VALUES (1), (2), (3)""".stripMargin)
+    assert(e.view("V2").collect()(0).getLong(0) === 12L)
+  }
+
+  test("registerSource: external DataFrame as a table (the scale path)") {
+    val e = new Engine(spark)
+    import spark.implicits._
+    e.registerSource("S", Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    e.executeStatement("CREATE VIEW VS AS SELECT name FROM S WHERE id = 2")
+    assert(e.view("VS").collect().map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("unknown statement and undeclared INSERT are rejected") {
+    val e = new Engine(spark)
+    intercept[IllegalArgumentException] { e.executeStatement("DROP TABLE X") }
+    intercept[IllegalArgumentException] { e.executeStatement("INSERT INTO NOPE VALUES (1)") }
+  }
+
+  test("statement splitting respects string literals") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE SQ(s VARCHAR NOT NULL);
+        |INSERT INTO SQ VALUES ('a;b'), ('c')""".stripMargin)
+    assert(e.table("SQ").collect().map(_.getString(0)).toSet === Set("a;b", "c"))
+  }
+}
