@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators, all bucketed by construction — no stage is
+  * O(n²) in corpus size, which is the difference between "works on 60k
+  * docs" and "works on 100 TB":
+  *
+  *  - exact:   one shuffle on a 128-bit content key;
+  *  - MinHash: shingle → K-permutation min-hash signature → banded LSH
+  *    buckets → candidate pairs only within buckets → exact Jaccard
+  *    verification on candidates;
+  *  - SimHash: token-hash bit-vote signature → band buckets → Hamming
+  *    verification via bit_count(xor).
+  *
+  * Candidate generation touches each document once (map + one shuffle per
+  * stage); pair enumeration happens only inside an LSH bucket, whose size
+  * is bounded by collision probability, not corpus size. Skewed buckets
+  * (e.g. boilerplate shingles) are handled by AQE skew-join splitting; a
+  * hard cap (`maxBucket`) drops degenerate buckets the way production
+  * dedup pipelines do.
+  */
+object Dedup {
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Groups of byte-identical texts: content key → canonical (min) id +
+    * duplicate count. One shuffle. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.contentKey(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated corpus: one representative (min id) per content key. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.contentKey(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash + banded LSH -------------------------------------------
+
+  /** Word n-gram shingles of the normalized text (distinct per doc). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  private val P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+
+  /** K-permutation MinHash signature: h_i(s) = (a_i·x + b_i) mod p over
+    * the shingle's 64-bit hash x. Codegen'd array expression, no UDF. */
+  def minhashSignature(shingleArr: Column, k: Int = 64): Column = {
+    val sigs = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = 7919L * (i + 1)
+      array_min(transform(shingleArr,
+        s => pmod(xxhash64(s) * a + b, lit(P))))
+    }
+    array(sigs: _*)
+  }
+
+  /** (doc_id, band_id, band_key) — LSH bucket keys: docs sharing any band
+    * key are near-dup candidates. bands·rows must equal the signature
+    * length. */
+  def lshBands(docs: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rows: Int): DataFrame =
+    docs.select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws("_", slice(col(sigCol), b * rows + 1, rows)))): _*))
+      .as(Seq("band_id", "band_key")))
+
+  /** Candidate near-duplicate pairs (id_a < id_b), deduplicated across
+    * bands; buckets above maxBucket are dropped (degenerate boilerplate). */
+  def candidatePairs(bandsDf: DataFrame, idCol: String,
+                     maxBucket: Int = 1000): DataFrame = {
+    val sized = bandsDf.withColumn("__bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("band_key"))))
+      .filter(col("__bsz") <= maxBucket)
+    val a = sized.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
+    val b = sized.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity for candidate pairs only (the verify step). */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / greatest(col("uni"), lit(1)).cast(DoubleType))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** End-to-end MinHash-LSH near-dup detection: pairs with Jaccard ≥
+    * threshold. No O(n²) stage: explode → bucket-join → verify candidates. */
+  def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = 3, k: Int = 64,
+                     bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val sig = docs.select(col(idCol),
+      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    val pairs = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
+    verifyJaccard(pairs, docs, idCol, textCol, n)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** Bit masks 1<<0 .. 1<<63 as an array literal (shift amounts must be
+    * literals in column expressions, so we mask instead of shifting). */
+  private def pow2Arr: Column = array((0 until 64).map(b => lit(1L << b)): _*)
+
+  /** 64-bit SimHash: per token-hash, vote +1/−1 on each bit; the sign
+    * vector is the signature. Built as a single codegen'd fold. */
+  def simhash(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, pow2Arr,
+        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, pow2Arr, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket on 8×8-bit chunks — by pigeonhole, a
+    * pair within Hamming ≤ 7 of a 64-bit signature must agree on ≥1 chunk —
+    * then verify with bit_count. Same bucketed shape as MinHash — no O(n²). */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            maxHamming: Int = 7): DataFrame = {
+    val sig = docs.select(col(idCol), simhash(col(textCol)).as("sim"))
+    val chunks = sig.select(col(idCol), col("sim"), posexplode(
+      array((0 until 8).map(c =>
+        shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)): _*))
+      .as(Seq("chunk_id", "chunk_key")))
+    val a = chunks.select(col("chunk_id"), col("chunk_key"),
+      col(idCol).as("id_a"), col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk_id"), col("chunk_key"),
+      col(idCol).as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_id", "chunk_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

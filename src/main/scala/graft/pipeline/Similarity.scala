@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Vector math is pure `zip_with`/`aggregate` column expressions (codegen'd
+  * sequential folds — deterministic and UDF-free). Two search paths:
+  *
+  *  - `bruteForceTopK`: exact cosine top-k of a (small, broadcast) query
+  *    set against the corpus — the correctness baseline. Cost is
+  *    |queries|·|corpus| but the corpus side streams through one scan: at
+  *    100 TB this is the pattern for scoring a handful of probes, not bulk
+  *    knn.
+  *  - `lshTopK`: random-hyperplane LSH — each vector maps to a `nBits`
+  *    signature; candidates share a signature bucket (optionally within
+  *    Hamming radius via multi-probe over bit flips); exact cosine reranks
+  *    candidates. Corpus-side cost is one map + one bucket shuffle, query
+  *    cost is bucket-local — the 100 TB path (an IVF coarse quantizer has
+  *    the same shape: replace the signature with a nearest-centroid id).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision (f32→f64 widening is exact; the fold is
+    * sequential so the result is bit-deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact top-k by cosine: broadcast the query set, score the corpus in
+    * one pass, keep k per query via window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component r_j[d] ∈ [-1, 1):
+    * seeded by (bit, dim) through xxhash64 — no stored model needed. */
+  private def planeComponent(bit: Int, dim: Column): Column =
+    (pmod(xxhash64(concat_ws("_", lit("rh"), lit(bit), dim)), lit(1000003L))
+      .cast(DoubleType) / 500001.5) - 1.0
+
+  /** nBits-bit random-hyperplane signature of a vector. */
+  def lshSignature(vec: Column, nBits: Int = 16): Column = {
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast(DoubleType) * planeComponent(j, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: hash corpus and queries to signature buckets, join on the
+    * bucket (multi-probe: also match signatures within Hamming ≤ 2 by
+    * joining on masked signatures), rerank candidates with exact cosine. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    // probe masks: exact bucket + all 1-bit flips (Hamming radius 1)
+    val masks = lit(0L) +: (0 until nBits).map(j => shiftleft(lit(1L), j))
+    val c = corpus.withColumn("sig", lshSignature(col(vecCol), nBits))
+    val q = queries.withColumn("sig0", lshSignature(col(qVecCol), nBits))
+      .withColumn("sig", explode(array(masks.map(m => col("sig0").bitwiseXOR(m)): _*)))
+    val cand = c.join(broadcast(q), "sig")
+    val scored = cand.withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+      .select(col(qIdCol), col(idCol), col("cos"))
+      .groupBy(col(qIdCol), col(idCol)).agg(max(col("cos")).as("cos")) // dedup probes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets (the
+    * embedding-space analogue of Dedup.nearDuplicates). */
+  def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
+                           nBits: Int = 12,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val sig = corpus.withColumn("sig", lshSignature(col(vecCol), nBits))
+    val a = sig.select(col("sig"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = sig.select(col("sig"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos")).distinct()
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Value-level tests for the LLM-pipeline operators that have no SQL
+  * oracle: MinHash/SimHash near-dup (planted duplicates must be found,
+  * unrelated docs must not pair), ANN recall vs brute force, multimodal
+  * plumbing, text analysis. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("pipeline")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches the " +
+    "birds in the garden and the sun shines over the quiet green valley today"
+
+  test("exact dedup groups byte-identical docs and keeps min id") {
+    val docs = docsDf((1L, base), (2L, base), (3L, "something else entirely"),
+      (4L, base))
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 2)
+    val big = groups.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(big.getAs[Long]("keep_id") === 1L)
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val nearDup = base.replace("lazy", "sleepy") // one word changed
+    val unrelated = "completely different content about database engines " +
+      "and distributed query processing with columnar storage formats here"
+    val docs = docsDf((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " extra tail words appended"))
+    val pairs = Dedup.nearDuplicates(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash jaccard estimates are in [0,1] and exact for identity") {
+    val docs = docsDf((1L, base), (2L, base))
+    val pairs = Dedup.nearDuplicates(docs, threshold = 0.5).collect()
+    assert(pairs.length === 1 && pairs(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash: hamming 0 for identical, small for near-dup, large for unrelated") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = "totally disjoint vocabulary concerning astrophysics " +
+      "spectroscopy telescopes galaxies quasars and cosmic background radiation"
+    val df = docsDf((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+    val sims = df.as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(2L))
+    val dNear = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    val dFar = java.lang.Long.bitCount(sims(1L) ^ sims(4L))
+    assert(dNear < dFar)
+    assert(dNear <= 7)
+    val pairs = Dedup.simhashNearDuplicates(docsDf((1L, base), (2L, nearDup),
+      (3L, unrelated)), maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private def syntheticVectors(n: Int, dim: Int): DataFrame = {
+    // deterministic pseudo-random unit-ish vectors in a few clusters
+    val rows = (0 until n).map { i =>
+      val cluster = i % 5
+      val v = (0 until dim).map { d =>
+        val h = ((i.toLong * 31 + d) * 2654435761L + cluster * 97) & 0xFFFF
+        (h.toFloat / 65535f - 0.5f) + (if (d % 5 == cluster) 2.0f else 0.0f)
+      }.toArray
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k: self is always rank 1 with cos ≈ 1") {
+    val corpus = syntheticVectors(50, 16)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.bruteForceTopK(corpus, queries, 3)
+    val r1 = top.filter(col("rank") === 1).select("q_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(r1.length === 5)
+    r1.foreach { case (q, v, c) => assert(q === v && math.abs(c - 1.0) < 1e-12) }
+  }
+
+  test("LSH ANN recall@5 ≥ 0.6 vs brute force on clustered vectors") {
+    val corpus = syntheticVectors(200, 16)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, queries, 5, nBits = 12)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall was $recall")
+  }
+
+  test("cosine near-duplicate pairs via LSH find planted duplicates") {
+    val corpus = syntheticVectors(40, 16)
+    val dup = corpus.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineNearDuplicates(corpus.unionAll(dup), 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1000L)))
+  }
+
+  test("text analysis: token counts, language id, quality") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in the garden to watch the birds"),
+      (2L, "der hund und die katze sind nicht in das haus und der garten"),
+      (3L, ""),
+      (4L, "x")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n"),
+        TextAnalysis.languageId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+    assert(rows(1L)._1 === 13L && rows(1L)._2 === "en")
+    assert(rows(2L)._2 === "de")
+    assert(rows(3L)._1 === 0L && rows(3L)._2 === "und")
+    assert(rows(1L)._3 > rows(4L)._3) // real sentence beats single char
+    // fingerprint stable under whitespace normalization
+    val fp2 = Seq((9L, "  the   cat and the dog sat in the garden to watch the birds "))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
+    assert(df.filter(col("doc_id") === 1).select("fp").collect()(0).getLong(0) === fp2)
+  }
+
+  test("multimodal: synthetic media → features, batch plumbing end-to-end") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
+      (2L, "bytes make pixels", "en", "srcB", 17L),
+      (3L, "third doc", "en", "srcC", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.syntheticMedia(docs)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "doc_id", "modality", "mime", "content", "meta"))
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[Seq[Float]]("feature").length === 8)
+      val s = r.getAs[Seq[Float]]("feature").map(_.toDouble).sum
+      assert(math.abs(s - 1.0) < 1e-5) // histogram normalized
+    }
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.toString).sorted === again.map(_.toString).sorted)
+    // frame sampling explodes video rows only
+    val frames = Multimodal.sampleFrames(media, everyMs = 50L)
+    assert(frames.select("media_id").distinct().count() ===
+      media.filter(col("modality") === "video").count())
+  }
+}
