@@ -68,6 +68,12 @@ final class Engine(val spark: SparkSession) {
     spark.table(name)
   }
 
+  /** Materialize a view to parquet — the sink operator
+    * (DBSPSinkOperator.java:32: every CREATE VIEW is an output handle).
+    * On a cluster this is the terminal exchange of the standing query. */
+  def materialize(name: String, path: String): Unit =
+    view(name).write.mode("overwrite").parquet(path)
+
   /** Declared views in declaration order (the circuit's sinks). */
   def views: Seq[String] = viewSql.keys.toSeq
   def tableNames: Seq[String] = tables.keys.toSeq

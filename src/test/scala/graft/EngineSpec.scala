@@ -102,6 +102,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.view("VS").collect().map(_.getString(0)).toSeq === Seq("b"))
   }
 
+  test("materialize writes a view to parquet (sink operator)") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE MT(x INT NOT NULL);
+        |CREATE VIEW MV AS SELECT x * 3 AS y FROM MT;
+        |INSERT INTO MT VALUES (1), (2)""".stripMargin)
+    val path = "/root/repo/target/tmp/mv_sink"
+    e.materialize("MV", path)
+    val back = spark.read.parquet(path)
+    assert(back.collect().map(_.getInt(0)).sorted === Array(3, 6))
+  }
+
   test("unknown statement and undeclared INSERT are rejected") {
     val e = new Engine(spark)
     intercept[IllegalArgumentException] { e.executeStatement("DROP TABLE X") }

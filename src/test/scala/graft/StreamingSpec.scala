@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Structured Streaming as the append-only incremental mode (SURVEY §2.9,
+  * §7.2 step 6): the reference's incremental aggregate / distinct
+  * operators (DBSPIncrementalAggregateOperator.java:35,
+  * DBSPIncrementalDistinctOperator.java:31) map to stateful streaming
+  * groupBy/dropDuplicates in update mode when inputs are append-only
+  * (retraction-bearing inputs use graft.streaming.Incremental instead).
+  * Each micro-batch = one circuit step; results after N steps must equal
+  * the batch query over the union of all step inputs. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming grouped aggregate over micro-batches equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("k", "v")
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"))
+      .writeStream.format("memory").queryName("agg_out").outputMode("complete")
+      .start()
+    try {
+      mem.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+      mem.addData(("a", 10L), ("c", 5L)); q.processAllAvailable()
+      val got = spark.table("agg_out").as[(String, Long, Long)].collect().sortBy(_._1)
+      val want = Seq(("a", 1L), ("b", 2L), ("a", 10L), ("c", 5L)).toDF("k", "v")
+        .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates equals batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("k").dropDuplicates("k")
+      .writeStream.format("memory").queryName("dd_out").outputMode("append")
+      .start()
+    try {
+      mem.addData("x", "y", "x"); q.processAllAvailable()
+      mem.addData("y", "z"); q.processAllAvailable()
+      val got = spark.table("dd_out").as[String].collect().sorted
+      assert(got === Array("x", "y", "z"))
+    } finally q.stop()
+  }
+
+  test("stream-stream inner join on key (bilinear op, append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(String, Long)]
+    val r = MemoryStream[(String, String)]
+    val joined = l.toDF().toDF("k", "v")
+      .join(r.toDF().toDF("k", "name"), "k")
+    val q = joined.writeStream.format("memory").queryName("jn_out")
+      .outputMode("append").start()
+    try {
+      l.addData(("a", 1L)); r.addData(("a", "alpha")); q.processAllAvailable()
+      l.addData(("a", 2L), ("b", 9L)); r.addData(("b", "beta")); q.processAllAvailable()
+      val got = spark.table("jn_out").as[(String, Long, String)].collect().toSet
+      assert(got === Set(("a", 1L, "alpha"), ("a", 2L, "alpha"), ("b", 9L, "beta")))
+    } finally q.stop()
+  }
+}
