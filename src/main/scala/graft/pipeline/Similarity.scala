@@ -39,8 +39,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+    // Hoist each side's norm to a per-row column: the cross join then
+    // evaluates one dot-product fold per pair instead of three.
+    val c = corpus.withColumn("__nc", norm2(col(vecCol)))
+    val q = queries.withColumn("__nq", norm2(col(qVecCol)))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", dot(col(vecCol), col(qVecCol)) / (col("__nc") * col("__nq")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
