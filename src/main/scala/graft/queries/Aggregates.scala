@@ -79,6 +79,55 @@ object Aggregates {
           (sum_distinct(Exact.fix(col("l_quantity"))).cast(DoubleType) / lit(10000.0)).as("sum_dist_qty"),
           count(lit(1)).as("n"))),
 
+    // ARRAY_AGG (declared in the reference runtime's aggregate list,
+    // RustSqlRuntimeLibrary.java:61-70): sorted for determinism
+    "q24_array_agg" -> ((s, d) =>
+      T(s, d, "lineitem").filter(col("l_orderkey") <= 20)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber").cast(LongType)))
+          .as("lines"), count(lit(1)).as("n"))),
+
+    // EVERY / ANY boolean aggregates (same runtime list)
+    "q28_bool_agg" -> ((s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count(lit(1)).as("n"))),
+
+    // Sample variance/stddev via deterministic fixed-point sums: the
+    // two-pass-free formula (Σx² − (Σx)²/n)/(n−1) over exact decimal sums
+    // is bit-identical on any engine, unlike built-in var_samp whose
+    // partial-merge order varies
+    "q29_stats_var" -> ((s, d) => {
+      val x = col("l_quantity")
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count(x).as("n"),
+          Exact.dsum(x).as("s1"),
+          Exact.dsum(x * x).as("s2"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("var_samp"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("stddev_samp"))
+    }),
+
+    // Beyond-reference: GROUPING SETS / ROLLUP / CUBE (the reference
+    // throws Unimplemented for Group.SIMPLE≠, CalciteToDBSPCompiler
+    // :304-305 — Spark provides them natively, so our engine exceeds the
+    // reference here)
+    "q37_rollup" -> ((s, d) =>
+      T(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_ls"))),
+
+    "q38_cube" -> ((s, d) =>
+      T(s, d, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+
     // AVG with nullable input (NULLIF-made nulls skipped by AVG)
     "q23_avg_nullable" -> ((s, d) => {
       val v = when(col("l_discount") > 0, col("l_extendedprice"))
@@ -126,6 +175,32 @@ object Aggregates {
                 (CAST(SUM(DISTINCT ${Exact.sqlFix("l_quantity")}) AS DOUBLE) / 10000.0) AS sum_dist_qty,
                 COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q24_array_agg" ->
+      """SELECT l_orderkey, list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines,
+                COUNT(*) AS n
+         FROM lineitem WHERE l_orderkey <= 20 GROUP BY l_orderkey""",
+    "q28_bool_agg" ->
+      """SELECT o_orderpriority,
+                bool_and(o_totalprice > 1000) AS all_over_1k,
+                bool_or(o_totalprice > 400000) AS any_over_400k,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+    "q29_stats_var" -> {
+      val s1 = Exact.sqlDsum("l_quantity")
+      val s2 = Exact.sqlDsum("l_quantity * l_quantity")
+      s"""SELECT l_returnflag, COUNT(l_quantity) AS n,
+             (($s2 - $s1 * $s1 / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS var_samp,
+             SQRT(($s2 - $s1 * $s1 / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS stddev_samp
+          FROM lineitem GROUP BY l_returnflag"""
+    },
+    "q37_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q38_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "q23_avg_nullable" -> {
       val v = "CASE WHEN l_discount > 0 THEN l_extendedprice END"
       s"""SELECT l_linestatus,
