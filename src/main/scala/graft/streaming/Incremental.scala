@@ -93,6 +93,27 @@ object Incremental {
           ZSet.fromRows(refold(oldChild)))
       })
 
+    /** Incremental partitioned window aggregate
+      * (DBSPWindowAggregateOperator.java:34-39 participates in incremental
+      * circuits via OptimizeIncrementalVisitor:53-93): a delta only
+      * changes results inside the partitions it touches, so re-evaluate
+      * the window over those partitions of the new state and retract
+      * their previous results. Cost per step: O(touched partitions), not
+      * O(state). `eval` receives the consolidated positive rows of the
+      * child and must return one result row per input row. */
+    def windowAggregate(partitionKeys: Seq[String])
+                       (eval: DataFrame => DataFrame): Inc = Inc(
+      in => ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(batch(in))))),
+      (i, d) => {
+        val oldChild = batch(i)
+        val dChild = delta(i, d)
+        val touched = dChild.select(partitionKeys.map(col): _*).distinct()
+        def out(child: DataFrame) =
+          ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(
+            child.join(broadcastIfSmall(touched), partitionKeys, "left_semi")))))
+        ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
+      })
+
     /** Incremental distinct: re-evaluate presence only for touched rows. */
     def distinct: Inc = Inc(
       in => ZSet.distinct(batch(in)),

@@ -157,6 +157,35 @@ class IncrementalEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(r.output) === canon(r.recompute))
   }
 
+  test("incremental window aggregate: trailing range sum per key with retraction") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val q = source("T").windowAggregate(Seq("k")) { rows =>
+      val w = W.partitionBy(col("k")).orderBy(col("v")).rangeBetween(-2, 0)
+      rows.select(col("k"), col("v"),
+        sum(col("v")).over(w).as("sum_2"), count(lit(1)).over(w).as("n_2"))
+    }
+    assertEquiv(q, stepsT(
+      Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 5L, 1L), ("b", 4L, 1L)),
+      Seq(("a", 3L, 1L)),          // lands inside a's existing frames
+      Seq(("a", 2L, -1L))),        // retraction reshapes frames
+      schemasT)
+  }
+
+  test("incremental window aggregate: quiet partitions emit no delta") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val q = source("T").windowAggregate(Seq("k")) { rows =>
+      val w = W.partitionBy(col("k")).orderBy(col("v")).rangeBetween(-2, 0)
+      rows.select(col("k"), col("v"), sum(col("v")).over(w).as("sum_2"))
+    }
+    val r = new Runner(spark, q, schemasT)
+    r.step(Map("T" -> zset(tSchema, ("a", 1L, 1L), ("b", 4L, 1L))))
+    val d2 = r.step(Map("T" -> zset(tSchema, ("a", 2L, 1L))))
+    val keys = ZSet.consolidate(d2).select("k").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keys === Set("a")) // partition b untouched → no delta rows
+    assert(canon(r.output) === canon(r.recompute))
+  }
+
   test("multi-step convergence: output delta of quiet keys is empty") {
     val q = source("T").aggregate(Seq("k"), "sum_v" -> ZSet.wsum(col("v")))
     val r = new Runner(spark, q, schemasT)
