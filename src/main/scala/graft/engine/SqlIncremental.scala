@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.InnerLike
+import org.apache.spark.sql.catalyst.plans.{FullOuter, InnerLike, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.GraftSqlBridge
 
@@ -52,9 +52,29 @@ object SqlIncremental {
     case Filter(cond, child) =>
       walk(child, sources).where(toColumn(cond))
 
-    case Join(left, right, _: InnerLike, cond, _) =>
+    case Join(left, right, joinType, cond, _) =>
       val keys = equiKeys(cond, left, right)
-      walk(left, sources).join(walk(right, sources), keys)
+      val l = walk(left, sources)
+      val r = walk(right, sources)
+      val inner = l.join(r, keys)
+      joinType match {
+        case _: InnerLike => inner
+        // Outer joins follow the reference's construction (inner result ∪
+        // null-padded unmatched side, CalciteToDBSPCompiler.java:665-747),
+        // composed from circuit primitives so incrementality is inherited:
+        // a retraction that removes a row's last match automatically flows
+        // a retraction of the inner row and an insertion of the padded row.
+        // Key columns use USING semantics (merged; coalesce of both sides).
+        case LeftOuter =>
+          inner union padUnmatched(l, r, keys, left.output, right.output)
+        case RightOuter =>
+          inner union padUnmatched(r, l, keys, right.output, left.output)
+        case FullOuter =>
+          inner union padUnmatched(l, r, keys, left.output, right.output) union
+            padUnmatched(r, l, keys, right.output, left.output)
+        case other => throw new UnsupportedPlanException(
+          s"unsupported join type for incremental mode: $other")
+      }
 
     case Aggregate(groupExprs, aggExprs, child, _) =>
       val keys = groupExprs.map {
@@ -81,6 +101,27 @@ object SqlIncremental {
 
     case other => throw new UnsupportedPlanException(
       s"unsupported plan node for incremental mode: ${other.nodeName}")
+  }
+
+  /** Rows of `keep` with no join partner in `other`, padded with typed
+    * NULLs for `other`'s non-key columns. matched = keep ⋈ distinct(π_k
+    * other) — the bilinear join against a weight-1 key set preserves each
+    * kept row's multiplicity, so keep − matched is exactly the unmatched
+    * multiset. */
+  private def padUnmatched(keep: Inc, other: Inc, keys: Seq[String],
+                           keepOut: Seq[Attribute],
+                           otherOut: Seq[Attribute]): Inc = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keyCols = keys.map(col)
+    val otherKeys = other.select(keyCols: _*).distinct
+    val matched = keep.join(otherKeys, keys)
+    val unmatched = keep.minus(matched)
+    val keySet = keys.map(_.toLowerCase).toSet
+    val padded =
+      keepOut.map(a => col(a.name)) ++
+        otherOut.filterNot(a => keySet.contains(a.name.toLowerCase))
+          .map(a => lit(null).cast(a.dataType).as(a.name))
+    unmatched.select(padded: _*)
   }
 
   /** Re-anchor attribute references by name so the expression resolves

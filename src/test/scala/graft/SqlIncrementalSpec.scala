@@ -115,6 +115,45 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(got) === canon(want))
   }
 
+  test("left outer join view: unmatched rows pad with NULLs, flip on retraction") {
+    val e2 = new Engine(spark)
+    e2.executeScript(
+      """CREATE TABLE S2 (region VARCHAR NOT NULL, amount BIGINT NOT NULL);
+        |CREATE TABLE R2 (region VARCHAR NOT NULL, country VARCHAR NOT NULL);
+        |CREATE VIEW LJ AS
+        |  SELECT amount, country FROM S2 LEFT JOIN R2 ON S2.region = R2.region""".stripMargin)
+    val s2 = StructType(Seq(StructField("region", StringType), StructField("amount", LongType)))
+    val r2 = StructType(Seq(StructField("region", StringType), StructField("country", StringType)))
+    val r = e2.incrementalRunner("LJ")
+    r.step(Map(
+      "S2" -> z(s2, Seq("west", 10L, 1L), Seq("north", 99L, 1L)),
+      "R2" -> z(r2, Seq("west", "US", 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    // retract the only match for west → west row must flip to padded NULL
+    r.step(Map("R2" -> z(r2, Seq("west", "US", -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val rows = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)))).toSet
+    assert(rows === Set((10L, None), (99L, None)))
+  }
+
+  test("full outer join view under deltas on both sides") {
+    val e3 = new Engine(spark)
+    e3.executeScript(
+      """CREATE TABLE S3 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE R3 (k VARCHAR NOT NULL, w BIGINT NOT NULL);
+        |CREATE VIEW FJ AS SELECT v, w FROM S3 FULL JOIN R3 ON S3.k = R3.k""".stripMargin)
+    val s3 = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r3 = StructType(Seq(StructField("k", StringType), StructField("w", LongType)))
+    val r = e3.incrementalRunner("FJ")
+    r.step(Map(
+      "S3" -> z(s3, Seq("a", 1L, 1L), Seq("b", 2L, 1L)),
+      "R3" -> z(r3, Seq("a", 10L, 1L), Seq("c", 30L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    r.step(Map("S3" -> z(s3, Seq("c", 3L, 1L)), "R3" -> z(r3, Seq("a", 10L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+  }
+
   test("unsupported shapes fail loudly with the node name") {
     val e = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
