@@ -42,7 +42,8 @@ object SparkEntry {
     _root_.graft.queries.Arrays.defs ++
     _root_.graft.queries.ZSetQ.defs ++
     _root_.graft.queries.Pipeline.defs ++
-    _root_.graft.queries.SourcesQ.defs
+    _root_.graft.queries.SourcesQ.defs ++
+    _root_.graft.queries.IncrementalQ.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
     _root_.graft.queries.Arrays.oracles ++
     _root_.graft.queries.ZSetQ.oracles ++
     _root_.graft.queries.Pipeline.oracles ++
-    _root_.graft.queries.SourcesQ.oracles
+    _root_.graft.queries.SourcesQ.oracles ++
+    _root_.graft.queries.IncrementalQ.oracles
 }

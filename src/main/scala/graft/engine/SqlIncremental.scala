@@ -99,6 +99,9 @@ object SqlIncremental {
     case Distinct(child) => walk(child, sources).distinct
     case Deduplicate(_, child) => walk(child, sources).distinct
 
+    // Views over views: inline the referenced view's plan into the circuit
+    case v: View => walk(v.child, sources)
+
     case other => throw new UnsupportedPlanException(
       s"unsupported plan node for incremental mode: ${other.nodeName}")
   }

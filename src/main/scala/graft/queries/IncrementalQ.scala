@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Incremental._
+import graft.zset.ZSet
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental evaluation under the DuckDB oracle: the circuit consumes
+  * three delta batches carved from lineitem — two insert waves and a
+  * retraction wave — and the integrated output must equal a plain SQL
+  * aggregate over the *net* surviving rows. This puts the whole delta
+  * algebra (linear filter, weighted aggregate re-fold, retraction
+  * handling, output integration) under the same hash-exact gate as the
+  * batch operators.
+  *
+  * Deltas: +rows with qty < 30, then +rows with 30 ≤ qty < 40, then
+  * −rows with qty < 10 ⇒ net = rows with 10 ≤ qty < 40.
+  */
+object IncrementalQ {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, QFn] = Map(
+    "q90_incremental_agg" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val circuit = source("L")
+        .where(col("l_quantity") >= 5) // linear op inside the circuit
+        .aggregate(Seq("l_suppkey"),
+          "cnt" -> ZSet.wcount,
+          "sum_qty" -> ZSet.wsum(col("l_quantity")))
+      val r = new Runner(s, circuit, Map("L" -> li.limit(0)))
+      r.step(Map("L" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("L" -> ZSet.fromRows(
+        li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40))))
+      r.step(Map("L" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") < 10)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    "q91_incremental_join" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val circuit = source("L").where(col("l_quantity") > 45)
+        .join(source("O"), Seq("l_orderkey"))
+      val r = new Runner(s, circuit, Map("L" -> li.limit(0), "O" -> o.limit(0)))
+      // orders arrive, then lineitems, then cancelled ('F') orders retract
+      r.step(Map("O" -> ZSet.fromRows(o)))
+      r.step(Map("L" -> ZSet.fromRows(li)))
+      r.step(Map("O" -> ZSet.negate(ZSet.fromRows(
+        o.filter(col("o_orderstatus") === "F")))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q90_incremental_agg" ->
+      """SELECT l_suppkey, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+         FROM lineitem
+         WHERE l_quantity >= 10 AND l_quantity < 40 AND l_quantity >= 5
+         GROUP BY l_suppkey""",
+    "q91_incremental_join" ->
+      """SELECT l_orderkey, l_suppkey, l_quantity, o_orderstatus
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity > 45 AND o_orderstatus <> 'F'"""
+  )
+}

@@ -154,6 +154,25 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
   }
 
+  test("HAVING (filter over aggregate) and view-over-view compile incrementally") {
+    val e4 = new Engine(spark)
+    e4.executeScript(
+      """CREATE TABLE S4 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW AGG4 AS SELECT k, SUM(v) AS total FROM S4 GROUP BY k HAVING SUM(v) > 10;
+        |CREATE VIEW OVER4 AS SELECT k FROM AGG4 WHERE total < 100""".stripMargin)
+    val s4 = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r = e4.incrementalRunner("OVER4")
+    r.step(Map("S4" -> z(s4, Seq("a", 6L, 1L), Seq("a", 7L, 1L), Seq("b", 5L, 1L),
+      Seq("c", 200L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val got1 = ZSet.toRows(ZSet.consolidate(r.output)).collect().map(_.getString(0)).toSet
+    assert(got1 === Set("a")) // a: 13 ∈ (10,100); b: 5 fails HAVING; c: 200 fails WHERE
+    // retraction drops a below the HAVING threshold
+    r.step(Map("S4" -> z(s4, Seq("a", 7L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0)
+  }
+
   test("unsupported shapes fail loudly with the node name") {
     val e = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
