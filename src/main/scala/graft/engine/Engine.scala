@@ -26,6 +26,10 @@ import scala.collection.mutable
   */
 final class Engine(val spark: SparkSession) {
 
+  // Make the reference's SQL function spellings (ELEMENT, ST_POINT,
+  // ST_DISTANCE, DECADE, …) resolvable in view text.
+  graft.functions.SqlRegistry.register(spark)
+
   /** name → declared schema (with reference nullability: NOT NULL default). */
   private val tables = mutable.LinkedHashMap.empty[String, StructType]
   /** name → accumulated contents. */

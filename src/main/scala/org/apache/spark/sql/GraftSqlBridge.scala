@@ -10,4 +10,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a catalyst Expression tree. The lazy
+    * `expression` wrapper (ColumnNodeExpression) is only unwrapped at
+    * Dataset API entry points; function-registry builders need the real
+    * tree so the analyzer can resolve it in place. */
+  def toExpressionTree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a session-scoped SQL function whose body is composed from
+    * Column expressions (stays fully codegen'd — this is NOT a UDF). */
+  def registerSqlFunction(spark: SparkSession, name: String,
+                          build: Seq[Column] => Column): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name,
+        exprs => toExpressionTree(build(exprs.map(column))), "internal")
 }

@@ -93,6 +93,18 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.range(1).select(SqlFunctions.element(array(lit(2))).as("e"))
     assert(canon(df) === Seq("2"))
   }
+  // Reference SQL spellings resolve as SQL text (SqlRegistry)
+  test("testArray (ELEMENT via SQL)") {
+    check("SELECT ELEMENT(ARRAY(2))", Seq(Seq(2)))
+  }
+  test("geo via SQL spellings") {
+    check("SELECT ST_DISTANCE(ST_POINT(0, 0), ST_POINT(0, 1))", Seq(Seq(1.0)))
+  }
+  test("extract-unit functions via SQL spellings") {
+    check("SELECT DECADE(DATE '1994-12-25'), CENTURY(DATE '2001-01-01'), " +
+      "ISOYEAR(DATE '2005-01-01'), FDIV(0.0, 0.0)",
+      Seq(Seq[Any](199, 21, 2004, Double.NaN)))
+  }
   test("testArrayIndex") {
     check("SELECT element_at(ARRAY(2), 1)", Seq(Seq(2)))
   }
