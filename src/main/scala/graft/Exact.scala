@@ -37,7 +37,6 @@ import org.apache.spark.sql.types._
   * *reduction* goes through fixed point.
   */
 object Exact {
-  val Dec: DecimalType = DecimalType(38, 10)
   private val DecAcc = DecimalType(38, 0)
   private val Scale = 10000.0
 
