@@ -102,6 +102,26 @@ object SqlIncremental {
     // Views over views: inline the referenced view's plan into the circuit
     case v: View => walk(v.child, sources)
 
+    // Aggregate-OVER windows (DBSPWindowAggregateOperator): a delta only
+    // affects results inside its PARTITION BY groups, so the circuit
+    // re-evaluates the window over touched partitions and retracts their
+    // previous rows (Inc.windowAggregate). Requires a plain-column
+    // partition spec; empty partition specs would re-evaluate everything.
+    case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+      val partKeys = w.partitionSpec.map {
+        case a: AttributeReference => a.name
+        case other => throw new UnsupportedPlanException(
+          s"incremental window PARTITION BY supports plain columns, got: $other")
+      }
+      if (partKeys.isEmpty) throw new UnsupportedPlanException(
+        "incremental windows need a PARTITION BY (a global window re-evaluates all state)")
+      val childCols = w.child.output.map(a =>
+        org.apache.spark.sql.functions.col(a.name))
+      val winCols = w.windowExpressions.map(toColumn)
+      walk(w.child, sources).windowAggregate(partKeys) { rows =>
+        rows.select(childCols ++ winCols: _*)
+      }
+
     case other => throw new UnsupportedPlanException(
       s"unsupported plan node for incremental mode: ${other.nodeName}")
   }

@@ -173,12 +173,45 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0)
   }
 
+  test("window-aggregate view (taxi/fraud shape) maintains incrementally") {
+    val e5 = new Engine(spark)
+    e5.executeScript(
+      """CREATE TABLE TX (card VARCHAR NOT NULL, t BIGINT NOT NULL, amt BIGINT NOT NULL);
+        |CREATE VIEW FEAT AS
+        |  SELECT card, t, amt,
+        |         COUNT(*) OVER (PARTITION BY card ORDER BY t RANGE BETWEEN 100 PRECEDING AND 1 PRECEDING) AS n_prev,
+        |         SUM(amt) OVER (PARTITION BY card ORDER BY t RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS spend
+        |  FROM TX""".stripMargin)
+    val tx = StructType(Seq(StructField("card", StringType),
+      StructField("t", LongType), StructField("amt", LongType)))
+    val r = e5.incrementalRunner("FEAT")
+    r.step(Map("TX" -> z(tx,
+      Seq("a", 10L, 5L, 1L), Seq("a", 50L, 7L, 1L), Seq("a", 200L, 1L, 1L),
+      Seq("b", 10L, 9L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    // a new txn inside a's window reshapes frames; b untouched → no delta
+    val d2 = r.step(Map("TX" -> z(tx, Seq("a", 60L, 3L, 1L))))
+    val touched = ZSet.consolidate(d2).select("card").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(touched === Set("a"))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    // retraction removes a frame member
+    r.step(Map("TX" -> z(tx, Seq("a", 50L, 7L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+  }
+
   test("unsupported shapes fail loudly with the node name") {
-    val e = intercept[SqlIncremental.UnsupportedPlanException] {
+    engine // ensure tables exist
+    val e1 = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
-        "SELECT region, amount, SUM(amount) OVER (PARTITION BY region ORDER BY amount) s FROM SALES",
+        "SELECT region, amount, SUM(amount) OVER (ORDER BY amount) s FROM SALES",
         Set("SALES"))
     }
-    assert(e.getMessage.contains("Window") || e.getMessage.contains("window"))
+    assert(e1.getMessage.contains("PARTITION BY"))
+    val e2 = intercept[SqlIncremental.UnsupportedPlanException] {
+      SqlIncremental.compile(spark,
+        "SELECT region FROM SALES ORDER BY amount", Set("SALES"))
+    }
+    assert(e2.getMessage.contains("Sort"))
   }
 }
