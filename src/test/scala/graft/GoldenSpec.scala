@@ -116,6 +116,37 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.range(1).select(SqlFunctions.element(array(lit(2), lit(3))).as("e"))
     intercept[Exception] { df.collect() }
   }
+  // :131-:161 — multiple windows over one relation
+  test("overTwiceTest") {
+    check("""SELECT T.COL1,
+             SUM(T.COL2) OVER (ORDER BY T.COL1 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             COUNT(*) OVER (ORDER BY T.COL1 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM T""",
+      Seq(Seq[Any](10, 13.0, 2), Seq[Any](10, 13.0, 2)))
+  }
+  // Reference expects COUNT = 2 here (EndToEndTests.java:146), i.e. the
+  // frame [v-2, v-1] somehow containing the two peer rows at v=10. That
+  // contradicts standard RANGE semantics — Spark, DuckDB, and Postgres all
+  // return 0 for an [8,9] frame with no rows in it. We pin the
+  // standard-correct value and record the reference deviation.
+  test("overConstantWindowTest (standard semantics: empty frame counts 0)") {
+    check("""SELECT T.COL1,
+             COUNT(*) OVER (ORDER BY T.COL1 RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) FROM T""",
+      Seq(Seq(10, 0), Seq(10, 0)))
+  }
+  test("overTwiceDifferentTest (standard semantics)") {
+    check("""SELECT T.COL1,
+             SUM(T.COL2) OVER (ORDER BY T.COL1 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             COUNT(*) OVER (ORDER BY T.COL1 RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) FROM T""",
+      Seq(Seq[Any](10, 13.0, 0), Seq[Any](10, 13.0, 0)))
+  }
+  // :169 — correlated nested aggregates (RPAI paper query): decorrelation
+  test("correlatedAggregate") {
+    check("""SELECT Sum(r.COL1 * r.COL5) FROM T r
+             WHERE 0.5 * (SELECT Sum(r1.COL5) FROM T r1) =
+                   (SELECT Sum(r2.COL5) FROM T r2 WHERE r2.COL1 = r.COL1)""",
+      Seq(Seq(null)))
+  }
+
   // :186/:219/:230 — projections
   test("projectTest") { check("SELECT T.COL3 FROM T", Seq(Seq(true), Seq(false))) }
   test("projectNullableTest") { check("SELECT T.COL5 FROM T", Seq(Seq(null), Seq(1))) }
