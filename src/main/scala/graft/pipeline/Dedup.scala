@@ -68,17 +68,31 @@ object Dedup {
     array(sigs: _*)
   }
 
-  /** Distributed MinHash: explode shingles, hash each once, take the K
-    * permutation minima as grouped aggregates. This is the shape that
-    * scales — xxhash64 runs once per (doc, shingle) instead of once per
-    * permutation, and the 64 `min`s partial-aggregate map-side so the
-    * shuffle carries one 64-element row per document. ~400× faster than
-    * evaluating the single-row form per permutation. */
+  /** Distributed MinHash: explode shingle hashes, take the K permutation
+    * minima as grouped aggregates. This is the shape that scales — one
+    * hash per (doc, shingle), and the 64 `min`s partial-aggregate
+    * map-side so the shuffle carries one 64-element row per document.
+    *
+    * Shingle identity is a polynomial combine of the n consecutive token
+    * hashes — no shingle strings are materialized (the verify step still
+    * computes exact string-shingle Jaccard; 64-bit collisions are
+    * negligible for dedup). The token-hash array goes through a real
+    * projection boundary before the shingle lambda touches it: Spark's
+    * higher-order functions are interpreted, so a nested array expression
+    * referenced inside a lambda re-evaluates per element — O(tokens²) —
+    * while a column reference is an O(1) bound read. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64): DataFrame = {
-    val hashed = docs
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
-      .select(col(idCol), xxhash64(col("sh")).as("x"))
+    val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      t => length(t) > 0)
+    val withTh = docs.select(col(idCol), transform(toks, t => xxhash64(t)).as("__th"))
+    val th = col("__th")
+    val combined = transform(sequence(lit(0), size(th) - n),
+      i => (0 until n).map(j => get(th, i + j) * lit(31L * (n - j)))
+        .reduce(_ + _))
+    val hashed = withTh.select(col(idCol),
+      explode(array_distinct(
+        when(size(th) < n, slice(th, 1, 1)).otherwise(combined))).as("x"))
     val mins = (0 until k).map { i =>
       val a = 2L * i + 1; val b = 7919L * (i + 1)
       min(pmod(col("x") * a + b, lit(P))).as(s"__m$i")

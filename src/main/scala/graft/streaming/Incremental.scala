@@ -168,13 +168,23 @@ object Incremental {
 
   /** Step-driver: integrates input deltas and the output stream, asserting
     * the DBSP contract out = D(Q(I(in))). Used by tests and as the v1
-    * runtime for incremental views. */
-  final class Runner(spark: SparkSession, query: Inc, schemas: Map[String, DataFrame]) {
-    /** Integrated inputs (consolidated Z-sets). */
+    * runtime for incremental views.
+    *
+    * State maintenance is lazy: each step appends the delta as a union
+    * (no shuffle) and weights merge downstream wherever state is consumed;
+    * a full consolidation — the only O(state) operation — runs every
+    * `consolidateEvery` steps purely to bound lineage depth and stored
+    * size, mirroring DBSP's background trace merges. Per-step cost is
+    * therefore O(|delta| + touched groups), not O(state). */
+  final class Runner(spark: SparkSession, query: Inc,
+                     schemas: Map[String, DataFrame],
+                     consolidateEvery: Int = 8) {
+    /** Integrated inputs (lazily-unioned Z-sets). */
     private var integrated: Inputs =
       schemas.map { case (n, df) => n -> ZSet.fromRows(df.limit(0)) }
     /** Integrated output. */
     private var outState: Option[DataFrame] = None
+    private var steps = 0
 
     /** Feed one step of input deltas (weighted); returns the output delta. */
     def step(deltas: Inputs): DataFrame = {
@@ -183,17 +193,22 @@ object Incremental {
       }
       val d = query.delta(integrated, full).persist()
       d.count() // materialize before state advances
+      steps += 1
+      val compact = steps % consolidateEvery == 0
+      def maintain(z: DataFrame): DataFrame =
+        (if (compact) ZSet.consolidate(z) else z).persist()
       integrated = integrated.map { case (n, z) =>
-        n -> ZSet.consolidate(ZSet.plus(z, full(n))).persist()
+        n -> maintain(ZSet.plus(z, full(n)))
       }
-      outState = Some(ZSet.consolidate(outState match {
+      outState = Some(maintain(outState match {
         case Some(o) => ZSet.plus(o, d)
         case None    => d
-      }).persist())
+      }))
       d
     }
 
-    /** Integral of all output deltas so far (consolidated). */
+    /** Integral of all output deltas so far (weights merged lazily by the
+      * consumer — wrap in ZSet.consolidate for canonical rows). */
     def output: DataFrame = outState.getOrElse(
       query.batch(integrated).limit(0))
 
