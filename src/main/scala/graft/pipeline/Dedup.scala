@@ -45,13 +45,32 @@ object Dedup {
 
   // ---- MinHash + banded LSH -------------------------------------------
 
-  /** Word n-gram shingles of the normalized text (distinct per doc). */
+  /** Word n-gram shingles of the normalized text (distinct per doc).
+    * NOTE: when used over a DataFrame, materialize the token array behind
+    * a projection boundary first (see `shingleSets`) — referencing a
+    * nested array expression inside the window lambda re-evaluates it per
+    * shingle in Spark's interpreted higher-order functions. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** (id, shingle-set) per document, with the token array materialized as
+    * a column so shingle windows are O(tokens), not O(tokens²). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      t => length(t) > 0)
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        array_distinct(
+          when(size(col("__toks")) < n, array(concat_ws(" ", col("__toks"))))
+            .otherwise(transform(sequence(lit(0), size(col("__toks")) - n),
+              i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+          .as("sh"))
   }
 
   private val P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
@@ -129,7 +148,7 @@ object Dedup {
   /** Exact Jaccard similarity for candidate pairs only (the verify step). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val sh = shingleSets(docs, idCol, textCol, n)
     pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
