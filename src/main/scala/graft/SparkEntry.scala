@@ -43,7 +43,8 @@ object SparkEntry {
     _root_.graft.queries.ZSetQ.defs ++
     _root_.graft.queries.Pipeline.defs ++
     _root_.graft.queries.SourcesQ.defs ++
-    _root_.graft.queries.IncrementalQ.defs
+    _root_.graft.queries.IncrementalQ.defs ++
+    _root_.graft.queries.TpcH.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
     _root_.graft.queries.ZSetQ.oracles ++
     _root_.graft.queries.Pipeline.oracles ++
     _root_.graft.queries.SourcesQ.oracles ++
-    _root_.graft.queries.IncrementalQ.oracles
+    _root_.graft.queries.IncrementalQ.oracles ++
+    _root_.graft.queries.TpcH.oracles
 }
