@@ -54,6 +54,16 @@ object SqlIncremental {
 
     case Join(left, right, joinType, cond, _) =>
       val keys = equiKeys(cond, left, right)
+      // Name-based re-anchoring cannot disambiguate same-named non-key
+      // columns from both sides (the analyzed plan's qualifiers are
+      // erased) — require the user to alias them in subqueries.
+      val keySet = keys.map(_.toLowerCase).toSet
+      val dupes = (left.output.map(_.name) ++ right.output.map(_.name))
+        .filterNot(n => keySet.contains(n.toLowerCase))
+        .groupBy(_.toLowerCase).filter(_._2.size > 1).keys
+      if (dupes.nonEmpty) throw new UnsupportedPlanException(
+        s"join sides share non-key column name(s) ${dupes.mkString(", ")} — " +
+          "alias them apart in subqueries for incremental mode")
       val l = walk(left, sources)
       val r = walk(right, sources)
       val inner = l.join(r, keys)
@@ -94,7 +104,17 @@ object SqlIncremental {
       walk(child, sources).aggregateRows(keys, aggCols, outOrder)
 
     case Union(children, false, false) =>
-      children.map(walk(_, sources)).reduce(_ union _)
+      // SQL UNION ALL is positional; the weighted union merges by name —
+      // re-alias every branch to the first branch's column names.
+      val names = children.head.output.map(_.name)
+      children.map { child =>
+        val branch = walk(child, sources)
+        val renamed = child.output.map(_.name).zip(names).map {
+          case (from, to) =>
+            org.apache.spark.sql.functions.col(from).as(to)
+        }
+        branch.select(renamed: _*)
+      }.reduce(_ union _)
 
     case Distinct(child) => walk(child, sources).distinct
     case Deduplicate(_, child) => walk(child, sources).distinct
