@@ -119,6 +119,21 @@ object SqlIncremental {
     case Distinct(child) => walk(child, sources).distinct
     case Deduplicate(_, child) => walk(child, sources).distinct
 
+    // Set ops follow the reference's circuits (visitMinus :492-519,
+    // visitIntersect :809-853): EXCEPT = distinct(distinct(a) − distinct(b));
+    // EXCEPT ALL = positive part of (a − b); INTERSECT = whole-row join of
+    // the distincts (bilinear, weight 1·1).
+    case Except(left, right, isAll) =>
+      val l = walk(left, sources)
+      val r = walk(right, sources).select(renameTo(right, left): _*)
+      if (isAll) l.minus(r).positivePart
+      else l.distinct.minus(r.distinct).distinct
+    case Intersect(left, right, false) =>
+      val names = left.output.map(_.name)
+      walk(left, sources).distinct
+        .join(walk(right, sources).distinct
+          .select(renameTo(right, left): _*), names)
+
     // Views over views: inline the referenced view's plan into the circuit
     case v: View => walk(v.child, sources)
 
@@ -144,6 +159,15 @@ object SqlIncremental {
 
     case other => throw new UnsupportedPlanException(
       s"unsupported plan node for incremental mode: ${other.nodeName}")
+  }
+
+  /** Positional re-aliasing of `from`'s columns to `to`'s names (binary
+    * set ops are positional; the weighted union merges by name). */
+  private def renameTo(from: LogicalPlan, to: LogicalPlan): Seq[Column] = {
+    import org.apache.spark.sql.functions.col
+    from.output.map(_.name).zip(to.output.map(_.name)).map {
+      case (f, t) => col(f).as(t)
+    }
   }
 
   /** Rows of `keep` with no join partner in `other`, padded with typed

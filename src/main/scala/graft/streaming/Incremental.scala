@@ -142,18 +142,27 @@ object Incremental {
         ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
       })
 
-    /** Incremental distinct: re-evaluate presence only for touched rows. */
-    def distinct: Inc = Inc(
-      in => ZSet.distinct(batch(in)),
+    /** Nonlinear per-row re-evaluation shared by distinct and positive
+      * part: re-derive only the rows the delta touches, retract their
+      * previous derivation. */
+    private def rowRefold(derive: DataFrame => DataFrame): Inc = Inc(
+      in => derive(batch(in)),
       (i, d) => {
         val oldChild = batch(i)
         val dChild = delta(i, d)
         val names = dChild.columns.filterNot(_ == ZSet.W).toSeq
         val touched = dChild.select(names.map(col): _*).distinct()
-        def presence(child: DataFrame) =
-          ZSet.distinct(child.join(touched, names, "left_semi"))
-        ZSet.minus(presence(ZSet.plus(oldChild, dChild)), presence(oldChild))
+        def out(child: DataFrame) =
+          derive(child.join(touched, names, "left_semi"))
+        ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
       })
+
+    /** Incremental distinct: re-evaluate presence only for touched rows. */
+    def distinct: Inc = rowRefold(ZSet.distinct)
+
+    /** Incremental positive part (EXCEPT ALL's clamp): max(0, w) copies of
+      * each touched row survive. */
+    def positivePart: Inc = rowRefold(ZSet.positive)
   }
 
   /** Input node: its delta is the step's delta for `name`; its batch value

@@ -73,6 +73,11 @@ object ZSet {
   def distinct(z: DataFrame): DataFrame =
     consolidate(z).filter(col(W) > 0).withColumn(W, lit(1L))
 
+  /** Positive part: consolidated rows clamped to weight ≥ 1 — the
+    * multiset semantics of EXCEPT ALL (max(0, w) copies survive). */
+  def positive(z: DataFrame): DataFrame =
+    consolidate(z).filter(col(W) > 0)
+
   /** Linear map: project/compute over data columns, weight carried through.
     * (exprs must not reference `weight`.) */
   def map(z: DataFrame)(exprs: Column*): DataFrame =

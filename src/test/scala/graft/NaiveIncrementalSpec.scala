@@ -72,7 +72,14 @@ class NaiveIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     "groupByTwoKeys"     -> "SELECT COL1, COL3, SUM(COL2) AS S FROM T GROUP BY COL1, COL3",
     "havingTest"         -> "SELECT COL1, SUM(COL2) AS S FROM T GROUP BY COL1 HAVING SUM(COL2) > 5",
     "concatProject"      -> "SELECT T.COL4 || ' ' || T.COL4 AS CC FROM T",
-    "nullableBool3VL"    -> "SELECT (T.COL5 > 10 AND T.COL3) AS B FROM T")
+    "nullableBool3VL"    -> "SELECT (T.COL5 > 10 AND T.COL3) AS B FROM T",
+    // set-op goldens (exceptTest :366, intersectTest :195)
+    "exceptTest"         -> "SELECT * FROM T EXCEPT (SELECT * FROM T WHERE COL3)",
+    "exceptAllTest"      -> ("(SELECT COL1 FROM T) UNION ALL (SELECT COL1 FROM T) " +
+      "EXCEPT ALL (SELECT COL1 FROM T)"),
+    "intersectTest"      -> "SELECT * FROM T INTERSECT (SELECT * FROM T)",
+    "intersectFiltered"  -> ("SELECT COL1, COL4 FROM T INTERSECT " +
+      "(SELECT COL1, COL4 FROM T WHERE COL3)"))
 
   goldens.foreach { case (name, sql) =>
     test(s"incremental ≡ batch: $name") {
