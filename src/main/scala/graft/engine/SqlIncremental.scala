@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.{FullOuter, InnerLike, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, InnerLike, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.GraftSqlBridge
 
@@ -82,6 +82,11 @@ object SqlIncremental {
         case FullOuter =>
           inner union padUnmatched(l, r, keys, left.output, right.output) union
             padUnmatched(r, l, keys, right.output, left.output)
+        // Semi/anti appear when compiling optimized plans (EXISTS/IN are
+        // rewritten there); the reference throws Unimplemented for them
+        // (:571-572) — we support them compositionally.
+        case LeftSemi => l.semiJoin(r, keys)
+        case LeftAnti => l.antiJoin(r, keys)
         case other => throw new UnsupportedPlanException(
           s"unsupported join type for incremental mode: $other")
       }

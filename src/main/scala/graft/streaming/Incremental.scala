@@ -93,6 +93,21 @@ object Incremental {
           ZSet.fromRows(refold(oldChild)))
       })
 
+    /** Incremental SEMI join: rows of this side with ≥1 match in `other`
+      * — the bilinear join against other's distinct key set, which
+      * preserves this side's multiplicities (SEMI/ANTI are how Calcite
+      * lowers EXISTS/IN upstream of the reference, which itself throws
+      * Unimplemented for them — CalciteToDBSPCompiler.java:571-572; we
+      * support them compositionally). */
+    def semiJoin(other: Inc, keys: Seq[String]): Inc = {
+      import org.apache.spark.sql.functions.col
+      join(other.select(keys.map(col): _*).distinct, keys)
+    }
+
+    /** Incremental ANTI join: this side minus its semi join. */
+    def antiJoin(other: Inc, keys: Seq[String]): Inc =
+      minus(semiJoin(other, keys))
+
     /** Incremental grouped aggregate over *expanded* rows: consolidates
       * state, expands weights back to row multiplicity, and applies plain
       * Spark aggregate columns — so ANY aggregate function (MIN/MAX/AVG/
@@ -220,6 +235,25 @@ object Incremental {
       * consumer — wrap in ZSet.consolidate for canonical rows). */
     def output: DataFrame = outState.getOrElse(
       query.batch(integrated).limit(0))
+
+    /** Persist consolidated state to parquet so maintenance can resume in
+      * a later session/process — the durable-state-table shape a cluster
+      * deployment uses (checkpoint per micro-batch via foreachBatch). */
+    def checkpoint(dir: String): Unit = {
+      integrated.foreach { case (n, z) =>
+        ZSet.consolidate(z).write.mode("overwrite").parquet(s"$dir/in_$n")
+      }
+      ZSet.consolidate(output).write.mode("overwrite").parquet(s"$dir/out")
+    }
+
+    /** Resume from a checkpoint written by `checkpoint`. */
+    def restore(dir: String): Unit = {
+      integrated = integrated.map { case (n, _) =>
+        n -> spark.read.parquet(s"$dir/in_$n")
+      }
+      outState = Some(spark.read.parquet(s"$dir/out"))
+      steps = 0
+    }
 
     /** Full recompute over the integrated inputs — the equivalence oracle. */
     def recompute: DataFrame = ZSet.consolidate(query.batch(integrated))

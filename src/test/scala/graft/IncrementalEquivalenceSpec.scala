@@ -186,6 +186,37 @@ class IncrementalEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(r.output) === canon(r.recompute))
   }
 
+  test("semi/anti join: presence flips when the other side's last match retracts") {
+    val semi = source("T").semiJoin(source("U"), Seq("k"))
+    val anti = source("T").antiJoin(source("U"), Seq("k"))
+    val steps = Seq(
+      Map("T" -> zset(tSchema, ("a", 1L, 1L), ("b", 2L, 2L)),
+          "U" -> zset(uSchema, ("a", 9L, 1L))),
+      Map("U" -> zset(uSchema, ("a", 9L, -1L), ("b", 8L, 1L)))) // a loses, b gains
+    assertEquiv(semi, steps, schemasTU)
+    assertEquiv(anti, steps, schemasTU)
+    // value check after both steps: only b matches; a is anti (weight 2 kept)
+    val r = new Runner(spark, anti, schemasTU)
+    steps.foreach(r.step)
+    val rows = ZSet.consolidate(r.output).collect()
+      .map(x => (x.getString(0), x.getAs[Long](ZSet.W))).toSeq
+    assert(rows === Seq(("a", 1L)))
+  }
+
+  test("checkpoint/restore: maintenance resumes from persisted state") {
+    val q = source("T").aggregate(Seq("k"), "cnt" -> ZSet.wcount)
+    val r1 = new Runner(spark, q, schemasT)
+    r1.step(Map("T" -> zset(tSchema, ("a", 1L, 1L), ("b", 2L, 1L))))
+    val dir = "/root/repo/target/tmp/ckpt"
+    r1.checkpoint(dir)
+    val r2 = new Runner(spark, q, schemasT)
+    r2.restore(dir)
+    assert(canon(r2.output) === canon(r1.output))
+    // continue stepping on the restored runner, incl. a retraction
+    r2.step(Map("T" -> zset(tSchema, ("a", 5L, 1L), ("b", 2L, -1L))))
+    assert(canon(r2.output) === canon(r2.recompute))
+  }
+
   test("multi-step convergence: output delta of quiet keys is empty") {
     val q = source("T").aggregate(Seq("k"), "sum_v" -> ZSet.wsum(col("v")))
     val r = new Runner(spark, q, schemasT)
