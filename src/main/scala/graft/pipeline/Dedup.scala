@@ -134,10 +134,15 @@ object Dedup {
     * bands; buckets above maxBucket are dropped (degenerate boilerplate). */
   def candidatePairs(bandsDf: DataFrame, idCol: String,
                      maxBucket: Int = 1000): DataFrame = {
-    val sized = bandsDf.withColumn("__bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_id"), col("band_key"))))
-      .filter(col("__bsz") <= maxBucket)
+    // Bucket-size cap via aggregate + anti-join (no per-bucket sort,
+    // unlike a count window). The oversized-bucket list — degenerate
+    // boilerplate keys only — is tiny at any corpus size, so it
+    // broadcasts; the complement (all small buckets) would not.
+    val bigBuckets = bandsDf.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(col("band_id"), col("band_key"))
+    val sized = bandsDf.join(broadcast(bigBuckets), Seq("band_id", "band_key"), "left_anti")
     val a = sized.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
     val b = sized.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
     a.join(b, Seq("band_id", "band_key"))

@@ -108,6 +108,31 @@ object Multimodal {
     media.repartition(parts, col("media_id"))
   }
 
+  /** Image resize, batchwise per partition: the decode→scale→re-encode
+    * happens where a codec would run (STUB: deterministic byte transform
+    * standing in for the scaler; the plan shape — per-partition batching,
+    * target dims carried as columns, output schema — is the real one). */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("content", BinaryType)))
+    val rows = media.filter(col("modality") === "image")
+      .select("media_id", "content").rdd.mapPartitions { it =>
+        // per-partition scaler init happens here (stubbed)
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val scaled = // STUB: real impl decodes, scales to width×height, re-encodes
+            if (bytes == null) null
+            else java.util.Arrays.copyOf(bytes, math.min(bytes.length, width * height))
+          Row(r.getLong(0), width, height, scaled)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Video frame-sampling plan: one row per sampled frame offset — the
     * explode happens *before* decode so each task decodes only its frames. */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =

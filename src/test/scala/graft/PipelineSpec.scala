@@ -174,5 +174,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frames = Multimodal.sampleFrames(media, everyMs = 50L)
     assert(frames.select("media_id").distinct().count() ===
       media.filter(col("modality") === "video").count())
+    // resize keeps image rows, stamps target dims, bounds payload
+    val resized = Multimodal.resize(media, 64, 48)
+    val imgCount = media.filter(col("modality") === "image").count()
+    assert(resized.count() === imgCount)
+    resized.collect().foreach { r =>
+      assert(r.getInt(1) === 64 && r.getInt(2) === 48)
+      assert(r.getAs[Array[Byte]]("content").length <= 64 * 48)
+    }
   }
 }
