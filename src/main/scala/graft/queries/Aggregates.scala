@@ -80,12 +80,18 @@ object Aggregates {
           count(lit(1)).as("n"))),
 
     // ARRAY_AGG (declared in the reference runtime's aggregate list,
-    // RustSqlRuntimeLibrary.java:61-70): sorted for determinism
+    // RustSqlRuntimeLibrary.java:61-70): sorted for determinism. The gate
+    // projection renders the array as a '|'-joined string — the driver's
+    // pandas compare can't hash array cells; the array-typed form is
+    // exercised in DomainSpec/GoldenSpec.
     "q24_array_agg" -> ((s, d) =>
       T(s, d, "lineitem").filter(col("l_orderkey") <= 20)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_linenumber").cast(LongType)))
-          .as("lines"), count(lit(1)).as("n"))),
+        .agg(
+          concat_ws("|",
+            sort_array(collect_list(col("l_linenumber").cast(LongType)))
+              .cast(ArrayType(StringType))).as("lines"),
+          count(lit(1)).as("n"))),
 
     // EVERY / ANY boolean aggregates (same runtime list)
     "q28_bool_agg" -> ((s, d) =>
@@ -176,7 +182,8 @@ object Aggregates {
                 COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "q24_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines,
+      """SELECT l_orderkey,
+                array_to_string(list_sort(list(CAST(l_linenumber AS BIGINT))), '|') AS lines,
                 COUNT(*) AS n
          FROM lineitem WHERE l_orderkey <= 20 GROUP BY l_orderkey""",
     "q28_bool_agg" ->

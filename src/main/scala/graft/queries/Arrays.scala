@@ -21,11 +21,14 @@ object Arrays {
   private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   val defs: Map[String, QFn] = Map(
-    // ARRAY ctor + ITEM (1-based, OOB→NULL) + CARDINALITY
+    // ARRAY ctor + ITEM (1-based, OOB→NULL) + CARDINALITY. The constructed
+    // array is rendered '|'-joined for the gate (driver pandas can't hash
+    // array cells); array-typed assertions live in DomainSpec.
     "q54_array_ops" -> ((s, d) =>
       T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        array(col("l_partkey"), col("l_suppkey"), col("l_orderkey")).as("arr"),
+        concat_ws("|", array(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+          .cast(ArrayType(StringType))).as("arr"),
         element_at(array(col("l_partkey"), col("l_suppkey")), 2).as("item2"),
         element_at(array(col("l_partkey"), col("l_suppkey")), 5).as("item_oob"),
         size(array(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
@@ -59,7 +62,7 @@ object Arrays {
   val oracles: Map[String, String] = Map(
     "q54_array_ops" ->
       """SELECT l_orderkey, l_linenumber,
-            [l_partkey, l_suppkey, l_orderkey] AS arr,
+            array_to_string([l_partkey, l_suppkey, l_orderkey], '|') AS arr,
             [l_partkey, l_suppkey][2] AS item2,
             [l_partkey, l_suppkey][5] AS item_oob,
             CAST(len([l_partkey, l_suppkey, l_orderkey]) AS BIGINT) AS card

@@ -121,14 +121,19 @@ object Scalar {
           ceil(col("q") * 3.7).as("ceil_x"))),
 
     // Geo: ST_POINT + ST_DISTANCE (geopoint.rs:26-55) — Euclidean distance
-    // between synthetic per-supplier and per-customer points
+    // between synthetic per-supplier and per-customer points. The gate
+    // projection unpacks the point structs into scalar x/y columns (driver
+    // pandas can't hash struct cells); the struct-typed ST_POINT form is
+    // asserted in DomainSpec.
     "q52_geo" -> ((s, d) => {
       val c = T(s, d, "customer").select(col("c_custkey"),
         stPoint(col("c_custkey") % 100, col("c_nationkey") * 2).as("p1"))
       val n = T(s, d, "nation").select(col("n_nationkey"),
         stPoint(lit(50.0), col("n_nationkey")).as("p2"))
       c.join(broadcast(n), col("c_custkey") % 25 === col("n_nationkey"))
-        .select(col("c_custkey"), col("p1"), col("p2"),
+        .select(col("c_custkey"),
+          col("p1.x").as("p1_x"), col("p1.y").as("p1_y"),
+          col("p2.x").as("p2_x"), col("p2.y").as("p2_y"),
           stDistance(col("p1"), col("p2")).as("dist"))
     }),
 
@@ -216,8 +221,10 @@ object Scalar {
     },
     "q52_geo" ->
       """SELECT c_custkey,
-            struct_pack(x := CAST(c_custkey % 100 AS DOUBLE), y := CAST(c_nationkey * 2 AS DOUBLE)) AS p1,
-            struct_pack(x := CAST(50.0 AS DOUBLE), y := CAST(n_nationkey AS DOUBLE)) AS p2,
+            CAST(c_custkey % 100 AS DOUBLE) AS p1_x,
+            CAST(c_nationkey * 2 AS DOUBLE) AS p1_y,
+            CAST(50.0 AS DOUBLE) AS p2_x,
+            CAST(n_nationkey AS DOUBLE) AS p2_y,
             SQRT((CAST(c_custkey % 100 AS DOUBLE) - 50.0) * (CAST(c_custkey % 100 AS DOUBLE) - 50.0)
                + (CAST(c_nationkey * 2 AS DOUBLE) - CAST(n_nationkey AS DOUBLE))
                * (CAST(c_nationkey * 2 AS DOUBLE) - CAST(n_nationkey AS DOUBLE))) AS dist

@@ -56,16 +56,18 @@ object ZSetQ {
   private val selA = "SELECT l_suppkey, l_quantity, CAST(1 AS BIGINT) AS weight FROM lineitem WHERE l_quantity < 5"
   private val selB = "SELECT l_suppkey, l_quantity, CAST(1 AS BIGINT) AS weight FROM lineitem WHERE l_quantity < 4"
 
+  // NB: integer SUMs are CAST to BIGINT — DuckDB's SUM(BIGINT) yields
+  // HUGEINT, which hash-mismatches Spark's int64 in the driver compare.
   val oracles: Map[String, String] = Map(
     "q60_zset_negate" ->
-      s"""SELECT l_suppkey, l_quantity, SUM(-weight) AS weight FROM ($selA) a
+      s"""SELECT l_suppkey, l_quantity, CAST(SUM(-weight) AS BIGINT) AS weight FROM ($selA) a
           GROUP BY l_suppkey, l_quantity HAVING SUM(-weight) <> 0""",
     "q61_zset_sum" ->
-      s"""SELECT l_suppkey, l_quantity, SUM(weight) AS weight
+      s"""SELECT l_suppkey, l_quantity, CAST(SUM(weight) AS BIGINT) AS weight
           FROM ($selA UNION ALL $selB) u
           GROUP BY l_suppkey, l_quantity HAVING SUM(weight) <> 0""",
     "q62_zset_subtract" ->
-      s"""SELECT l_suppkey, l_quantity, SUM(weight) AS weight
+      s"""SELECT l_suppkey, l_quantity, CAST(SUM(weight) AS BIGINT) AS weight
           FROM ($selB UNION ALL SELECT l_suppkey, l_quantity, -weight FROM ($selA) a) u
           GROUP BY l_suppkey, l_quantity HAVING SUM(weight) <> 0""",
     "q63_zset_distinct" ->
@@ -73,7 +75,8 @@ object ZSetQ {
           FROM ($selA UNION ALL $selB) u
           GROUP BY l_suppkey, l_quantity HAVING SUM(weight) > 0""",
     "q64_zset_aggregate" ->
-      s"""SELECT l_suppkey, SUM(weight) AS cnt, SUM(l_quantity * weight) AS sum_qty
+      s"""SELECT l_suppkey, CAST(SUM(weight) AS BIGINT) AS cnt,
+                 CAST(SUM(l_quantity * weight) AS DOUBLE) AS sum_qty
           FROM ($selA UNION ALL SELECT l_suppkey, l_quantity, -weight FROM ($selB) b) u
           GROUP BY l_suppkey HAVING SUM(weight) <> 0"""
   )

@@ -8,33 +8,54 @@ matching oracle SQL from <out>/oracle_sql.json in DuckDB over the sf tables,
 and compares: column names (sorted), row count, and an order-insensitive
 exact hash of values. Floats are compared exactly — the engine is built to
 produce bit-identical reductions (see Exact.scala).
+
+Deliberately pandas-based to match the driver harness semantics:
+- results go through `fetchdf()`, so DuckDB HUGEINT (e.g. SUM(BIGINT))
+  becomes float64 and hash-mismatches a Spark int64 column — oracles must
+  CAST integer sums to BIGINT;
+- rows are ordered via `DataFrame.sort_values(by=<all columns>)`, which
+  raises `unhashable type` on array/struct cells — gate queries must emit
+  scalar-stable projections.
 """
 import sys, os, json, glob, math, hashlib
 import duckdb
+import numpy as np
+
 
 def norm_cell(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)  # full precision
+        return repr(f)  # full precision; ints sum'd to HUGEINT render '123.0'
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return "0x" + v.hex()
     return str(v)
 
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+
+def df_hash(df):
+    cols = sorted(df.columns)
+    # driver-style: sort rows by every column — raises on unhashable cells
+    sdf = df[cols].sort_values(by=cols) if len(df) else df[cols]
     h = hashlib.md5()
-    for ln in lines:
-        h.update(ln.encode())
+    for line in sorted(
+        "|".join(norm_cell(c) for c in row) for row in sdf.itertuples(index=False)
+    ):
+        h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
+
 
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -45,40 +66,51 @@ def main():
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
             continue
+        if only and name not in only:
+            continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         if not files:
             print(f"  {name:28s} NO-OUTPUT")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"  {name:28s} READ-ERROR: {str(e)[:120]}")
+            n_fail += 1
+            continue
         if name not in oracle:
-            print(f"  {name:28s} rows={len(got_rows):6d} (no oracle — rows-only)")
+            print(f"  {name:28s} rows={len(got):6d} (no oracle — rows-only)")
             n_noracle += 1
             continue
         try:
-            exp = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"  {name:28s} ORACLE-ERROR: {str(e)[:120]}")
             n_fail += 1
             continue
-        cols_ok = sorted(got_cols) == sorted(exp_cols)
-        rows_ok = len(got_rows) == len(exp_rows)
-        hash_ok = cols_ok and table_hash(got_cols, got_rows) == table_hash(exp_cols, exp_rows)
+        cols_ok = sorted(got.columns) == sorted(exp.columns)
+        rows_ok = len(got) == len(exp)
+        try:
+            hash_ok = cols_ok and df_hash(got) == df_hash(exp)
+            harness_err = None
+        except Exception as e:
+            hash_ok = False
+            harness_err = str(e)[:120]
         if cols_ok and rows_ok and hash_ok:
-            print(f"  {name:28s} OK rows={len(got_rows)}")
+            print(f"  {name:28s} OK rows={len(got)}")
             n_pass += 1
         else:
-            print(f"  {name:28s} MISMATCH cols_ok={cols_ok} rows {len(got_rows)} vs {len(exp_rows)} hash_ok={hash_ok}")
+            print(f"  {name:28s} MISMATCH cols_ok={cols_ok} rows {len(got)} vs {len(exp)} hash_ok={hash_ok}"
+                  + (f" harness_err={harness_err}" if harness_err else ""))
             if not cols_ok:
-                print(f"    got  cols: {sorted(got_cols)}")
-                print(f"    want cols: {sorted(exp_cols)}")
-            elif not hash_ok and len(got_rows) and len(exp_rows):
-                gs = sorted("|".join(norm_cell(c) for c in r) for r in got_rows)
-                es = sorted("|".join(norm_cell(c) for c in r) for r in exp_rows)
+                print(f"    got  cols: {sorted(got.columns)}")
+                print(f"    want cols: {sorted(exp.columns)}")
+            elif not hash_ok and len(got) and len(exp) and not harness_err:
+                gs = sorted("|".join(norm_cell(c) for c in r)
+                            for r in got[sorted(got.columns)].itertuples(index=False))
+                es = sorted("|".join(norm_cell(c) for c in r)
+                            for r in exp[sorted(exp.columns)].itertuples(index=False))
                 shown = 0
                 for a, b in zip(gs, es):
                     if a != b and shown < 3:
@@ -88,6 +120,7 @@ def main():
             n_fail += 1
     print(f"PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noracle}")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
