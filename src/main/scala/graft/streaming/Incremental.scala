@@ -186,20 +186,37 @@ object Incremental {
     in => in(name),
     (_, d) => d(name))
 
-  /** In a real deployment `touched` is a per-batch key list — small; tell
-    * Catalyst so the semi-join broadcasts instead of shuffling state. */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+  /** Broadcast the touched-key list only when the optimizer can prove it
+    * small. A per-micro-batch delta usually is; a catch-up delta touching
+    * most of the key domain is not, and a forced `broadcast()` of it OOMs
+    * the driver at scale. We consult Catalyst's plan-size estimate (zero
+    * extra jobs; conservative — join-derived estimates inflate, which errs
+    * toward NOT forcing) and otherwise leave the join unhinted so AQE can
+    * still pick a broadcast at runtime from actual shuffle sizes. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold = {
+      val t = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (t > 0) t else 10L << 20
+    }
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= threshold) broadcast(df) else df
+  }
 
   /** Step-driver: integrates input deltas and the output stream, asserting
     * the DBSP contract out = D(Q(I(in))). Used by tests and as the v1
     * runtime for incremental views.
     *
-    * State maintenance is lazy: each step appends the delta as a union
-    * (no shuffle) and weights merge downstream wherever state is consumed;
-    * a full consolidation — the only O(state) operation — runs every
-    * `consolidateEvery` steps purely to bound lineage depth and stored
-    * size, mirroring DBSP's background trace merges. Per-step cost is
-    * therefore O(|delta| + touched groups), not O(state). */
+    * State maintenance is adaptive: each step appends the delta as a union
+    * (no shuffle) and weights merge downstream wherever state is consumed.
+    * A full consolidation — the only shuffling O(state) operation — runs
+    * when the lazily-unioned row count exceeds twice the last consolidated
+    * base (so a stream of small deltas consolidates rarely, while catch-up
+    * deltas comparable to the state consolidate before the next re-fold
+    * reads them), or every `consolidateEvery` steps as a lineage bound —
+    * mirroring DBSP's background trace merges. Each new state is
+    * materialized into the block cache and its superseded predecessor is
+    * unpersisted, so storage memory stays O(current state) instead of
+    * growing linearly with step count. */
   final class Runner(spark: SparkSession, query: Inc,
                      schemas: Map[String, DataFrame],
                      consolidateEvery: Int = 8) {
@@ -209,6 +226,25 @@ object Incremental {
     /** Integrated output. */
     private var outState: Option[DataFrame] = None
     private var steps = 0
+    /** Row count of each state at its last consolidation. */
+    private val baseRows = scala.collection.mutable.Map.empty[String, Long]
+
+    /** Persist + materialize the advanced state; consolidate if the lazy
+      * union has outgrown its consolidated base; release the predecessor. */
+    private def advance(name: String, z: DataFrame, compact: Boolean,
+                        superseded: Option[DataFrame]): DataFrame = {
+      val lazyState = z.persist()
+      val rows = lazyState.count() // narrow scan: cached parent + delta
+      val result =
+        if (compact || rows > 2L * math.max(baseRows.getOrElse(name, 0L), 1L)) {
+          val c = ZSet.consolidate(lazyState).persist()
+          baseRows(name) = c.count()
+          lazyState.unpersist(false)
+          c
+        } else lazyState
+      superseded.foreach(_.unpersist(false))
+      result
+    }
 
     /** Feed one step of input deltas (weighted); returns the output delta. */
     def step(deltas: Inputs): DataFrame = {
@@ -219,15 +255,13 @@ object Incremental {
       d.count() // materialize before state advances
       steps += 1
       val compact = steps % consolidateEvery == 0
-      def maintain(z: DataFrame): DataFrame =
-        (if (compact) ZSet.consolidate(z) else z).persist()
       integrated = integrated.map { case (n, z) =>
-        n -> maintain(ZSet.plus(z, full(n)))
+        n -> advance(n, ZSet.plus(z, full(n)), compact, Some(z))
       }
-      outState = Some(maintain(outState match {
+      outState = Some(advance("__out", outState match {
         case Some(o) => ZSet.plus(o, d)
         case None    => d
-      }))
+      }, compact, outState))
       d
     }
 
