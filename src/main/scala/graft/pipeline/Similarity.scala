@@ -94,14 +94,25 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the
-    * embedding-space analogue of Dedup.nearDuplicates). */
+    * embedding-space analogue of Dedup.nearDuplicates). Buckets above
+    * `maxBucket` are dropped before the self-join — a degenerate corpus
+    * (zero or constant vectors all hashing to one signature) otherwise
+    * goes quadratic. Same cap pattern as Dedup.candidatePairs: the
+    * oversized-bucket list is tiny at any corpus size, so broadcast it
+    * and anti-join. */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
                            nBits: Int = 12,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): DataFrame = {
+                           vecCol: String = "embedding",
+                           maxBucket: Int = 1000): DataFrame = {
     val sig = corpus.withColumn("sig", lshSignature(col(vecCol), nBits))
-    val a = sig.select(col("sig"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = sig.select(col("sig"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val bigBuckets = sig.groupBy(col("sig"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(col("sig"))
+    val sized = sig.join(broadcast(bigBuckets), Seq("sig"), "left_anti")
+    val a = sized.select(col("sig"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = sized.select(col("sig"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)

@@ -125,6 +125,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((0L, 1000L)))
   }
 
+  test("cosine near-dup bucket cap bounds a degenerate all-identical corpus") {
+    // 5000 identical vectors hash to ONE signature bucket: uncapped, the
+    // self-join would build ~12.5M pairs; the cap drops the bucket so the
+    // result is empty and the job completes in bounded time.
+    val v = (0 until 16).map(_.toFloat + 1f).toArray
+    val degenerate = (0 until 5000).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDuplicates(degenerate, 0.9, maxBucket = 100)
+    assert(pairs.count() === 0L)
+    // the cap must not eat legitimate small buckets: planted dup still found
+    val corpus = syntheticVectors(40, 16)
+    val dup = corpus.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val found = Similarity.cosineNearDuplicates(corpus.unionAll(dup), 0.999, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 1000L)))
+  }
+
   test("text analysis: token counts, language id, quality") {
     val df = Seq(
       (1L, "the cat and the dog sat in the garden to watch the birds"),
