@@ -2,7 +2,8 @@ package graft.engine
 
 import graft.streaming.Incremental
 import graft.streaming.Incremental.Inc
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
@@ -53,20 +54,83 @@ object SqlIncremental {
       walk(child, sources).where(toColumn(cond))
 
     case Join(left, right, joinType, cond, _) =>
-      val keys = equiKeys(cond, left, right)
-      // Name-based re-anchoring cannot disambiguate same-named non-key
-      // columns from both sides (the analyzed plan's qualifiers are
-      // erased) — require the user to alias them in subqueries.
-      val keySet = keys.map(_.toLowerCase).toSet
-      val dupes = (left.output.map(_.name) ++ right.output.map(_.name))
-        .filterNot(n => keySet.contains(n.toLowerCase))
-        .groupBy(_.toLowerCase).filter(_._2.size > 1).keys
+      // Decompose the condition into equi pairs + residual, mirroring the
+      // reference's JoinConditionAnalyzer.java:48-79: any conjunct
+      // `l.a = r.b` becomes a (possibly renamed) equi key; everything else
+      // becomes a filter over the joined result.
+      val (pairs, residual) = analyzeCondition(cond, left, right)
+      if (residual.isDefined && !joinType.isInstanceOf[InnerLike])
+        throw new UnsupportedPlanException(
+          s"residual join predicate is only supported for inner joins, " +
+            s"got $joinType with ${residual.get}")
+      // Same-named pairs merge USING-style; differently-named pairs rename
+      // the right key to the left name for the bilinear join and the right
+      // column is reconstructed in the output projection.
+      val sameNamed = pairs.filter { case (a, b) => a.name.equalsIgnoreCase(b.name) }
+      val renamed = pairs.filterNot { case (a, b) => a.name.equalsIgnoreCase(b.name) }
+      val keys = pairs.map(_._1.name)
+      val mergedKeySet = sameNamed.map(_._1.name.toLowerCase).toSet
+      val renameMap = renamed.map { case (a, b) => b.name -> a.name }.toMap
+      // Name-based re-anchoring cannot disambiguate same-named columns
+      // beyond the merged keys (the analyzed plan's qualifiers are erased)
+      // — require the user to alias them apart in subqueries. The rename
+      // targets (left key names) must also be free on the right side.
+      val outNames =
+        left.output.map(_.name) ++
+          right.output.map(_.name).filterNot(n => mergedKeySet.contains(n.toLowerCase))
+      val dupes = outNames.groupBy(_.toLowerCase).filter(_._2.size > 1).keys
       if (dupes.nonEmpty) throw new UnsupportedPlanException(
         s"join sides share non-key column name(s) ${dupes.mkString(", ")} — " +
           "alias them apart in subqueries for incremental mode")
       val l = walk(left, sources)
-      val r = walk(right, sources)
-      val inner = l.join(r, keys)
+      val r0 = walk(right, sources)
+      val r = if (renameMap.isEmpty) r0 else r0.select(
+        right.output.map { att =>
+          renameMap.get(att.name) match {
+            case Some(nn) => col(att.name).as(nn)
+            case None     => col(att.name)
+          }
+        }: _*)
+      // Output projection: left columns as-is; right columns minus merged
+      // keys, with renamed keys reconstructed (y := joined x, equal by the
+      // equi condition; NULL-padded branches override per side below).
+      val restoreCols: Seq[Column] =
+        left.output.map(a => col(a.name)) ++
+          right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
+            .map { a =>
+              renameMap.get(a.name) match {
+                case Some(nn) => col(nn).as(a.name)
+                case None     => col(a.name)
+              }
+            }
+      def restore(j: Inc): Inc = if (renamed.isEmpty) j else j.select(restoreCols: _*)
+      val inner0 = restore(l.join(r, keys))
+      val inner = residual.map(res => inner0.where(toColumn(res))).getOrElse(inner0)
+      // NULL pads for the outer-join unmatched branches: the kept side's
+      // columns survive (renamed keys reading their joined name), the
+      // other side's columns — including its half of renamed pairs — are
+      // typed NULLs. Merged same-named keys keep USING semantics (single
+      // column, kept side's value).
+      def padLeft: Inc = {
+        val cols = left.output.map(a => col(a.name)) ++
+          right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
+            .map(a => lit(null).cast(a.dataType).as(a.name))
+        padUnmatched(l, r, keys, cols)
+      }
+      def padRight: Inc = {
+        val cols = left.output.map { a =>
+          if (mergedKeySet.contains(a.name.toLowerCase)) col(a.name)
+          else lit(null).cast(a.dataType).as(a.name)
+        } ++
+          right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
+            .map { a =>
+              renameMap.get(a.name) match {
+                case Some(nn) => col(nn).as(a.name)
+                case None     => col(a.name)
+              }
+            }
+        padUnmatched(r, l, keys, cols)
+      }
       joinType match {
         case _: InnerLike => inner
         // Outer joins follow the reference's construction (inner result ∪
@@ -74,14 +138,9 @@ object SqlIncremental {
         // composed from circuit primitives so incrementality is inherited:
         // a retraction that removes a row's last match automatically flows
         // a retraction of the inner row and an insertion of the padded row.
-        // Key columns use USING semantics (merged; coalesce of both sides).
-        case LeftOuter =>
-          inner union padUnmatched(l, r, keys, left.output, right.output)
-        case RightOuter =>
-          inner union padUnmatched(r, l, keys, right.output, left.output)
-        case FullOuter =>
-          inner union padUnmatched(l, r, keys, left.output, right.output) union
-            padUnmatched(r, l, keys, right.output, left.output)
+        case LeftOuter  => inner union padLeft
+        case RightOuter => inner union padRight
+        case FullOuter  => inner union padLeft union padRight
         // Semi/anti appear when compiling optimized plans (EXISTS/IN are
         // rewritten there); the reference throws Unimplemented for them
         // (:571-572) — we support them compositionally.
@@ -97,16 +156,18 @@ object SqlIncremental {
         case other => throw new UnsupportedPlanException(
           s"incremental GROUP BY supports plain columns, got: $other")
       }
-      if (keys.isEmpty) throw new UnsupportedPlanException(
-        "global aggregates need a grouping key in incremental mode " +
-          "(add a constant key, e.g. GROUP BY 'all')")
       val keySet = keys.map(_.toLowerCase).toSet
       val aggCols = aggExprs.filter {
         case a: AttributeReference => !keySet.contains(a.name.toLowerCase)
         case _ => true
       }.map(toColumn)
       val outOrder = aggExprs.map(_.name)
-      walk(child, sources).aggregateRows(keys, aggCols, outOrder)
+      // Global aggregates (SELECT COUNT(*) FROM T) use the empty-input
+      // correction circuit — the single group re-folds every step and
+      // empty state yields the SQL zero row (reference
+      // CalciteToDBSPCompiler.java:349-381).
+      if (keys.isEmpty) walk(child, sources).aggregateRowsGlobal(aggCols, outOrder)
+      else walk(child, sources).aggregateRows(keys, aggCols, outOrder)
 
     case Union(children, false, false) =>
       // SQL UNION ALL is positional; the weighted union merges by name —
@@ -162,8 +223,37 @@ object SqlIncremental {
         rows.select(childCols ++ winCols: _*)
       }
 
+    // ORDER BY ... LIMIT k views: re-evaluate the top-k over consolidated
+    // state each step and retract the previous result (the reference
+    // re-aggregates sorts into a sorted Vec, visitSort :980-1048). At
+    // scale the eval is TakeOrderedAndProject: per-partition top-k + a
+    // k-row reduce, no full sort.
+    case Limit(IntegerLiteral(k), Sort(order, true, child, _)) =>
+      val sortCols = order.map(toSortColumn)
+      walk(child, sources).reevaluate(_.sort(sortCols: _*).limit(k))
+
+    case Limit(_, child) => throw new UnsupportedPlanException(
+      "LIMIT without ORDER BY selects nondeterministic rows — not " +
+        "maintainable incrementally; add an ORDER BY")
+
+    // A bare ORDER BY does not change the maintained multiset — Z-sets are
+    // unordered; ordering is presentation applied at the sink (the
+    // reference likewise materializes the sorted Vec only at the sink).
+    case Sort(_, _, child, _) => walk(child, sources)
+
     case other => throw new UnsupportedPlanException(
       s"unsupported plan node for incremental mode: ${other.nodeName}")
+  }
+
+  /** SortOrder → DataFrame sort Column (direction + null ordering). */
+  private def toSortColumn(so: SortOrder): Column = {
+    val c = toColumn(so.child)
+    (so.direction, so.nullOrdering) match {
+      case (Ascending, NullsFirst)  => c.asc_nulls_first
+      case (Ascending, NullsLast)   => c.asc_nulls_last
+      case (Descending, NullsFirst) => c.desc_nulls_first
+      case (Descending, NullsLast)  => c.desc_nulls_last
+    }
   }
 
   /** Positional re-aliasing of `from`'s columns to `to`'s names (binary
@@ -175,25 +265,16 @@ object SqlIncremental {
     }
   }
 
-  /** Rows of `keep` with no join partner in `other`, padded with typed
-    * NULLs for `other`'s non-key columns. matched = keep ⋈ distinct(π_k
-    * other) — the bilinear join against a weight-1 key set preserves each
-    * kept row's multiplicity, so keep − matched is exactly the unmatched
-    * multiset. */
+  /** Rows of `keep` with no join partner in `other`, projected to
+    * `outCols` (the caller supplies kept values / typed NULL pads).
+    * matched = keep ⋈ distinct(π_k other) — the bilinear join against a
+    * weight-1 key set preserves each kept row's multiplicity, so
+    * keep − matched is exactly the unmatched multiset. */
   private def padUnmatched(keep: Inc, other: Inc, keys: Seq[String],
-                           keepOut: Seq[Attribute],
-                           otherOut: Seq[Attribute]): Inc = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val keyCols = keys.map(col)
-    val otherKeys = other.select(keyCols: _*).distinct
+                           outCols: Seq[Column]): Inc = {
+    val otherKeys = other.select(keys.map(col): _*).distinct
     val matched = keep.join(otherKeys, keys)
-    val unmatched = keep.minus(matched)
-    val keySet = keys.map(_.toLowerCase).toSet
-    val padded =
-      keepOut.map(a => col(a.name)) ++
-        otherOut.filterNot(a => keySet.contains(a.name.toLowerCase))
-          .map(a => lit(null).cast(a.dataType).as(a.name))
-    unmatched.select(padded: _*)
+    keep.minus(matched).select(outCols: _*)
   }
 
   /** Re-anchor attribute references by name so the expression resolves
@@ -210,11 +291,16 @@ object SqlIncremental {
     })
   }
 
-  /** Extract same-named equi-join keys from an inner-join condition:
-    * conjunctions of `l.k = r.k`. Differently-named keys or residual
-    * predicates are unsupported in v1 (alias columns to matching names). */
-  private def equiKeys(cond: Option[Expression],
-                       left: LogicalPlan, right: LogicalPlan): Seq[String] = {
+  /** Decompose a join condition into (left, right) equi-column pairs plus
+    * an optional residual predicate, mirroring the reference's
+    * JoinConditionAnalyzer.java:48-79: each conjunct `attr = attr` with one
+    * side from each input becomes an equi pair (normalized left-first);
+    * every other conjunct joins the residual, applied as a filter after
+    * the bilinear join. At least one equi pair is required — a pure theta
+    * join would make the delta product unbounded. */
+  private def analyzeCondition(cond: Option[Expression],
+                               left: LogicalPlan, right: LogicalPlan)
+      : (Seq[(AttributeReference, AttributeReference)], Option[Expression]) = {
     val c = cond.getOrElse(throw new UnsupportedPlanException(
       "cross join without condition is not supported incrementally"))
     val leftAttrs = left.outputSet
@@ -223,14 +309,20 @@ object SqlIncremental {
       case And(a, b) => split(a) ++ split(b)
       case other => Seq(other)
     }
-    split(c).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name.equalsIgnoreCase(b.name) &&
-            ((leftAttrs.contains(a) && rightAttrs.contains(b)) ||
-             (leftAttrs.contains(b) && rightAttrs.contains(a))) =>
-        a.name
-      case other => throw new UnsupportedPlanException(
-        s"incremental join supports same-named equi conditions, got: $other")
+    val (equi, residual) = split(c).foldLeft(
+      (Seq.empty[(AttributeReference, AttributeReference)], Seq.empty[Expression])) {
+      case ((pairs, res), conjunct) => conjunct match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if leftAttrs.contains(a) && rightAttrs.contains(b) =>
+          (pairs :+ (a -> b), res)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if leftAttrs.contains(b) && rightAttrs.contains(a) =>
+          (pairs :+ (b -> a), res)
+        case other => (pairs, res :+ other)
+      }
     }
+    if (equi.isEmpty) throw new UnsupportedPlanException(
+      s"incremental join needs at least one equi conjunct, got: $c")
+    (equi, residual.reduceOption(And))
   }
 }

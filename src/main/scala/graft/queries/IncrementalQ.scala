@@ -52,6 +52,43 @@ object IncrementalQ {
       r.step(Map("O" -> ZSet.negate(ZSet.fromRows(
         o.filter(col("o_orderstatus") === "F")))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // Global (keyless) aggregate circuit: the empty-input correction makes
+    // Q(∅) the SQL zero row, and each step re-folds the single group
+    // (CalciteToDBSPCompiler.java:349-381).
+    "q94_incremental_global" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val circuit = source("L")
+        .where(col("l_quantity") >= 5)
+        .aggregateRowsGlobal(
+          Seq(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"),
+            max(col("l_quantity")).as("max_qty")),
+          Seq("cnt", "sum_qty", "max_qty"))
+      val r = new Runner(s, circuit, Map("L" -> li.limit(0)))
+      r.step(Map("L" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("L" -> ZSet.fromRows(
+        li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40))))
+      r.step(Map("L" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") < 10)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
+    // retraction of the previous result (reference visitSort :980-1048).
+    "q95_incremental_topk" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val circuit = source("L").reevaluate(
+        _.sort(col("l_quantity").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc).limit(10))
+      val r = new Runner(s, circuit, Map("L" -> li.limit(0)))
+      r.step(Map("L" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("L" -> ZSet.fromRows(li.filter(col("l_quantity") >= 30))))
+      r.step(Map("L" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") >= 50)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
@@ -64,6 +101,16 @@ object IncrementalQ {
     "q91_incremental_join" ->
       """SELECT l_orderkey, l_suppkey, l_quantity, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE l_quantity > 45 AND o_orderstatus <> 'F'"""
+         WHERE l_quantity > 45 AND o_orderstatus <> 'F'""",
+    "q94_incremental_global" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                MAX(l_quantity) AS max_qty
+         FROM lineitem
+         WHERE l_quantity >= 10 AND l_quantity < 40 AND l_quantity >= 5""",
+    "q95_incremental_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_quantity < 50
+         ORDER BY l_quantity DESC, l_orderkey, l_linenumber LIMIT 10"""
   )
 }

@@ -136,6 +136,48 @@ object Incremental {
         })
     }
 
+    /** Incremental GLOBAL aggregate (no grouping keys). The single group is
+      * touched by every delta, so each step re-folds the whole consolidated
+      * state — the cost a global standing aggregate fundamentally has under
+      * arbitrary retractions (MIN/MAX can shrink). Empty input emits the
+      * SQL zero row (COUNT=0, SUM=NULL): Spark's global `groupBy().agg`
+      * does this natively, which is the reference's empty-input correction
+      * circuit — constant zero row + retraction when the first row arrives
+      * (CalciteToDBSPCompiler.java:349-381) — expressed as a re-fold. The
+      * Runner seeds the output integral with Q(∅) so the integral of
+      * deltas telescopes to Q(state). */
+    def aggregateRowsGlobal(aggCols: Seq[Column], outOrder: Seq[String]): Inc = {
+      def fold(child: DataFrame): DataFrame =
+        ZSet.toRows(ZSet.consolidate(child))
+          .groupBy()
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(outOrder.map(col): _*)
+      Inc(
+        in => ZSet.fromRows(fold(batch(in))),
+        (i, d) => {
+          val oldChild = batch(i)
+          ZSet.minus(
+            ZSet.fromRows(fold(ZSet.plus(oldChild, delta(i, d)))),
+            ZSet.fromRows(fold(oldChild)))
+        })
+    }
+
+    /** Whole-state re-evaluation: compute `eval` over the consolidated new
+      * state and retract the previous evaluation. The per-step cost is one
+      * `eval` over state ×2 — only correct to use for operators whose
+      * output is a small function of the whole input, e.g. ORDER BY/LIMIT
+      * top-k (the reference re-aggregates sorts into a sorted Vec the same
+      * way, visitSort :980-1048). At scale the eval is TakeOrdered-shaped:
+      * a scan + per-partition top-k + k-row reduce, no full sort. */
+    def reevaluate(eval: DataFrame => DataFrame): Inc = Inc(
+      in => ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(batch(in))))),
+      (i, d) => {
+        val oldChild = batch(i)
+        def out(child: DataFrame) =
+          ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(child))))
+        ZSet.minus(out(ZSet.plus(oldChild, delta(i, d))), out(oldChild))
+      })
+
     /** Incremental partitioned window aggregate
       * (DBSPWindowAggregateOperator.java:34-39 participates in incremental
       * circuits via OptimizeIncrementalVisitor:53-93): a delta only
@@ -223,8 +265,12 @@ object Incremental {
     /** Integrated inputs (lazily-unioned Z-sets). */
     private var integrated: Inputs =
       schemas.map { case (n, df) => n -> ZSet.fromRows(df.limit(0)) }
-    /** Integrated output. */
-    private var outState: Option[DataFrame] = None
+    /** Integrated output, seeded with Q(∅): for most queries that is the
+      * empty Z-set, but a global aggregate's Q(∅) is the zero row
+      * (COUNT=0, SUM=NULL) — the reference's empty-input correction
+      * (CalciteToDBSPCompiler.java:349-381). Seeding makes the integral of
+      * per-step deltas telescope to Q(state) exactly. */
+    private var outState: Option[DataFrame] = Some(query.batch(integrated))
     private var steps = 0
     /** Row count of each state at its last consolidation. */
     private val baseRows = scala.collection.mutable.Map.empty[String, Long]
@@ -265,10 +311,10 @@ object Incremental {
       d
     }
 
-    /** Integral of all output deltas so far (weights merged lazily by the
-      * consumer — wrap in ZSet.consolidate for canonical rows). */
-    def output: DataFrame = outState.getOrElse(
-      query.batch(integrated).limit(0))
+    /** Integral of all output deltas so far, including the Q(∅) seed
+      * (weights merged lazily by the consumer — wrap in ZSet.consolidate
+      * for canonical rows). */
+    def output: DataFrame = outState.get
 
     /** Persist consolidated state to parquet so maintenance can resume in
       * a later session/process — the durable-state-table shape a cluster

@@ -210,8 +210,97 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.getMessage.contains("PARTITION BY"))
     val e2 = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
-        "SELECT region FROM SALES ORDER BY amount", Set("SALES"))
+        "SELECT region FROM SALES LIMIT 5", Set("SALES"))
     }
-    assert(e2.getMessage.contains("Sort"))
+    assert(e2.getMessage.contains("LIMIT without ORDER BY"))
+  }
+
+  test("global aggregate view: zero row on empty state, maintained through retraction to empty") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S6 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW TOTALS AS SELECT COUNT(*) AS n, SUM(v) AS total, MAX(v) AS mx FROM S6""".stripMargin)
+    val s6 = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r = e.incrementalRunner("TOTALS")
+    // before any step the view already holds the SQL zero row
+    val seed = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+    assert(seed.length === 1 && seed(0).getLong(0) === 0L && seed(0).isNullAt(1))
+    r.step(Map("S6" -> z(s6, Seq("a", 5L, 1L), Seq("b", 7L, 2L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val after1 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+    assert(after1.length === 1 && after1(0).getLong(0) === 3L &&
+      after1(0).getLong(1) === 19L && after1(0).getLong(2) === 7L)
+    // retract everything: the view must flip back to the zero row
+    r.step(Map("S6" -> z(s6, Seq("a", 5L, -1L), Seq("b", 7L, -2L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val empty = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+    assert(empty.length === 1 && empty(0).getLong(0) === 0L &&
+      empty(0).isNullAt(1) && empty(0).isNullAt(2))
+  }
+
+  test("join view with differently-named equi keys (ON a.x = b.y) keeps both columns") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE A7 (x VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE B7 (y VARCHAR NOT NULL, w BIGINT NOT NULL);
+        |CREATE VIEW J7 AS SELECT x, y, v, w FROM A7 JOIN B7 ON A7.x = B7.y""".stripMargin)
+    val a7 = StructType(Seq(StructField("x", StringType), StructField("v", LongType)))
+    val b7 = StructType(Seq(StructField("y", StringType), StructField("w", LongType)))
+    val r = e.incrementalRunner("J7")
+    r.step(Map(
+      "A7" -> z(a7, Seq("p", 1L, 1L), Seq("q", 2L, 1L)),
+      "B7" -> z(b7, Seq("p", 10L, 1L), Seq("r", 30L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val rows = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    assert(rows === Set(("p", "p", 1L, 10L)))
+    r.step(Map("B7" -> z(b7, Seq("p", 10L, -1L), Seq("q", 20L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val rows2 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    assert(rows2 === Set(("q", "q", 2L, 20L)))
+  }
+
+  test("join view with residual predicate (ON a.x = b.y AND a.v > b.w)") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE A8 (x VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE B8 (y VARCHAR NOT NULL, w BIGINT NOT NULL);
+        |CREATE VIEW J8 AS SELECT v, w FROM A8 JOIN B8 ON A8.x = B8.y AND A8.v > B8.w""".stripMargin)
+    val a8 = StructType(Seq(StructField("x", StringType), StructField("v", LongType)))
+    val b8 = StructType(Seq(StructField("y", StringType), StructField("w", LongType)))
+    val r = e.incrementalRunner("J8")
+    r.step(Map(
+      "A8" -> z(a8, Seq("p", 5L, 1L), Seq("p", 1L, 1L), Seq("q", 9L, 1L)),
+      "B8" -> z(b8, Seq("p", 3L, 1L), Seq("q", 20L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val rows = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(rows === Set((5L, 3L))) // p/1 fails v>w, q/9 fails 9>20
+    // a retraction of the matching right row kills the surviving pair
+    r.step(Map("B8" -> z(b8, Seq("p", 3L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
+  }
+
+  test("ORDER BY ... LIMIT view maintains the top-k under retractions") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S9 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW TOP2 AS SELECT k, v FROM S9 ORDER BY v DESC, k LIMIT 2""".stripMargin)
+    val s9 = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r = e.incrementalRunner("TOP2")
+    r.step(Map("S9" -> z(s9,
+      Seq("a", 10L, 1L), Seq("b", 20L, 1L), Seq("c", 30L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val top1 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(top1 === Set(("c", 30L), ("b", 20L)))
+    // retracting the current max must promote a back into the top-2
+    r.step(Map("S9" -> z(s9, Seq("c", 30L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val top2 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(top2 === Set(("b", 20L), ("a", 10L)))
   }
 }
