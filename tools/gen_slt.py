@@ -1,0 +1,268 @@
+#!/usr/bin/env python3
+"""Generate SqlLogicTest `.test` corpora for the SltRunner spec.
+
+The container has no copy of the SQLite sqllogictest suite (the reference
+downloads it at test time; this environment has no egress), so we generate
+corpora in the same shape as select1/select2/select3 — a systematic
+grammar of select-list x WHERE x ORDER BY over small integer tables, plus
+aggregate/GROUP BY and join/set-op/subquery files — with expected results
+computed independently by DuckDB at generation time and frozen into the
+files. Formatting mirrors graft.testing.SltHash (itself mirroring
+SqlLogicTest's md5 scheme): ints verbatim, reals %.3f, text with
+non-printables as '@' and '' as '(empty)', NULL as 'NULL'; results above
+the hash threshold collapse to 'N values hashing to <md5>'.
+
+Only SQL constructs with identical semantics in DuckDB and Spark
+(non-ANSI) are emitted — `/` is float division in both, `%` on positive
+ints matches, EXCEPT/INTERSECT/UNION are distinct-semantics in both.
+
+Usage: python3 tools/gen_slt.py  (writes src/test/resources/slt/*.test)
+"""
+import duckdb, hashlib, os, random
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "slt")
+THRESHOLD = 8
+
+rng = random.Random(20260812)
+
+
+def fmt_value(v, f):
+    if v is None:
+        return "NULL"
+    if f == "I":
+        if isinstance(v, float):
+            return str(int(v))  # truncate toward zero (positive data)
+        return str(int(v))
+    if f == "R":
+        return "%.3f" % float(v)
+    if f == "T":
+        s = str(v)
+        if s == "":
+            return "(empty)"
+        return "".join(ch if " " <= ch <= "~" else "@" for ch in s)
+    raise ValueError(f)
+
+
+def render(rows, fmt, order):
+    formatted = [[fmt_value(v, f) for v, f in zip(row, fmt)] for row in rows]
+    if order == "rowsort":
+        formatted.sort()
+        lines = [v for row in formatted for v in row]
+    elif order == "valuesort":
+        lines = sorted(v for row in formatted for v in row)
+    else:
+        lines = [v for row in formatted for v in row]
+    return lines
+
+
+def expected_block(lines):
+    if len(lines) > THRESHOLD:
+        digest = hashlib.md5(("".join(l + "\n" for l in lines)).encode()).hexdigest()
+        return [f"{len(lines)} values hashing to {digest}"]
+    return list(lines)
+
+
+class File:
+    def __init__(self, name):
+        self.name = name
+        self.con = duckdb.connect()
+        self.out = [f"hash-threshold {THRESHOLD}", ""]
+        self.n_queries = 0
+
+    def statement(self, sql):
+        self.con.execute(sql)
+        self.out += ["statement ok", sql, ""]
+
+    def query(self, sql, fmt, order):
+        rows = self.con.execute(sql).fetchall()
+        lines = render(rows, fmt, order)
+        header = f"query {fmt} {order}" if order != "nosort" else f"query {fmt} nosort"
+        self.out += [header, sql, "----"] + expected_block(lines) + [""]
+        self.n_queries += 1
+
+    def write(self):
+        os.makedirs(OUT, exist_ok=True)
+        path = os.path.join(OUT, self.name)
+        with open(path, "w") as f:
+            f.write("\n".join(self.out).rstrip("\n") + "\n")
+        print(f"{path}: {self.n_queries} queries")
+        return self.n_queries
+
+
+def maybe_null(v, k):
+    return "NULL" if k == 0 else str(v)
+
+
+def t1_statements(f):
+    f.statement("CREATE TABLE t1(a INTEGER, b INTEGER, c INTEGER, d INTEGER, e INTEGER)")
+    orders = ["(a,b,c,d,e)", "(e,c,b,d,a)", "(b,d,a,e,c)", "(d,a,e,b,c)"]
+    for i in range(32):
+        a = 100 + 7 * i
+        vals = {"a": str(a)}
+        for name in "bcde":
+            v = 100 + rng.randrange(150)
+            vals[name] = maybe_null(v, rng.randrange(13))
+        cols = orders[i % len(orders)]
+        names = cols.strip("()").split(",")
+        f.statement(f"INSERT INTO t1{cols} VALUES({','.join(vals[n] for n in names)})")
+
+
+def t3_statements(f):
+    f.statement("CREATE TABLE t3(k INTEGER, v INTEGER)")
+    for i in range(20):
+        k = 100 + 7 * rng.randrange(40)  # overlaps about half of t1.a
+        v = 200 + rng.randrange(99)
+        f.statement(f"INSERT INTO t3 VALUES({k},{v})")
+
+
+def t2_statements(f):
+    f.statement("CREATE TABLE t2(i INTEGER, s TEXT)")
+    words = ["alpha", "bravo charlie", "Delta", "echo-foxtrot", "", "golf",
+             "HOTEL india", "juliet", "kilo.lima", "mike", "november",
+             "oscar papa", "QUEBEC", "romeo", "sierra tango", "uniform"]
+    for i, w in enumerate(words + words[:8]):
+        f.statement(f"INSERT INTO t2 VALUES({i},'{w}')")
+
+
+def gen_select1():
+    f = File("select1.test")
+    t1_statements(f)
+    exprs = [
+        "a", "a+b*2", "a+b*2+c*3", "a+b*2+c*3+d*4", "a+b*2+c*3+d*4+e*5",
+        "abs(b-c)", "(a+b+c+d+e)/5", "a-b", "d-e", "coalesce(b,a)",
+        "coalesce(e,d,c,b,a)",
+        "case when a<b then a+1 else b-1 end",
+        "case a%3 when 0 then a*2 when 1 then a+3 else a-4 end",
+    ]
+    wheres = [
+        "", "a>b", "b>c and c>d", "c BETWEEN b-2 AND d+2",
+        "e+d BETWEEN a+b-10 AND c+130", "a IS NOT NULL and b<c",
+        "b IS NULL or c IS NULL", "a>b-2 and a<b+2",
+        "d NOT BETWEEN 110 and 150", "b IN (SELECT c FROM t1)",
+        "e IS NULL", "abs(a-d)<40", "c>d or e>d",
+    ]
+    sorts = [("", "rowsort"), (" ORDER BY a", "nosort"), (" ORDER BY a DESC", "nosort")]
+    for e in exprs:
+        for w in wheres:
+            for osql, omode in sorts:
+                wsql = f" WHERE {w}" if w else ""
+                f.query(f"SELECT {e} FROM t1{wsql}{osql}", "I", omode)
+    # multi-column select lists
+    for i in range(len(exprs)):
+        e2 = f"{exprs[i]}, {exprs[(i + 3) % len(exprs)]}, {exprs[(i + 7) % len(exprs)]}"
+        for w in wheres[:7]:
+            wsql = f" WHERE {w}" if w else ""
+            f.query(f"SELECT {e2} FROM t1{wsql} ORDER BY a", "III", "nosort")
+    # interleaved statements: late inserts must be visible to later queries
+    f.statement("INSERT INTO t1(a,b,c,d,e) VALUES(400,150,NULL,120,130)")
+    f.statement("INSERT INTO t1(a,b,c,d,e) VALUES(407,NULL,160,121,131)")
+    for e in exprs[:6]:
+        for w in wheres[:5]:
+            wsql = f" WHERE {w}" if w else ""
+            f.query(f"SELECT {e} FROM t1{wsql} ORDER BY a", "I", "nosort")
+    return f
+
+
+def gen_select2():
+    f = File("select2.test")
+    t1_statements(f)
+    aggs = ["count(*)", "count(b)", "sum(a)", "sum(b)", "min(c)", "max(d)",
+            "sum(a+b)", "min(b-c)", "max(a+e)", "count(distinct b)"]
+    wheres = ["", "a>b", "b>c and c>d", "c BETWEEN b-2 AND d+2",
+              "e+d BETWEEN a+b-10 AND c+130", "a IS NOT NULL and b<c",
+              "b IS NULL or c IS NULL", "a>b-2 and a<b+2",
+              "d NOT BETWEEN 110 and 150", "b IN (SELECT c FROM t1)"]
+    for agg in aggs:
+        for w in wheres:
+            wsql = f" WHERE {w}" if w else ""
+            f.query(f"SELECT {agg} FROM t1{wsql}", "I", "nosort")
+    pairs = [(aggs[i], aggs[(i + 4) % len(aggs)]) for i in range(len(aggs))]
+    for g1, g2 in pairs:
+        for w in wheres[:6]:
+            wsql = f" WHERE {w}" if w else ""
+            f.query(f"SELECT {g1}, {g2} FROM t1{wsql}", "II", "nosort")
+    groups = ["b%5", "c%4", "d%3", "e%2"]
+    havings = ["", " HAVING count(*)>1", " HAVING sum(a)>500"]
+    for g in groups:
+        for agg in aggs:
+            for h in havings:
+                f.query(
+                    f"SELECT {g} AS grp, {agg} FROM t1 GROUP BY {g}{h}",
+                    "II", "rowsort")
+    # aggregates over an expression subquery
+    for agg in aggs[:5]:
+        f.query(
+            f"SELECT {agg} FROM (SELECT * FROM t1 WHERE a IS NOT NULL AND b IS NOT NULL) sub",
+            "I", "nosort")
+    return f
+
+
+def gen_select3():
+    f = File("select3.test")
+    t1_statements(f)
+    t3_statements(f)
+    t2_statements(f)
+    # equi joins
+    jexprs = [("a, v", "II"), ("a, k, v", "III"), ("b+v, a", "II"),
+              ("a, v, b", "III"),
+              ("case when b<v then b else v end, a", "II"),
+              ("a+k, v*2", "II"), ("coalesce(b,v), a", "II"),
+              ("abs(b-v), a, k", "III")]
+    jwheres = ["", "b>c", "v>250", "b IS NULL", "a>150 and v<280"]
+    for je, nfmt in jexprs:
+        for jw in jwheres:
+            wsql = f" WHERE {jw}" if jw else ""
+            f.query(f"SELECT {je} FROM t1 JOIN t3 ON a=k{wsql}", nfmt, "rowsort")
+            f.query(f"SELECT {je} FROM t1 JOIN t3 ON a=k{wsql} ORDER BY a, v", nfmt, "nosort")
+    # left joins (NULL padding)
+    for jw in jwheres[:3]:
+        wsql = f" WHERE {jw}" if jw else ""
+        f.query(f"SELECT a, v FROM t1 LEFT JOIN t3 ON a=k{wsql}", "II", "rowsort")
+        f.query(f"SELECT count(*), count(v) FROM t1 LEFT JOIN t3 ON a=k{wsql}", "II", "nosort")
+    # set operations (distinct semantics in both engines)
+    setops = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+    sides = [("SELECT b FROM t1", "SELECT v FROM t3"),
+             ("SELECT c FROM t1 WHERE c IS NOT NULL", "SELECT v-100 FROM t3"),
+             ("SELECT a FROM t1", "SELECT k FROM t3"),
+             ("SELECT d FROM t1 WHERE d>120", "SELECT e FROM t1 WHERE e<200")]
+    for op in setops:
+        for l, r in sides:
+            f.query(f"{l} {op} {r}", "I", "rowsort")
+    # scalar + IN subqueries
+    subs = [
+        ("SELECT a, (SELECT max(v) FROM t3) FROM t1 ORDER BY a", "II", "nosort"),
+        ("SELECT a, (SELECT count(*) FROM t3 WHERE k=a) FROM t1 ORDER BY a", "II", "nosort"),
+        ("SELECT a FROM t1 WHERE a IN (SELECT k FROM t3) ORDER BY a", "I", "nosort"),
+        ("SELECT a FROM t1 WHERE a NOT IN (SELECT k FROM t3) ORDER BY a", "I", "nosort"),
+        ("SELECT k FROM t3 WHERE EXISTS (SELECT 1 FROM t1 WHERE a=k)", "I", "rowsort"),
+        ("SELECT k FROM t3 WHERE NOT EXISTS (SELECT 1 FROM t1 WHERE a=k)", "I", "rowsort"),
+        ("SELECT a, b FROM t1 WHERE b = (SELECT min(v) FROM t3)", "II", "rowsort"),
+    ]
+    for q, fmt, om in subs:
+        f.query(q, fmt, om)
+    # string expressions over t2
+    sexprs = [("s", "T"), ("upper(s)", "T"), ("lower(s)", "T"),
+              ("substr(s,2,3)", "T"), ("s || '_' || s", "T"), ("length(s)", "I")]
+    swheres = ["", "i%2=0", "length(s)>5", "s LIKE '%o%'", "upper(s)=s"]
+    for se, sf in sexprs:
+        for sw in swheres:
+            wsql = f" WHERE {sw}" if sw else ""
+            f.query(f"SELECT {se} FROM t2{wsql}", sf, "valuesort")
+            f.query(f"SELECT i, {se} FROM t2{wsql} ORDER BY i", "I" + sf, "nosort")
+    # late inserts then re-query
+    f.statement("INSERT INTO t3 VALUES(100,299)")
+    f.statement("INSERT INTO t2 VALUES(99,'zulu')")
+    for q, fmt, om in subs[:4]:
+        f.query(q, fmt, om)
+    return f
+
+
+def main():
+    total = 0
+    for g in (gen_select1, gen_select2, gen_select3):
+        total += g().write()
+    print(f"TOTAL: {total} queries")
+
+
+if __name__ == "__main__":
+    main()
