@@ -40,6 +40,15 @@ object SltHash {
       scala.util.Try(s.trim.toDouble.toInt).getOrElse(0).toString
     case s: String => translateString(s)
     case bd: java.math.BigDecimal => bd.toPlainString
+    // temporal values print in the ISO-with-space form the postgres-derived
+    // vectors use: fractional seconds only when nonzero, micros precision
+    case ts: java.time.LocalDateTime =>
+      val base = f"${ts.getYear}%04d-${ts.getMonthValue}%02d-${ts.getDayOfMonth}%02d " +
+        f"${ts.getHour}%02d:${ts.getMinute}%02d:${ts.getSecond}%02d"
+      val micros = ts.getNano / 1000
+      if (micros == 0) base else f"$base.$micros%06d"
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
     case other => other.toString
   }
 

@@ -169,6 +169,8 @@ object SltRunner {
                     t.startsWith("DOUBLE") => DoubleType
           case t if t.startsWith("TEXT") || t.startsWith("VARCHAR") ||
                     t.startsWith("CHAR") || t.startsWith("STRING") => StringType
+          case t if t.startsWith("TIMESTAMP") => TimestampNTZType
+          case t if t.startsWith("DATE") => DateType
           case other => throw new IllegalArgumentException(s"SLT type $other")
         }
         StructField(toks(0), dt, nullable = true)
@@ -248,6 +250,22 @@ object SltRunner {
         require(v.length >= 2 && v.head == '\'' && v.last == '\'',
           s"bad string literal $v")
         v.substring(1, v.length - 1)
+      case TimestampNTZType =>
+        val s = v.stripPrefix("'").stripSuffix("'")
+        // invalid dates (e.g. Feb 29 of a non-leap year) load as NULL,
+        // matching the reference's Calcite front-end behavior
+        // (PostgresTimestampTests.java fixture comments)
+        try {
+          if (s.contains(" ")) {
+            val Array(d, t) = s.split(" ", 2)
+            java.time.LocalDateTime.of(java.time.LocalDate.parse(d),
+              java.time.LocalTime.parse(t))
+          } else java.time.LocalDate.parse(s).atStartOfDay()
+        } catch { case _: java.time.DateTimeException => null }
+      case DateType =>
+        val s = v.stripPrefix("'").stripSuffix("'")
+        try java.sql.Date.valueOf(java.time.LocalDate.parse(s).toString)
+        catch { case _: java.time.DateTimeException => null }
       case other => throw new IllegalArgumentException(s"literal type $other")
     }
   }

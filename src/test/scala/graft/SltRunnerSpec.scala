@@ -37,6 +37,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("select2.test: aggregate and GROUP BY grammar") { check("select2.test", 280) }
   test("select3.test: joins, set ops, subqueries, strings") { check("select3.test", 170) }
 
+  test("pg_timestamp.test: postgres-derived timestamp vectors") {
+    check("pg_timestamp.test", 40)
+  }
+
   test("parser handles conditions, errors, and drops") {
     val text =
       """hash-threshold 8
