@@ -318,12 +318,36 @@ object Incremental {
 
     /** Persist consolidated state to parquet so maintenance can resume in
       * a later session/process — the durable-state-table shape a cluster
-      * deployment uses (checkpoint per micro-batch via foreachBatch). */
+      * deployment uses (checkpoint per micro-batch via foreachBatch).
+      *
+      * Each table is written to a temp dir and swapped in, and the live
+      * state is re-anchored onto the freshly written files: after a
+      * restore, the state's lineage points INTO the checkpoint dir, and
+      * overwriting files that lazy plans still reference would re-apply
+      * the step's delta on any cache miss. Re-anchoring also cuts the
+      * lineage to any foreachBatch micro-batch DataFrame, which is only
+      * valid during its batch. */
     def checkpoint(dir: String): Unit = {
-      integrated.foreach { case (n, z) =>
-        ZSet.consolidate(z).write.mode("overwrite").parquet(s"$dir/in_$n")
+      def writeSwap(df: DataFrame, dest: String): Unit = {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(dest + ".tmp")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        val d = new org.apache.hadoop.fs.Path(dest)
+        fs.delete(d, true)
+        fs.rename(tmp, d)
       }
-      ZSet.consolidate(output).write.mode("overwrite").parquet(s"$dir/out")
+      integrated.foreach { case (n, z) =>
+        writeSwap(ZSet.consolidate(z), s"$dir/in_$n")
+      }
+      writeSwap(ZSet.consolidate(output), s"$dir/out")
+      val superseded = integrated.values.toSeq ++ outState.toSeq
+      integrated = integrated.map { case (n, _) =>
+        n -> spark.read.parquet(s"$dir/in_$n")
+      }
+      outState = Some(spark.read.parquet(s"$dir/out"))
+      baseRows.clear()
+      superseded.foreach(_.unpersist(false))
     }
 
     /** Resume from a checkpoint written by `checkpoint`. */

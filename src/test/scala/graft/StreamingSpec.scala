@@ -61,6 +61,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("foreachBatch deployment: a Runner consumes micro-batches and survives restart via checkpoint") {
+    import spark.implicits._
+    import graft.streaming.Incremental._
+    import graft.zset.ZSet
+    implicit val sqlCtx = spark.sqlContext
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val circuit = source("T").aggregateRows(Seq("k"),
+      Seq(count(lit(1)).as("cnt"), sum($"v").as("sv")), Seq("k", "cnt", "sv"))
+    val empty = Seq.empty[(String, Long)].toDF("k", "v")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_runner_ckpt_").toString
+
+    // phase 1: a streaming query drives the runner; every micro-batch is
+    // one circuit step and the consolidated state lands in the durable
+    // checkpoint tables — the deployment shape for a cluster.
+    val r1 = new Runner(spark, circuit, Map("T" -> empty))
+    val mem1 = MemoryStream[(String, Long, Long)]
+    val q1 = mem1.toDF().toDF("k", "v", ZSet.W).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        r1.step(Map("T" -> batch))
+        r1.checkpoint(ckpt)
+      }.start()
+    try {
+      mem1.addData(("a", 5L, 1L), ("b", 7L, 1L)); q1.processAllAvailable()
+      mem1.addData(("a", 5L, -1L), ("c", 9L, 2L)); q1.processAllAvailable()
+    } finally q1.stop()
+    val outPhase1 = canon(ZSet.toRows(ZSet.consolidate(r1.output)))
+
+    // phase 2: simulated restart — a NEW runner restores from the
+    // checkpoint and a NEW stream continues feeding deltas (a retraction
+    // of pre-restart state among them).
+    val r2 = new Runner(spark, circuit, Map("T" -> empty))
+    r2.restore(ckpt)
+    assert(canon(ZSet.toRows(ZSet.consolidate(r2.output))) === outPhase1,
+      "restored output must equal pre-restart output")
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val q2 = mem2.toDF().toDF("k", "v", ZSet.W).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        r2.step(Map("T" -> batch))
+        r2.checkpoint(ckpt)
+      }.start()
+    try {
+      mem2.addData(("b", 7L, -1L), ("d", 1L, 1L)); q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(canon(ZSet.toRows(ZSet.consolidate(r2.output))) ===
+      canon(r2.recompute.drop(ZSet.W)), "post-restart incremental != recompute")
+    val got = ZSet.toRows(ZSet.consolidate(r2.output)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // net state: c(9) with weight 2, d(1) with weight 1 — a and b fully retracted
+    assert(got === Set(("c", 2L, 18L), ("d", 1L, 1L)))
+  }
+
   test("stream-stream inner join on key (bilinear op, append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
