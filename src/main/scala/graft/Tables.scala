@@ -44,8 +44,12 @@ object Tables {
   }
 
   /** Register every table as a temp view named after its file (lazily:
-    * DataFrames are lazy, so registering all views costs only footer reads
-    * and one absent table only fails queries that touch it). */
+    * DataFrames are lazy, so registering all views costs only footer reads).
+    * A table whose file is absent is skipped rather than failing the whole
+    * registration — only queries that touch it should fail. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      try load(spark, sfDir, n).createOrReplaceTempView(n)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
 }

@@ -199,6 +199,13 @@ object SqlIncremental {
       walk(left, sources).distinct
         .join(walk(right, sources).distinct
           .select(renameTo(right, left): _*), names)
+    // INTERSECT ALL: min(wA, wB) per row = A − (A − B)⁺ for non-negative
+    // multiplicities — composed from the subtract + positive-part circuits
+    // so incrementality is inherited (reference visitIntersect :809-853).
+    case Intersect(left, right, true) =>
+      val l = walk(left, sources)
+      val r = walk(right, sources).select(renameTo(right, left): _*)
+      l.minus(l.minus(r).positivePart)
 
     // Views over views: inline the referenced view's plan into the circuit
     case v: View => walk(v.child, sources)
@@ -214,14 +221,15 @@ object SqlIncremental {
         case other => throw new UnsupportedPlanException(
           s"incremental window PARTITION BY supports plain columns, got: $other")
       }
-      if (partKeys.isEmpty) throw new UnsupportedPlanException(
-        "incremental windows need a PARTITION BY (a global window re-evaluates all state)")
       val childCols = w.child.output.map(a =>
         org.apache.spark.sql.functions.col(a.name))
       val winCols = w.windowExpressions.map(toColumn)
-      walk(w.child, sources).windowAggregate(partKeys) { rows =>
-        rows.select(childCols ++ winCols: _*)
-      }
+      val eval = (rows: DataFrame) => rows.select(childCols ++ winCols: _*)
+      // A window without PARTITION BY has a single global partition — every
+      // delta touches it, so it degrades to whole-state re-evaluation (the
+      // cost such a standing window fundamentally has under retractions).
+      if (partKeys.isEmpty) walk(w.child, sources).reevaluate(eval)
+      else walk(w.child, sources).windowAggregate(partKeys)(eval)
 
     // ORDER BY ... LIMIT k views: re-evaluate the top-k over consolidated
     // state each step and retract the previous result (the reference

@@ -75,6 +75,29 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // SQL→circuit compiler under the gate: a view with differently-named
+    // equi keys AND a residual predicate in the ON clause, compiled from
+    // text (JoinConditionAnalyzer-style decomposition), maintained through
+    // insert + retraction steps.
+    "q96_incremental_sql_join" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      li.limit(0).createOrReplaceTempView("L")
+      o.limit(0).createOrReplaceTempView("O")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT l_orderkey, l_suppkey, l_quantity, o_orderstatus
+           FROM L JOIN O ON l_orderkey = o_orderkey AND l_quantity > 45""",
+        Set("L", "O"))
+      val r = new Runner(s, circuit, Map("L" -> li.limit(0), "O" -> o.limit(0)))
+      r.step(Map("O" -> ZSet.fromRows(o)))
+      r.step(Map("L" -> ZSet.fromRows(li)))
+      r.step(Map("O" -> ZSet.negate(ZSet.fromRows(
+        o.filter(col("o_orderstatus") === "F")))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -111,6 +134,10 @@ object IncrementalQ {
     "q95_incremental_topk" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
          FROM lineitem WHERE l_quantity < 50
-         ORDER BY l_quantity DESC, l_orderkey, l_linenumber LIMIT 10"""
+         ORDER BY l_quantity DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "q96_incremental_sql_join" ->
+      """SELECT l_orderkey, l_suppkey, l_quantity, o_orderstatus
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity > 45 AND o_orderstatus <> 'F'"""
   )
 }

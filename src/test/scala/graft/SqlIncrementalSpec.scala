@@ -204,10 +204,10 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine // ensure tables exist
     val e1 = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
-        "SELECT region, amount, SUM(amount) OVER (ORDER BY amount) s FROM SALES",
-        Set("SALES"))
+        "SELECT s.item, r.country FROM SALES s CROSS JOIN REGIONS r",
+        Set("SALES", "REGIONS"))
     }
-    assert(e1.getMessage.contains("PARTITION BY"))
+    assert(e1.getMessage.contains("cross join"))
     val e2 = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
         "SELECT region FROM SALES LIMIT 5", Set("SALES"))
@@ -281,6 +281,40 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     r.step(Map("B8" -> z(b8, Seq("p", 3L, -1L))))
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
+  }
+
+  test("global window (no PARTITION BY) and INTERSECT ALL views maintain") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S10 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE S11 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW GW AS SELECT k, v, SUM(v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM S10;
+        |CREATE VIEW IA AS SELECT k, v FROM S10 INTERSECT ALL SELECT k, v FROM S11""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val rw = e.incrementalRunner("GW")
+    rw.step(Map("S10" -> z(s, Seq("a", 1L, 1L), Seq("b", 2L, 1L), Seq("c", 5L, 1L))))
+    assert(canon(ZSet.consolidate(rw.output)) === canon(rw.recompute))
+    rw.step(Map("S10" -> z(s, Seq("b", 2L, -1L), Seq("d", 3L, 1L))))
+    assert(canon(ZSet.consolidate(rw.output)) === canon(rw.recompute))
+    val runs = ZSet.toRows(ZSet.consolidate(rw.output)).collect()
+      .map(x => (x.getString(0), x.getLong(2))).toMap
+    assert(runs === Map("a" -> 1L, "d" -> 4L, "c" -> 9L))
+
+    val ri = e.incrementalRunner("IA")
+    ri.step(Map(
+      "S10" -> z(s, Seq("x", 1L, 2L), Seq("y", 2L, 1L)),
+      "S11" -> z(s, Seq("x", 1L, 1L), Seq("z", 3L, 1L))))
+    assert(canon(ZSet.consolidate(ri.output)) === canon(ri.recompute))
+    // min(2,1)=1 copy of x survives; y/z don't intersect
+    val rows = ZSet.consolidate(ri.output).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(rows === Set(("x", 1L, 1L)))
+    // raising S11's x multiplicity to 3 lifts the intersection to min(2,3)=2
+    ri.step(Map("S11" -> z(s, Seq("x", 1L, 2L))))
+    assert(canon(ZSet.consolidate(ri.output)) === canon(ri.recompute))
+    val rows2 = ZSet.consolidate(ri.output).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(rows2 === Set(("x", 1L, 2L)))
   }
 
   test("ORDER BY ... LIMIT view maintains the top-k under retractions") {
