@@ -93,6 +93,76 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
   }
 
+  // ---- IVF (inverted-file) ANN: nearest-centroid coarse quantizer ------
+
+  /** Elementwise mean vector per key: explode dims → per-(key,dim) avg →
+    * regroup in dim order. The explode costs |rows|·dim but is one keyed
+    * shuffle with map-side partial aggregation — the scalable shape for
+    * training a coarse quantizer over a 100 TB corpus. */
+  private def elementwiseMean(df: DataFrame, keyCol: String,
+                              vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col(keyCol),
+        transform(col("ps"), p => p.getField("m").cast(FloatType)).as("cvec"))
+
+  /** Assign each vector to its nearest centroid (by cosine) — cross join
+    * against the broadcast centroid model, then an argmin per row via
+    * map-side-combining min_by. */
+  private def assign(corpus: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", -cosine(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cid"), col("__d")).as("cid"),
+        first(col(vecCol)).as(vecCol))
+
+  /** Train a deterministic IVF coarse quantizer: initial centroids are the
+    * elementwise means of xxhash64 buckets (no RNG, no driver-side kmeans),
+    * refined by one Lloyd iteration (assign → re-average). The model is a
+    * tiny (nCentroids × dim) table — broadcastable at any corpus size. */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int = 16,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val init = elementwiseMean(
+      corpus.withColumn("cid", pmod(xxhash64(col(idCol)), lit(nCentroids))),
+      "cid", vecCol)
+    elementwiseMean(
+      assign(corpus, init, idCol, vecCol).select(col("cid"), col(vecCol)),
+      "cid", vecCol)
+  }
+
+  /** IVF ANN top-k: bucket the corpus by nearest centroid (one scan + one
+    * argmin), probe each query's `nProbe` nearest centroids, rerank the
+    * probed buckets with exact cosine. Corpus-side cost is one pass +
+    * one bucket-keyed join of ~nProbe/nCentroids of the data per query —
+    * the IVF shape production vector stores use; `lshTopK` is the
+    * hyperplane-bucket alternative with the same join skeleton. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    val indexed = assign(corpus, centroids, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("__d").asc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__d", -cosine(col(qVecCol), col("cvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("cid"))
+    val rerank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol).asc)
+    indexed.join(probes, "cid")
+      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+      .withColumn("rank", row_number().over(rerank))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the
     * embedding-space analogue of Dedup.nearDuplicates). Buckets above
     * `maxBucket` are dropped before the self-join — a degenerate corpus

@@ -63,6 +63,16 @@ object Pipeline {
       Similarity.bruteForceTopK(emb, queries, 5)
     }),
 
+    // IVF ANN over the same probes as q75 (centroid model is
+    // engine-specific → rows-only here; recall vs brute force is
+    // value-checked in PipelineSpec)
+    "q79_ann_ivf_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb, queries, 5, nCentroids = 16, nProbe = 4)
+    }),
+
     // MinHash near-dup pairs (engine-hash-specific → rows-only here;
     // value-checked by PipelineSpec's planted duplicates)
     "q76_near_dup_minhash" -> ((s, d) =>

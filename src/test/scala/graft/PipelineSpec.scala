@@ -116,6 +116,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"recall was $recall")
   }
 
+  test("IVF ANN recall@5 ≥ 0.6 vs brute force; self always retrieved") {
+    val corpus = syntheticVectors(200, 16)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, 5, nCentroids = 8, nProbe = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall was $recall")
+    // a query's own vector shares its bucket by construction
+    (0L until 10L).foreach(q => assert(approx.contains((q, q)), s"query $q lost itself"))
+  }
+
   test("cosine near-duplicate pairs via LSH find planted duplicates") {
     val corpus = syntheticVectors(40, 16)
     val dup = corpus.filter(col("vec_id") === 0)
