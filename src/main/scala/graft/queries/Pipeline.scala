@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -62,6 +62,15 @@ object Pipeline {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.bruteForceTopK(emb, queries, 5)
     }),
+
+    // Multimodal decode/feature plumbing over the documents corpus
+    // (rows-only: decode features aren't DuckDB-expressible; real-codec
+    // values are pinned by PipelineSpec's PNG/WAV fixtures)
+    "q82_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(T(s, d, "documents")))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("decode_ok"))),
 
     // IVF ANN over the same probes as q75 (centroid model is
     // engine-specific → rows-only here; recall vs brute force is

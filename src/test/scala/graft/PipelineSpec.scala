@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -180,38 +180,80 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("doc_id") === 1).select("fp").collect()(0).getLong(0) === fp2)
   }
 
-  test("multimodal: synthetic media → features, batch plumbing end-to-end") {
-    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
-      (2L, "bytes make pixels", "en", "srcB", 17L),
-      (3L, "third doc", "en", "srcC", 9L))
+  // real in-JVM fixtures: a PNG via ImageIO and a PCM WAV via javax.sound
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | (y * 255 / math.max(h, 1)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(ms: Int, hz: Double = 440.0): Array[Byte] = {
+    val rate = 8000f
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / rate) * 16000).toInt
+      pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: real PNG/WAV decode, corrupt handling, resize, frame sampling") {
+    val rows = Seq(
+      Row(1L, 1L, "image", "image/png", pngBytes(20, 10), Map("k" -> "v")),
+      Row(2L, 2L, "audio", "audio/wav", wavBytes(250), Map("k" -> "v")),
+      Row(3L, 3L, "video", "video/mp4", Array.fill[Byte](64)(7), Map("k" -> "v")),
+      Row(4L, 4L, "image", "image/png", "not an image".getBytes, Map("k" -> "v")))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // image: true dimensions through ImageIO, normalized luminance histogram
+    assert(feats(1L).getAs[Boolean]("decode_ok"))
+    assert(feats(1L).getAs[Int]("width") === 20 && feats(1L).getAs[Int]("height") === 10)
+    val hsum = feats(1L).getAs[Seq[Float]]("feature").map(_.toDouble).sum
+    assert(math.abs(hsum - 1.0) < 1e-5)
+    // audio: true duration through javax.sound (8 kHz PCM, 250 ms)
+    assert(feats(2L).getAs[Boolean]("decode_ok"))
+    assert(math.abs(feats(2L).getAs[Long]("duration_ms") - 250L) <= 1L)
+    assert(feats(2L).getAs[Seq[Float]]("feature").exists(_ > 0.1f)) // audible RMS
+    // video: fenced stub still produces deterministic features
+    assert(feats(3L).getAs[Boolean]("decode_ok"))
+    // corrupt image: decode_ok=false instead of task failure
+    assert(!feats(4L).getAs[Boolean]("decode_ok"))
+    // resize: real Java2D scale — output PNG decodes to the target size
+    val resized = Multimodal.resize(media, 64, 48).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val scaled = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).getAs[Array[Byte]]("content")))
+    assert(scaled.getWidth === 64 && scaled.getHeight === 48)
+    assert(resized(4L).getAs[Array[Byte]]("content") === null) // corrupt → NULL
+    // frame sampling explodes video rows only
+    val frames = Multimodal.sampleFrames(media, everyMs = 50L)
+    assert(frames.select("media_id").distinct().count() === 1L)
+  }
+
+  test("multimodal: synthetic media schema plumbing stays intact") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema.fieldNames.toSeq ===
       Seq("media_id", "doc_id", "modality", "mime", "content", "meta"))
-    val feats = Multimodal.extractFeatures(media)
-    val rows = feats.collect()
-    assert(rows.length === 3)
-    rows.foreach { r =>
-      assert(r.getAs[Boolean]("decode_ok"))
-      assert(r.getAs[Long]("n_bytes") > 0)
-      assert(r.getAs[Seq[Float]]("feature").length === 8)
-      val s = r.getAs[Seq[Float]]("feature").map(_.toDouble).sum
-      assert(math.abs(s - 1.0) < 1e-5) // histogram normalized
-    }
-    // deterministic: same input → same features
-    val again = Multimodal.extractFeatures(media).collect()
-    assert(rows.map(_.toString).sorted === again.map(_.toString).sorted)
-    // frame sampling explodes video rows only
-    val frames = Multimodal.sampleFrames(media, everyMs = 50L)
-    assert(frames.select("media_id").distinct().count() ===
-      media.filter(col("modality") === "video").count())
-    // resize keeps image rows, stamps target dims, bounds payload
-    val resized = Multimodal.resize(media, 64, 48)
-    val imgCount = media.filter(col("modality") === "image").count()
-    assert(resized.count() === imgCount)
-    resized.collect().foreach { r =>
-      assert(r.getInt(1) === 64 && r.getInt(2) === 48)
-      assert(r.getAs[Array[Byte]]("content").length <= 64 * 48)
-    }
+    // text bytes are NOT a valid image/audio payload: the real codecs must
+    // reject them, not fabricate dimensions
+    val feats = Multimodal.extractFeatures(media).collect()
+    feats.filter(r => Set("image", "audio")(r.getString(1)))
+      .foreach(r => assert(!r.getAs[Boolean]("decode_ok")))
   }
 }
