@@ -58,11 +58,29 @@ object SqlIncremental {
       // reference's JoinConditionAnalyzer.java:48-79: any conjunct
       // `l.a = r.b` becomes a (possibly renamed) equi key; everything else
       // becomes a filter over the joined result.
-      val (pairs, residual) = analyzeCondition(cond, left, right)
-      if (residual.isDefined && !joinType.isInstanceOf[InnerLike])
+      val (pairs, residualAll) = analyzeCondition(cond, left, right)
+      // Single-sided residual conjuncts push down to their side BEFORE the
+      // bilinear join (for inner joins this is semantics-preserving and
+      // shrinks both the state and every per-step delta product); only
+      // conjuncts referencing both sides stay as a post-join filter.
+      val (leftOnly, rightOnly, residual) = residualAll match {
+        case Some(r) if joinType.isInstanceOf[InnerLike] =>
+          def split(e: Expression): Seq[Expression] = e match {
+            case And(a, b) => split(a) ++ split(b)
+            case other => Seq(other)
+          }
+          val conjuncts = split(r)
+          val lo = conjuncts.filter(_.references.subsetOf(left.outputSet))
+          val ro = conjuncts.filter(c => !lo.contains(c) &&
+            c.references.subsetOf(right.outputSet))
+          val rest = conjuncts.filterNot(c => lo.contains(c) || ro.contains(c))
+          (lo.reduceOption(And), ro.reduceOption(And), rest.reduceOption(And))
+        case other => (None, None, other)
+      }
+      if (residualAll.isDefined && !joinType.isInstanceOf[InnerLike])
         throw new UnsupportedPlanException(
           s"residual join predicate is only supported for inner joins, " +
-            s"got $joinType with ${residual.get}")
+            s"got $joinType with ${residualAll.get}")
       // Same-named pairs merge USING-style; differently-named pairs rename
       // the right key to the left name for the bilinear join and the right
       // column is reconstructed in the output projection.
@@ -82,8 +100,10 @@ object SqlIncremental {
       if (dupes.nonEmpty) throw new UnsupportedPlanException(
         s"join sides share non-key column name(s) ${dupes.mkString(", ")} — " +
           "alias them apart in subqueries for incremental mode")
-      val l = walk(left, sources)
-      val r0 = walk(right, sources)
+      val l0 = walk(left, sources)
+      val l = leftOnly.map(c => l0.where(toColumn(c))).getOrElse(l0)
+      val r1 = walk(right, sources)
+      val r0 = rightOnly.map(c => r1.where(toColumn(c))).getOrElse(r1)
       val r = if (renameMap.isEmpty) r0 else r0.select(
         right.output.map { att =>
           renameMap.get(att.name) match {
