@@ -171,23 +171,47 @@ object SqlIncremental {
       }
 
     case Aggregate(groupExprs, aggExprs, child, _) =>
+      // Computed grouping keys (GROUP BY b % 5) are projected below the
+      // aggregate under the name the select list gives them (Calcite
+      // likewise plans a Project under the Aggregate); plain columns group
+      // directly.
+      val computed = groupExprs.zipWithIndex.collect {
+        case (e, i) if !e.isInstanceOf[AttributeReference] =>
+          // find the output alias whose child is this grouping expression
+          val name = aggExprs.collectFirst {
+            case al: Alias if al.child.semanticEquals(e) => al.name
+          }.getOrElse(s"__gkey$i")
+          e -> name
+      }
       val keys = groupExprs.map {
         case a: AttributeReference => a.name
-        case other => throw new UnsupportedPlanException(
-          s"incremental GROUP BY supports plain columns, got: $other")
+        case e => computed.find(_._1 eq e).get._2
+      }
+      val base = {
+        val b = walk(child, sources)
+        if (computed.isEmpty) b
+        else b.select(child.output.map(a => col(a.name)) ++
+          computed.map { case (e, n) => toColumn(e).as(n) }: _*)
       }
       val keySet = keys.map(_.toLowerCase).toSet
       val aggCols = aggExprs.filter {
         case a: AttributeReference => !keySet.contains(a.name.toLowerCase)
+        case al: Alias if computed.exists(_._2 == al.name) => false
         case _ => true
-      }.map(toColumn)
+      }.map {
+        // an aggregate-list entry that just re-states a computed key is
+        // replaced by the projected key column
+        case al: Alias if computed.exists(_._1.semanticEquals(al.child)) =>
+          col(computed.find(_._1.semanticEquals(al.child)).get._2).as(al.name)
+        case e => toColumn(e)
+      }
       val outOrder = aggExprs.map(_.name)
       // Global aggregates (SELECT COUNT(*) FROM T) use the empty-input
       // correction circuit — the single group re-folds every step and
       // empty state yields the SQL zero row (reference
       // CalciteToDBSPCompiler.java:349-381).
-      if (keys.isEmpty) walk(child, sources).aggregateRowsGlobal(aggCols, outOrder)
-      else walk(child, sources).aggregateRows(keys, aggCols, outOrder)
+      if (keys.isEmpty) base.aggregateRowsGlobal(aggCols, outOrder)
+      else base.aggregateRows(keys, aggCols, outOrder)
 
     case Union(children, false, false) =>
       // SQL UNION ALL is positional; the weighted union merges by name —

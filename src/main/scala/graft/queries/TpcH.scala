@@ -46,7 +46,7 @@ object TpcH {
       val su = T(s, d, "supplier")
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey") &&
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
                   col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -54,6 +54,37 @@ object TpcH {
         .groupBy(col("n_name"))
         .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // Q6 shape: forecast-revenue change — the pure scan benchmark: all
+    // predicates push to the parquet scan, one partial+final global agg,
+    // no shuffle of data rows at all
+    "q97_tpch_q6" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(Exact.dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"), count(lit(1)).as("n_items"))),
+
+    // Q10 shape: returned-item reporting — fact-fact join filtered on the
+    // return flag, customer rollup, top-20 by lost revenue
+    "q98_tpch_q10" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders").filter(
+        col("o_orderdate") >= tsLit("1996-01-01") &&
+        col("o_orderdate") < tsLit("1996-07-01"))
+      val l = T(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val n = T(s, d, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
     })
   )
 
@@ -81,6 +112,27 @@ object TpcH {
           WHERE r_name = 'ASIA'
             AND o_orderdate >= TIMESTAMP '1995-01-01'
             AND o_orderdate < TIMESTAMP '1997-01-01'
-          GROUP BY n_name"""
+          GROUP BY n_name""",
+    "q97_tpch_q6" ->
+      s"""SELECT ${Exact.sqlDsum("l_extendedprice * l_discount")} AS revenue,
+             COUNT(*) AS n_items
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount >= 0.05 AND l_discount <= 0.07
+            AND l_quantity < 24""",
+    "q98_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+             ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-07-01'
+            AND l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, n_name
+          ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
   )
 }

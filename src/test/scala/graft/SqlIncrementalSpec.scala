@@ -283,6 +283,29 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("computed grouping keys (GROUP BY expr) maintain incrementally") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S12 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW BYMOD AS
+        |  SELECT v % 3 AS grp, COUNT(*) AS n, SUM(v) AS total
+        |  FROM S12 GROUP BY v % 3""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r = e.incrementalRunner("BYMOD")
+    r.step(Map("S12" -> z(s,
+      Seq("a", 3L, 1L), Seq("b", 4L, 1L), Seq("c", 6L, 1L), Seq("d", 7L, 2L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val m1 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(m1 === Map(0L -> (2L, 9L), 1L -> (3L, 18L)))
+    // retraction moves group 1's totals; group 0 untouched
+    r.step(Map("S12" -> z(s, Seq("d", 7L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val m2 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(m2 === Map(0L -> (2L, 9L), 1L -> (2L, 11L)))
+  }
+
   test("global window (no PARTITION BY) and INTERSECT ALL views maintain") {
     val e = new Engine(spark)
     e.executeScript(
