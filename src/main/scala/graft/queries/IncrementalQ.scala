@@ -98,6 +98,23 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Incremental DISTINCT (DBSPIncrementalDistinctOperator.java:31): rows
+    // whose consolidated weight drops to zero leave the distinct view; the
+    // three waves overlap so some rows reach weight 2 and one wave fully
+    // cancels another's low range.
+    "q99_incremental_distinct" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val circuit = source("L").distinct
+      val r = new Runner(s, circuit, Map("L" -> li.limit(0)))
+      r.step(Map("L" -> ZSet.fromRows(li.filter(col("l_quantity") < 5))))
+      r.step(Map("L" -> ZSet.fromRows(
+        li.filter(col("l_quantity") >= 3 && col("l_quantity") < 6))))
+      r.step(Map("L" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") < 2)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -138,6 +155,9 @@ object IncrementalQ {
     "q96_incremental_sql_join" ->
       """SELECT l_orderkey, l_suppkey, l_quantity, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE l_quantity > 45 AND o_orderstatus <> 'F'"""
+         WHERE l_quantity > 45 AND o_orderstatus <> 'F'""",
+    "q99_incremental_distinct" ->
+      """SELECT DISTINCT l_suppkey, l_quantity FROM lineitem
+         WHERE l_quantity >= 2 AND l_quantity < 6"""
   )
 }
