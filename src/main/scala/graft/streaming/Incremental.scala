@@ -298,16 +298,19 @@ object Incremental {
         n -> deltas.getOrElse(n, z.limit(0))
       }
       val d = query.delta(integrated, full).persist()
-      d.count() // materialize before state advances
       steps += 1
       val compact = steps % consolidateEvery == 0
-      integrated = integrated.map { case (n, z) =>
-        n -> advance(n, ZSet.plus(z, full(n)), compact, Some(z))
-      }
+      // Advance the output FIRST: its count materializes d (which reads the
+      // pre-step input states) into the cache, so the input advances below
+      // can safely unpersist those superseded states — and the separate
+      // `d.count()` barrier a naive protocol pays is free.
       outState = Some(advance("__out", outState match {
         case Some(o) => ZSet.plus(o, d)
         case None    => d
       }, compact, outState))
+      integrated = integrated.map { case (n, z) =>
+        n -> advance(n, ZSet.plus(z, full(n)), compact, Some(z))
+      }
       d
     }
 
