@@ -51,7 +51,12 @@ object SqlIncremental {
       walk(child, sources).select(exprs.map(toColumn): _*)
 
     case Filter(cond, child) =>
-      walk(child, sources).where(toColumn(cond))
+      // EXISTS / [NOT] IN predicates lower to semi/anti join circuits here
+      // (the analyzed plan keeps them as subquery expressions; Calcite
+      // performs the same lowering upstream of the reference, which itself
+      // throws Unimplemented for the resulting semi/anti —
+      // CalciteToDBSPCompiler.java:571-572).
+      compileFilter(cond, child, sources)
 
     case Join(left, right, joinType, cond, _) =>
       // Decompose the condition into equi pairs + residual, mirroring the
@@ -295,6 +300,86 @@ object SqlIncremental {
 
     case other => throw new UnsupportedPlanException(
       s"unsupported plan node for incremental mode: ${other.nodeName}")
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitAnd(a) ++ splitAnd(b)
+    case other => Seq(other)
+  }
+
+  /** Filter compilation with subquery-predicate lowering: conjuncts that
+    * are EXISTS / [NOT] IN subqueries become semi/anti join circuit edges;
+    * the rest apply as a plain filter. */
+  private def compileFilter(cond: Expression, child: LogicalPlan,
+                            sources: Map[String, String]): Inc = {
+    var node = walk(child, sources)
+    val plain = Seq.newBuilder[Expression]
+    splitAnd(cond).foreach {
+      case InSubquery(Seq(v: AttributeReference), lq: ListQuery) =>
+        node = node.semiJoin(inColumn(lq, v, sources), Seq(v.name))
+      case Not(InSubquery(Seq(v: AttributeReference), lq: ListQuery)) =>
+        // anti join == NOT IN only under 2-valued semantics: any NULL on
+        // either side flips the whole predicate to UNKNOWN in SQL. The
+        // engine's tables are NOT NULL by default (reference
+        // doc/sql/types.rst:37-41), so require provable non-nullability.
+        if (v.nullable || lq.plan.output.head.nullable)
+          throw new UnsupportedPlanException(
+            "NOT IN over nullable columns is not maintainable as an anti " +
+              "join (3-valued NULL semantics); declare the columns NOT NULL")
+        node = node.antiJoin(inColumn(lq, v, sources), Seq(v.name))
+      case ex: Exists =>
+        val (sub, keys) = decorrelateExists(ex, sources)
+        node = node.semiJoin(sub, keys)
+      case Not(ex: Exists) =>
+        val (sub, keys) = decorrelateExists(ex, sources)
+        node = node.antiJoin(sub, keys)
+      case other => plain += other
+    }
+    plain.result().reduceOption(And)
+      .map(c => node.where(toColumn(c))).getOrElse(node)
+  }
+
+  /** IN-list subquery → circuit producing the single column renamed to the
+    * probe attribute so the semi/anti join keys line up by name. */
+  private def inColumn(lq: ListQuery, probe: AttributeReference,
+                       sources: Map[String, String]): Inc = {
+    val outName = lq.plan.output.head.name
+    walk(lq.plan, sources).select(col(outName).as(probe.name))
+  }
+
+  /** Correlated EXISTS → (inner circuit projected to the correlation keys
+    * renamed to the outer attribute names, outer key names). Correlation
+    * must be equality conjuncts `inner.a = outer.b` (the decomposable form
+    * JoinConditionAnalyzer handles); other correlated shapes throw. */
+  private def decorrelateExists(ex: Exists, sources: Map[String, String])
+      : (Inc, Seq[String]) = {
+    var pairs = Seq.empty[(NamedExpression, NamedExpression)] // (inner, outer)
+    def extract(e: Expression): Option[(NamedExpression, NamedExpression)] = e match {
+      case EqualTo(a: AttributeReference, OuterReference(o)) => Some(a -> o)
+      case EqualTo(OuterReference(o), a: AttributeReference) => Some(a -> o)
+      case _ => None
+    }
+    val stripped = ex.plan.transform {
+      case Filter(c, ch) =>
+        val (corr, rest) = splitAnd(c).partition(_.exists(_.isInstanceOf[OuterReference]))
+        corr.foreach { conj =>
+          pairs :+= extract(conj).getOrElse(throw new UnsupportedPlanException(
+            s"EXISTS correlation must be equality conjuncts, got: $conj"))
+        }
+        rest.reduceOption(And).map(Filter(_, ch)).getOrElse(ch)
+    }
+    if (pairs.isEmpty) throw new UnsupportedPlanException(
+      "uncorrelated EXISTS is not maintainable as a join (its truth is " +
+        "global, not per-row); correlate it or restate as a join")
+    // the subquery's own projection is irrelevant to existence — drop the
+    // top Project chain so the correlation keys stay visible
+    def dropProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => dropProjects(c)
+      case other => other
+    }
+    val inner = walk(dropProjects(stripped), sources)
+      .select(pairs.map { case (i, o) => col(i.name).as(o.name) }: _*)
+    (inner, pairs.map(_._2.name))
   }
 
   /** SortOrder → DataFrame sort Column (direction + null ordering). */

@@ -283,6 +283,46 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("EXISTS / IN / NOT IN view predicates lower to semi/anti circuits") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE T13 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE U13 (k VARCHAR NOT NULL, w BIGINT NOT NULL);
+        |CREATE VIEW EX13 AS SELECT k, v FROM T13 t
+        |  WHERE EXISTS (SELECT 1 FROM U13 u WHERE u.k = t.k AND u.w > 5);
+        |CREATE VIEW IN13 AS SELECT k, v FROM T13 WHERE k IN (SELECT k FROM U13);
+        |CREATE VIEW NIN13 AS SELECT k, v FROM T13 WHERE k NOT IN (SELECT k FROM U13)""".stripMargin)
+    val t = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val u = StructType(Seq(StructField("k", StringType), StructField("w", LongType)))
+    val step1 = Map(
+      "T13" -> z(t, Seq("a", 1L, 1L), Seq("b", 2L, 1L), Seq("c", 3L, 1L)),
+      "U13" -> z(u, Seq("a", 10L, 1L), Seq("b", 2L, 1L)))
+    val step2 = Map( // retract a's qualifying row; add one for c
+      "U13" -> z(u, Seq("a", 10L, -1L), Seq("c", 9L, 1L)))
+
+    val rEx = e.incrementalRunner("EX13")
+    rEx.step(step1)
+    assert(canon(ZSet.consolidate(rEx.output)) === canon(rEx.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(rEx.output)).collect()
+      .map(_.getString(0)).toSet === Set("a")) // b's match fails w > 5
+    rEx.step(step2)
+    assert(canon(ZSet.consolidate(rEx.output)) === canon(rEx.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(rEx.output)).collect()
+      .map(_.getString(0)).toSet === Set("c"))
+
+    val rIn = e.incrementalRunner("IN13")
+    rIn.step(step1); rIn.step(step2)
+    assert(canon(ZSet.consolidate(rIn.output)) === canon(rIn.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(rIn.output)).collect()
+      .map(_.getString(0)).toSet === Set("b", "c"))
+
+    val rNin = e.incrementalRunner("NIN13")
+    rNin.step(step1); rNin.step(step2)
+    assert(canon(ZSet.consolidate(rNin.output)) === canon(rNin.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(rNin.output)).collect()
+      .map(_.getString(0)).toSet === Set("a"))
+  }
+
   test("computed grouping keys (GROUP BY expr) maintain incrementally") {
     val e = new Engine(spark)
     e.executeScript(
