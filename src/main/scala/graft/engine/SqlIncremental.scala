@@ -175,6 +175,70 @@ object SqlIncremental {
           s"unsupported join type for incremental mode: $other")
       }
 
+    // ROLLUP / CUBE / GROUPING SETS plan as Aggregate over Expand: each
+    // input row fans out to one tagged row per grouping set — a
+    // weight-preserving flatMap, LINEAR in the Z-set algebra — so deltas
+    // pass straight through the expand and the aggregate re-folds only
+    // touched (group, grouping-id) combinations. Expand's output repeats
+    // column names (child attrs + grouping copies), so the circuit uses
+    // positional internal names keyed by exprId and restores the view's
+    // names in a final projection.
+    case Aggregate(groupExprs, aggExprs, ex: Expand, _) =>
+      val rename: Map[ExprId, String] = ex.output.zipWithIndex.map {
+        case (a, i) => a.exprId -> s"__e${i}_${a.name}"
+      }.toMap
+      val names = ex.output.zipWithIndex.map { case (a, i) => s"__e${i}_${a.name}" }
+      // The expand's child is itself duplicate-prone: Spark plans
+      // Project[r, i, v, r AS r, i AS i] below the Expand, so the child's
+      // columns get positional internal names as well and the expand
+      // projections are re-anchored onto them by exprId.
+      val childNames = ex.child.output.zipWithIndex.map {
+        case (a, i) => a.exprId -> s"__c${i}_${a.name}"
+      }
+      val childNameOf = childNames.toMap
+      val childInc = ex.child match {
+        case Project(projList, base) =>
+          walk(base, sources).select(projList.zip(childNames).map {
+            case (ne, (_, n)) => toColumn(ne).as(n)
+          }: _*)
+        case other =>
+          walk(other, sources).select(other.output.zip(childNames).map {
+            case (a, (_, n)) => col(a.name).as(n)
+          }: _*)
+      }
+      def reChild(e: Expression): Expression = e.transform {
+        case a: AttributeReference if childNameOf.contains(a.exprId) =>
+          a.withName(childNameOf(a.exprId))
+      }
+      val expandInc = childInc.linear { df =>
+        ex.projections.map { proj =>
+          graft.zset.ZSet.map(df)(
+            proj.zip(names).map { case (e, n) => toColumn(reChild(e)).as(n) }: _*)
+        }.reduce((a, b) => graft.zset.ZSet.plus(a, b))
+      }
+      def re(e: Expression): Expression = e.transform {
+        case a: AttributeReference if rename.contains(a.exprId) =>
+          a.withName(rename(a.exprId))
+      }
+      val keys = groupExprs.map {
+        case a: AttributeReference => rename.getOrElse(a.exprId, a.name)
+        case other => throw new UnsupportedPlanException(
+          s"incremental grouping-sets keys must be plain columns, got: $other")
+      }
+      val keySet = keys.toSet
+      val aggCols = aggExprs.filter {
+        case a: AttributeReference => !keySet.contains(rename.getOrElse(a.exprId, a.name))
+        case _ => true
+      }.map(e => toColumn(re(e)))
+      val outInternal = aggExprs.map {
+        case a: AttributeReference => rename.getOrElse(a.exprId, a.name)
+        case ne => ne.name
+      }
+      expandInc.aggregateRows(keys, aggCols, outInternal)
+        .select(outInternal.zip(aggExprs.map(_.name)).map {
+          case (i, f) => col(i).as(f)
+        }: _*)
+
     case Aggregate(groupExprs, aggExprs, child, _) =>
       // Computed grouping keys (GROUP BY b % 5) are projected below the
       // aggregate under the name the select list gives them (Calcite

@@ -86,7 +86,7 @@ object Incremental {
         val touched = dChild.select(keys.map(col): _*).distinct()
         def refold(child: DataFrame) =
           ZSet.aggregate(
-            child.join(broadcastIfSmall(touched), keys, "left_semi"),
+            Incremental.touchedOnly(child, touched, keys),
             keys, aggs: _*)
         ZSet.minus(
           ZSet.fromRows(refold(newChild)),
@@ -131,7 +131,7 @@ object Incremental {
           val dChild = delta(i, d)
           val touched = dChild.select(keys.map(col): _*).distinct()
           def out(child: DataFrame) = ZSet.fromRows(fold(
-            child.join(broadcastIfSmall(touched), keys, "left_semi")))
+            Incremental.touchedOnly(child, touched, keys)))
           ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
         })
     }
@@ -195,7 +195,7 @@ object Incremental {
         val touched = dChild.select(partitionKeys.map(col): _*).distinct()
         def out(child: DataFrame) =
           ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(
-            child.join(broadcastIfSmall(touched), partitionKeys, "left_semi")))))
+            Incremental.touchedOnly(child, touched, partitionKeys)))))
         ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
       })
 
@@ -210,7 +210,7 @@ object Incremental {
         val names = dChild.columns.filterNot(_ == ZSet.W).toSeq
         val touched = dChild.select(names.map(col): _*).distinct()
         def out(child: DataFrame) =
-          derive(child.join(touched, names, "left_semi"))
+          derive(Incremental.touchedOnly(child, touched, names))
         ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
       })
 
@@ -227,6 +227,18 @@ object Incremental {
   def source(name: String): Inc = Inc(
     in => in(name),
     (_, d) => d(name))
+
+  /** Restrict `child` to rows whose key columns match a touched-key row,
+    * with NULL-SAFE equality: grouping treats NULL as a value (a rollup
+    * subtotal or a nullable GROUP BY key), so the filter must too — a
+    * plain equi semi-join would silently drop NULL-keyed groups from
+    * every re-fold. */
+  private def touchedOnly(child: DataFrame, touched: DataFrame,
+                          keys: Seq[String]): DataFrame = {
+    val t = touched.toDF(keys.map(k => s"__t_$k"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+    child.join(broadcastIfSmall(t), cond, "left_semi")
+  }
 
   /** Broadcast the touched-key list only when the optimizer can prove it
     * small. A per-micro-batch delta usually is; a catch-up delta touching

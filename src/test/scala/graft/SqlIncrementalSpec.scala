@@ -283,6 +283,35 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("ROLLUP view (Expand is linear) maintains incrementally") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S14 (r VARCHAR NOT NULL, i VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW RU AS
+        |  SELECT r, i, COUNT(*) AS n, SUM(v) AS total
+        |  FROM S14 GROUP BY ROLLUP(r, i)""".stripMargin)
+    val s = StructType(Seq(StructField("r", StringType),
+      StructField("i", StringType), StructField("v", LongType)))
+    val runner = e.incrementalRunner("RU")
+    runner.step(Map("S14" -> z(s,
+      Seq("west", "a", 10L, 1L), Seq("west", "b", 20L, 1L), Seq("east", "a", 5L, 1L))))
+    assert(canon(ZSet.consolidate(runner.output)) === canon(runner.recompute))
+    val m1 = ZSet.toRows(ZSet.consolidate(runner.output)).collect()
+      .map(x => (Option(x.getString(0)), Option(x.getString(1))) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(m1(Some("west") -> None) === (2L, 30L))       // west subtotal
+    assert(m1(None -> None) === (3L, 35L))               // grand total
+    // retraction must ripple through every rollup level
+    runner.step(Map("S14" -> z(s, Seq("west", "b", 20L, -1L))))
+    assert(canon(ZSet.consolidate(runner.output)) === canon(runner.recompute))
+    val m2 = ZSet.toRows(ZSet.consolidate(runner.output)).collect()
+      .map(x => (Option(x.getString(0)), Option(x.getString(1))) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(m2(Some("west") -> None) === (1L, 10L))
+    assert(m2(None -> None) === (2L, 15L))
+    assert(!m2.contains(Some("west") -> Some("b")))      // emptied group gone
+  }
+
   test("EXISTS / IN / NOT IN view predicates lower to semi/anti circuits") {
     val e = new Engine(spark)
     e.executeScript(
