@@ -98,6 +98,26 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Incremental ROLLUP view compiled from SQL text (Expand is linear;
+    // NULL-keyed subtotal groups exercise the null-safe touched-group
+    // re-fold) maintained through insert + retraction waves.
+    "q88_incremental_rollup" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      li.limit(0).createOrReplaceTempView("LR")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                  SUM(l_quantity) AS sum_qty
+           FROM LR GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        Set("LR"))
+      val r = new Runner(s, circuit, Map("LR" -> li.limit(0)))
+      r.step(Map("LR" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("LR" -> ZSet.fromRows(li.filter(col("l_quantity") >= 30))))
+      r.step(Map("LR" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") < 10)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Incremental DISTINCT (DBSPIncrementalDistinctOperator.java:31): rows
     // whose consolidated weight drops to zero leave the distinct view; the
     // three waves overlap so some rows reach weight 2 and one wave fully
@@ -158,6 +178,11 @@ object IncrementalQ {
          WHERE l_quantity > 45 AND o_orderstatus <> 'F'""",
     "q99_incremental_distinct" ->
       """SELECT DISTINCT l_suppkey, l_quantity FROM lineitem
-         WHERE l_quantity >= 2 AND l_quantity < 6"""
+         WHERE l_quantity >= 2 AND l_quantity < 6""",
+    "q88_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_quantity >= 10
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
   )
 }
