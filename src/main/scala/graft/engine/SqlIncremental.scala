@@ -295,6 +295,22 @@ object SqlIncremental {
         branch.select(renamed: _*)
       }.reduce(_ union _)
 
+    // UNNEST / explode (Generate) is a weight-preserving flatMap — LINEAR
+    // (reference DBSPFlatMapOperator.java:34 participates in incremental
+    // circuits unchanged): each source row's weight carries to each of its
+    // generated rows, so deltas pass straight through.
+    case g: Generate =>
+      val childCols = g.child.output.map(a => col(a.name))
+      val gen: Column = {
+        val base = if (g.outer) GeneratorOuter(g.generator) else g.generator
+        val names = g.generatorOutput.map(_.name)
+        if (names.size == 1) toColumn(base).as(names.head)
+        else toColumn(base).as(names)
+      }
+      walk(g.child, sources).linear { df =>
+        graft.zset.ZSet.map(df)(childCols :+ gen: _*)
+      }
+
     case Distinct(child) => walk(child, sources).distinct
     case Deduplicate(_, child) => walk(child, sources).distinct
 

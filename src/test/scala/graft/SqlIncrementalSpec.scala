@@ -283,6 +283,36 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("UNNEST view (Generate is linear) maintains incrementally") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S15 (k VARCHAR NOT NULL, xs BIGINT ARRAY NOT NULL);
+        |CREATE VIEW UN AS SELECT k, x FROM S15 LATERAL VIEW explode(xs) t AS x;
+        |CREATE VIEW UNAGG AS SELECT k, SUM(x) AS total
+        |  FROM S15 LATERAL VIEW explode(xs) t AS x GROUP BY k""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType),
+      StructField("xs", ArrayType(LongType))))
+    val r = e.incrementalRunner("UN")
+    r.step(Map("S15" -> z(s, Seq("a", Seq(1L, 2L), 1L), Seq("b", Seq(7L), 2L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val rows = ZSet.consolidate(r.output).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(rows === Set(("a", 1L, 1L), ("a", 2L, 1L), ("b", 7L, 2L)))
+    // retraction of a source row retracts every generated row
+    r.step(Map("S15" -> z(s, Seq("a", Seq(1L, 2L), -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(ZSet.consolidate(r.output).collect()
+      .map(x => x.getString(0)).toSet === Set("b"))
+
+    val ra = e.incrementalRunner("UNAGG")
+    ra.step(Map("S15" -> z(s, Seq("a", Seq(1L, 2L), 1L), Seq("b", Seq(7L), 2L))))
+    ra.step(Map("S15" -> z(s, Seq("b", Seq(7L), -1L), Seq("a", Seq(10L), 1L))))
+    assert(canon(ZSet.consolidate(ra.output)) === canon(ra.recompute))
+    val totals = ZSet.toRows(ZSet.consolidate(ra.output)).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(totals === Map("a" -> 13L, "b" -> 7L))
+  }
+
   test("ROLLUP view (Expand is linear) maintains incrementally") {
     val e = new Engine(spark)
     e.executeScript(
