@@ -19,13 +19,22 @@ import org.apache.spark.sql.GraftSqlBridge
   * *analyzed* logical plan of the view and emit the equivalent
   * `Incremental.Inc` circuit over the named source tables.
   *
-  * Supported plan shapes (v1): source scans, Project, Filter, inner
-  * equi-joins on same-named columns (USING-join shape), grouped
-  * aggregates (any Spark aggregate function — groups are re-folded from
-  * consolidated state, so non-linear MIN/MAX/AVG are exact under
-  * retractions), UNION ALL, DISTINCT, and subquery aliases. Anything else
-  * throws `UnsupportedPlanException` with the offending node — the
-  * fallback is the manual `Incremental` DSL.
+  * Supported plan shapes: source scans, Project, Filter (including
+  * EXISTS / [NOT] IN subquery predicates, lowered to semi/anti circuits),
+  * joins of every type with arbitrary equi keys and residual predicates
+  * (single-sided conjuncts pushed below the join), grouped aggregates
+  * over plain or computed keys and keyless (global) aggregates with the
+  * empty-input zero row (any Spark aggregate function — groups re-fold
+  * from consolidated state, so non-linear MIN/MAX/AVG are exact under
+  * retractions), ROLLUP/CUBE/GROUPING SETS (Expand is linear),
+  * UNNEST/explode (Generate is linear), DISTINCT, UNION [ALL],
+  * EXCEPT [ALL], INTERSECT [ALL], windows (partitioned: touched-partition
+  * re-fold; global: whole-state re-evaluation), ORDER BY ... LIMIT top-k
+  * views, bare ORDER BY (presentation-only), and subquery aliases /
+  * nested views. Genuinely unsupported shapes — unconditioned cross
+  * joins, LIMIT without ORDER BY, NOT IN over nullable columns,
+  * uncorrelated EXISTS — throw `UnsupportedPlanException` with an
+  * explanation; the fallback is the manual `Incremental` DSL.
   */
 object SqlIncremental {
 
@@ -345,20 +354,35 @@ object SqlIncremental {
     // previous rows (Inc.windowAggregate). Requires a plain-column
     // partition spec; empty partition specs would re-evaluate everything.
     case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+      // Computed PARTITION BY expressions are projected below the window
+      // (the same Project-under shape Calcite plans for computed keys);
+      // the helper column is dropped from the output.
+      val computed = w.partitionSpec.zipWithIndex.collect {
+        case (e, i) if !e.isInstanceOf[AttributeReference] => e -> s"__wkey$i"
+      }
       val partKeys = w.partitionSpec.map {
         case a: AttributeReference => a.name
-        case other => throw new UnsupportedPlanException(
-          s"incremental window PARTITION BY supports plain columns, got: $other")
+        case e => computed.find(_._1 eq e).get._2
       }
       val childCols = w.child.output.map(a =>
         org.apache.spark.sql.functions.col(a.name))
-      val winCols = w.windowExpressions.map(toColumn)
+      val winCols = w.windowExpressions.map { we =>
+        toColumn(computed.foldLeft(we: Expression) { case (acc, (e, n)) =>
+          acc.transform { case x if x.semanticEquals(e) => UnresolvedAttribute.quoted(n) }
+        })
+      }
       val eval = (rows: DataFrame) => rows.select(childCols ++ winCols: _*)
+      val base = {
+        val b = walk(w.child, sources)
+        if (computed.isEmpty) b
+        else b.select(childCols ++
+          computed.map { case (e, n) => toColumn(e).as(n) }: _*)
+      }
       // A window without PARTITION BY has a single global partition — every
       // delta touches it, so it degrades to whole-state re-evaluation (the
       // cost such a standing window fundamentally has under retractions).
-      if (partKeys.isEmpty) walk(w.child, sources).reevaluate(eval)
-      else walk(w.child, sources).windowAggregate(partKeys)(eval)
+      if (partKeys.isEmpty) base.reevaluate(eval)
+      else base.windowAggregate(partKeys)(eval)
 
     // ORDER BY ... LIMIT k views: re-evaluate the top-k over consolidated
     // state each step and retract the previous result (the reference

@@ -283,6 +283,29 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("window with computed PARTITION BY expression maintains incrementally") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S16 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW WEXPR AS
+        |  SELECT k, v, SUM(v) OVER (PARTITION BY v % 2 ORDER BY v, k) AS run
+        |  FROM S16""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r = e.incrementalRunner("WEXPR")
+    r.step(Map("S16" -> z(s,
+      Seq("a", 1L, 1L), Seq("b", 2L, 1L), Seq("c", 3L, 1L), Seq("d", 4L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val m1 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(m1 === Map("a" -> 1L, "c" -> 4L, "b" -> 2L, "d" -> 6L)) // odd/even partitions
+    // retract 1: odd partition reshapes; even untouched
+    val d2 = r.step(Map("S16" -> z(s, Seq("a", 1L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val touchedParity = ZSet.consolidate(d2).select(org.apache.spark.sql.functions.col("v") % 2).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(touchedParity === Set(1L))
+  }
+
   test("UNNEST view (Generate is linear) maintains incrementally") {
     val e = new Engine(spark)
     e.executeScript(
