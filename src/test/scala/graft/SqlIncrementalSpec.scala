@@ -283,6 +283,23 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("GROUPING() marker functions flow through incremental ROLLUP") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S17 (r VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW RG AS
+        |  SELECT r, GROUPING(r) AS is_total, COUNT(*) AS n
+        |  FROM S17 GROUP BY ROLLUP(r)""".stripMargin)
+    val s = StructType(Seq(StructField("r", StringType), StructField("v", LongType)))
+    val run = e.incrementalRunner("RG")
+    run.step(Map("S17" -> z(s, Seq("w", 1L, 1L), Seq("e", 2L, 2L))))
+    assert(canon(ZSet.consolidate(run.output)) === canon(run.recompute))
+    val rows = ZSet.toRows(ZSet.consolidate(run.output)).collect()
+      .map(x => (Option(x.getString(0)), x.getByte(1), x.getLong(2))).toSet
+    assert(rows === Set(
+      (Some("w"), 0.toByte, 1L), (Some("e"), 0.toByte, 2L), (None, 1.toByte, 3L)))
+  }
+
   test("window with computed PARTITION BY expression maintains incrementally") {
     val e = new Engine(spark)
     e.executeScript(
