@@ -47,6 +47,7 @@ object SltHash {
         f"${ts.getHour}%02d:${ts.getMinute}%02d:${ts.getSecond}%02d"
       val micros = ts.getNano / 1000
       if (micros == 0) base else f"$base.$micros%06d"
+    case ts: java.sql.Timestamp => formatValue(ts.toLocalDateTime, fmt)
     case d: java.sql.Date => d.toString
     case d: java.time.LocalDate => d.toString
     case other => other.toString

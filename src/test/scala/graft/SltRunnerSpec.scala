@@ -38,7 +38,11 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("select3.test: joins, set ops, subqueries, strings") { check("select3.test", 170) }
 
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
-    check("pg_timestamp.test", 40)
+    check("pg_timestamp.test", 38)
+  }
+
+  test("pg_date.test: postgres-derived date vectors") {
+    check("pg_date.test", 26)
   }
 
   test("parser handles conditions, errors, and drops") {
