@@ -348,6 +348,24 @@ object SqlIncremental {
     // Views over views: inline the referenced view's plan into the circuit
     case v: View => walk(v.child, sources)
 
+    // WITH ... CTEs: inline each reference with its definition (the
+    // optimizer's InlineCTE does the same; re-anchoring is by name, so the
+    // ref/def exprId mismatch is immaterial). A CTE used twice simply
+    // appears twice in the circuit — Spark caches the shared scan at
+    // execution if worthwhile.
+    case w: WithCTE =>
+      // defs are in declaration order and may reference earlier defs —
+      // inline progressively, then into the main plan
+      val defs = w.cteDefs.foldLeft(Map.empty[Long, LogicalPlan]) {
+        case (acc, d) =>
+          acc + (d.id -> d.child.transformUp {
+            case r: CTERelationRef => acc(r.cteId)
+          })
+      }
+      walk(w.plan.transformUp {
+        case r: CTERelationRef => defs(r.cteId)
+      }, sources)
+
     // Aggregate-OVER windows (DBSPWindowAggregateOperator): a delta only
     // affects results inside its PARTITION BY groups, so the circuit
     // re-evaluates the window over touched partitions and retracts their

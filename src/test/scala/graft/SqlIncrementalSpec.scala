@@ -283,6 +283,27 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("WITH ... CTE views inline and maintain incrementally") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S18 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW CTEV AS
+        |  WITH big AS (SELECT k, v FROM S18 WHERE v > 10),
+        |       agg AS (SELECT k, COUNT(*) AS n FROM big GROUP BY k)
+        |  SELECT k, n FROM agg WHERE n >= 2""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r = e.incrementalRunner("CTEV")
+    r.step(Map("S18" -> z(s,
+      Seq("a", 20L, 1L), Seq("a", 30L, 1L), Seq("b", 40L, 1L), Seq("a", 5L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet === Set(("a", 2L)))
+    // retraction drops a below the HAVING-like threshold
+    r.step(Map("S18" -> z(s, Seq("a", 30L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
+  }
+
   test("GROUPING() marker functions flow through incremental ROLLUP") {
     val e = new Engine(spark)
     e.executeScript(
