@@ -57,7 +57,43 @@ object SqlIncremental {
     case SubqueryAlias(_, child) => walk(child, sources)
 
     case Project(exprs, child) =>
-      walk(child, sources).select(exprs.map(toColumn): _*)
+      // Uncorrelated scalar subqueries in the select list become bilinear
+      // joins on a constant key against the subquery circuit. Only
+      // global-aggregate-shaped subqueries are accepted: they produce
+      // exactly one row on any state (including the empty-input zero row),
+      // so the constant-key join is exactly the scalar semantics.
+      val scalars = exprs.flatMap(_.collect { case s: ScalarSubquery => s })
+        .groupBy(_.exprId).map(_._2.head).toSeq
+      if (scalars.isEmpty) walk(child, sources).select(exprs.map(toColumn): _*)
+      else {
+        scalars.foreach { s =>
+          if (s.outerAttrs.nonEmpty) throw new UnsupportedPlanException(
+            s"correlated scalar subqueries are not supported incrementally: ${s.plan}")
+          if (!s.plan.exists {
+            case Aggregate(g, _, _, _) => g.isEmpty
+            case _ => false
+          }) throw new UnsupportedPlanException(
+            "scalar subqueries must be global aggregates (exactly one row " +
+              s"on any state) for incremental mode, got: ${s.plan.nodeName}")
+        }
+        val childCols = child.output.map(a => col(a.name))
+        var node = walk(child, sources)
+          .select(childCols :+ lit(1).as("__one"): _*)
+        val nameOf = scalars.zipWithIndex.map { case (s, i) =>
+          s.exprId -> s"__sq$i"
+        }.toMap
+        scalars.foreach { s =>
+          val sub = walk(s.plan, sources).select(
+            col(s.plan.output.head.name).as(nameOf(s.exprId)),
+            lit(1).as("__one"))
+          node = node.join(sub, Seq("__one"))
+        }
+        val rewritten = exprs.map(_.transform {
+          case s: ScalarSubquery =>
+            UnresolvedAttribute.quoted(nameOf(s.exprId))
+        })
+        node.select(rewritten.map(toColumn): _*)
+      }
 
     case Filter(cond, child) =>
       // EXISTS / [NOT] IN predicates lower to semi/anti join circuits here

@@ -283,6 +283,32 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.toRows(ZSet.consolidate(r.output)).count() === 0L)
   }
 
+  test("uncorrelated scalar subqueries join in as single-row circuits") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S19 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE U19 (w BIGINT NOT NULL);
+        |CREATE VIEW SCAL AS
+        |  SELECT k, v, (SELECT MAX(w) FROM U19) AS mx, v - (SELECT MIN(w) FROM U19) AS off
+        |  FROM S19""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val u = StructType(Seq(StructField("w", LongType)))
+    val r = e.incrementalRunner("SCAL")
+    r.step(Map(
+      "S19" -> z(s, Seq("a", 10L, 1L), Seq("b", 20L, 1L)),
+      "U19" -> z(u, Seq(3L, 1L), Seq(7L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val m1 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(m1 === Map("a" -> (7L, 7L), "b" -> (7L, 17L)))
+    // retracting the max changes EVERY output row
+    r.step(Map("U19" -> z(u, Seq(7L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val m2 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(m2 === Map("a" -> (3L, 7L), "b" -> (3L, 17L)))
+  }
+
   test("WITH ... CTE views inline and maintain incrementally") {
     val e = new Engine(spark)
     e.executeScript(
