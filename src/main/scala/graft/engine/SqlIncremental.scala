@@ -67,8 +67,6 @@ object SqlIncremental {
       if (scalars.isEmpty) walk(child, sources).select(exprs.map(toColumn): _*)
       else {
         scalars.foreach { s =>
-          if (s.outerAttrs.nonEmpty) throw new UnsupportedPlanException(
-            s"correlated scalar subqueries are not supported incrementally: ${s.plan}")
           if (!s.plan.exists {
             case Aggregate(g, _, _, _) => g.isEmpty
             case _ => false
@@ -76,17 +74,25 @@ object SqlIncremental {
             "scalar subqueries must be global aggregates (exactly one row " +
               s"on any state) for incremental mode, got: ${s.plan.nodeName}")
         }
-        val childCols = child.output.map(a => col(a.name))
-        var node = walk(child, sources)
-          .select(childCols :+ lit(1).as("__one"): _*)
         val nameOf = scalars.zipWithIndex.map { case (s, i) =>
           s.exprId -> s"__sq$i"
         }.toMap
-        scalars.foreach { s =>
-          val sub = walk(s.plan, sources).select(
-            col(s.plan.output.head.name).as(nameOf(s.exprId)),
-            lit(1).as("__one"))
-          node = node.join(sub, Seq("__one"))
+        var node = walk(child, sources)
+        var carried: Seq[String] = child.output.map(_.name)
+        val (correlated, plainScalars) = scalars.partition(_.outerAttrs.nonEmpty)
+        if (plainScalars.nonEmpty) {
+          node = node.select(carried.map(col) :+ lit(1).as("__one"): _*)
+          plainScalars.foreach { s =>
+            val sub = walk(s.plan, sources).select(
+              col(s.plan.output.head.name).as(nameOf(s.exprId)),
+              lit(1).as("__one"))
+            node = node.join(sub, Seq("__one"))
+            carried :+= nameOf(s.exprId)
+          }
+        }
+        correlated.foreach { s =>
+          node = correlatedScalar(node, carried, s, nameOf(s.exprId), sources)
+          carried :+= nameOf(s.exprId)
         }
         val rewritten = exprs.map(_.transform {
           case s: ScalarSubquery =>
@@ -503,6 +509,63 @@ object SqlIncremental {
                        sources: Map[String, String]): Inc = {
     val outName = lq.plan.output.head.name
     walk(lq.plan, sources).select(col(outName).as(probe.name))
+  }
+
+  /** Correlated scalar subquery → decorrelated grouped aggregate joined on
+    * the correlation keys, with unmatched outer rows taking the
+    * aggregate-over-empty value (COUNT → 0, MAX → NULL — exactly the SQL
+    * value of the subquery when no rows match, since a global aggregate
+    * always yields one row). The classic Calcite/DBSP decorrelation, in
+    * circuit form: Δ to either table flows through the bilinear join. */
+  private def correlatedScalar(node: Inc, carried: Seq[String],
+                               s: ScalarSubquery, valName: String,
+                               sources: Map[String, String]): Inc = {
+    val agg = s.plan match {
+      case a @ Aggregate(g, _, _, _) if g.isEmpty => a
+      case other => throw new UnsupportedPlanException(
+        s"correlated scalar subquery must be a global aggregate, got: ${other.nodeName}")
+    }
+    require(agg.aggregateExpressions.size == 1, "scalar subquery has one output")
+    val aggExpr = agg.aggregateExpressions.head
+    // strip the correlation equality conjuncts out of the inner plan
+    var pairs = Seq.empty[(NamedExpression, NamedExpression)] // (inner, outer)
+    val stripped = agg.child.transform {
+      case Filter(c, ch) =>
+        val (corr, rest) = splitAnd(c).partition(_.exists(_.isInstanceOf[OuterReference]))
+        corr.foreach {
+          case EqualTo(a: AttributeReference, OuterReference(o)) => pairs :+= (a -> o)
+          case EqualTo(OuterReference(o), a: AttributeReference) => pairs :+= (a -> o)
+          case other => throw new UnsupportedPlanException(
+            s"scalar-subquery correlation must be equality conjuncts, got: $other")
+        }
+        rest.reduceOption(And).map(Filter(_, ch)).getOrElse(ch)
+    }
+    if (pairs.isEmpty) throw new UnsupportedPlanException(
+      s"could not extract correlation keys from: ${agg.child}")
+    val keys = pairs.map(_._2.name)
+    // grouped sub-circuit keyed by the correlation columns, renamed to the
+    // outer names so the join lines up
+    val subInc = walk(stripped, sources)
+      .aggregateRows(
+        pairs.map(_._1.name),
+        Seq(toColumn(aggExpr)),
+        pairs.map(_._1.name) :+ aggExpr.name)
+      .select(pairs.map { case (i, o) => col(i.name).as(o.name) } :+
+        col(aggExpr.name).as(valName): _*)
+    // default for outer rows with no matching group = aggregate over empty
+    val spark = org.apache.spark.sql.SparkSession.active
+    val emptySchema = org.apache.spark.sql.types.StructType(stripped.output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    val default = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      .groupBy().agg(toColumn(aggExpr)).head().get(0)
+    val matched = node.join(subInc, keys)
+      .select(carried.map(col) :+ col(valName): _*)
+    val subKeys = subInc.select(keys.map(col): _*).distinct
+    val padded = node.minus(node.join(subKeys, keys))
+      .select(carried.map(col) :+
+        lit(default).cast(aggExpr.dataType).as(valName): _*)
+    matched union padded
   }
 
   /** Correlated EXISTS → (inner circuit projected to the correlation keys

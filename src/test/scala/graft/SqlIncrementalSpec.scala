@@ -309,6 +309,33 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2 === Map("a" -> (3L, 7L), "b" -> (3L, 17L)))
   }
 
+  test("correlated scalar subqueries decorrelate to grouped joins with empty defaults") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S20 (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE U20 (k VARCHAR NOT NULL, w BIGINT NOT NULL);
+        |CREATE VIEW CORR AS
+        |  SELECT k, v, (SELECT COUNT(*) FROM U20 u WHERE u.k = s.k) AS n_match
+        |  FROM S20 s""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val u = StructType(Seq(StructField("k", StringType), StructField("w", LongType)))
+    val r = e.incrementalRunner("CORR")
+    r.step(Map(
+      "S20" -> z(s, Seq("a", 1L, 1L), Seq("b", 2L, 1L), Seq("c", 3L, 1L)),
+      "U20" -> z(u, Seq("a", 10L, 2L), Seq("b", 20L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val m1 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    // c has NO matching group: COUNT over empty = 0, not a dropped row
+    assert(m1 === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
+    // retract b's only match: its count flips to the empty default
+    r.step(Map("U20" -> z(u, Seq("b", 20L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    val m2 = ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(m2 === Map("a" -> 2L, "b" -> 0L, "c" -> 0L))
+  }
+
   test("WITH ... CTE views inline and maintain incrementally") {
     val e = new Engine(spark)
     e.executeScript(
