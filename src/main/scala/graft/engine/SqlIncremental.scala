@@ -48,7 +48,31 @@ object SqlIncremental {
     // Spark lowercases temp-view names in analyzed plans; map back to the
     // declared source spelling so Runner input keys line up.
     val byLower = sources.map(s => s.toLowerCase -> s).toMap
-    walk(analyzed, byLower)
+    walk(inlineCtes(analyzed), byLower)
+  }
+
+  /** Inline every WITH ... CTE before compilation (the optimizer's
+    * InlineCTE does the same; re-anchoring is by name, so the ref/def
+    * exprId mismatch is immaterial). Must traverse INTO subquery
+    * expressions — a CTE referenced inside a scalar subquery is invisible
+    * to a plain transform. A CTE used twice simply appears twice in the
+    * circuit. */
+  private def inlineCtes(p: LogicalPlan): LogicalPlan = {
+    var defs = Map.empty[Long, LogicalPlan]
+    var cur = p.transformUpWithSubqueries {
+      case w: WithCTE =>
+        w.cteDefs.foreach(d => defs += d.id -> d.child)
+        w.plan
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      cur = cur.transformUpWithSubqueries {
+        case r: CTERelationRef if defs.contains(r.cteId) =>
+          changed = true; defs(r.cteId)
+      }
+    }
+    cur
   }
 
   private def walk(plan: LogicalPlan, sources: Map[String, String]): Inc = plan match {
@@ -66,34 +90,8 @@ object SqlIncremental {
         .groupBy(_.exprId).map(_._2.head).toSeq
       if (scalars.isEmpty) walk(child, sources).select(exprs.map(toColumn): _*)
       else {
-        scalars.foreach { s =>
-          if (!s.plan.exists {
-            case Aggregate(g, _, _, _) => g.isEmpty
-            case _ => false
-          }) throw new UnsupportedPlanException(
-            "scalar subqueries must be global aggregates (exactly one row " +
-              s"on any state) for incremental mode, got: ${s.plan.nodeName}")
-        }
-        val nameOf = scalars.zipWithIndex.map { case (s, i) =>
-          s.exprId -> s"__sq$i"
-        }.toMap
-        var node = walk(child, sources)
-        var carried: Seq[String] = child.output.map(_.name)
-        val (correlated, plainScalars) = scalars.partition(_.outerAttrs.nonEmpty)
-        if (plainScalars.nonEmpty) {
-          node = node.select(carried.map(col) :+ lit(1).as("__one"): _*)
-          plainScalars.foreach { s =>
-            val sub = walk(s.plan, sources).select(
-              col(s.plan.output.head.name).as(nameOf(s.exprId)),
-              lit(1).as("__one"))
-            node = node.join(sub, Seq("__one"))
-            carried :+= nameOf(s.exprId)
-          }
-        }
-        correlated.foreach { s =>
-          node = correlatedScalar(node, carried, s, nameOf(s.exprId), sources)
-          carried :+= nameOf(s.exprId)
-        }
+        val (node, nameOf) = attachScalars(
+          walk(child, sources), child.output.map(_.name), scalars, sources)
         val rewritten = exprs.map(_.transform {
           case s: ScalarSubquery =>
             UnresolvedAttribute.quoted(nameOf(s.exprId))
@@ -390,23 +388,9 @@ object SqlIncremental {
     // Views over views: inline the referenced view's plan into the circuit
     case v: View => walk(v.child, sources)
 
-    // WITH ... CTEs: inline each reference with its definition (the
-    // optimizer's InlineCTE does the same; re-anchoring is by name, so the
-    // ref/def exprId mismatch is immaterial). A CTE used twice simply
-    // appears twice in the circuit — Spark caches the shared scan at
-    // execution if worthwhile.
-    case w: WithCTE =>
-      // defs are in declaration order and may reference earlier defs —
-      // inline progressively, then into the main plan
-      val defs = w.cteDefs.foldLeft(Map.empty[Long, LogicalPlan]) {
-        case (acc, d) =>
-          acc + (d.id -> d.child.transformUp {
-            case r: CTERelationRef => acc(r.cteId)
-          })
-      }
-      walk(w.plan.transformUp {
-        case r: CTERelationRef => defs(r.cteId)
-      }, sources)
+    // WITH ... CTEs are inlined by the compile() pre-pass (inlineCtes);
+    // a WithCTE reaching here means compile() was bypassed — inline now.
+    case w: WithCTE => walk(inlineCtes(w), sources)
 
     // Aggregate-OVER windows (DBSPWindowAggregateOperator): a delta only
     // affects results inside its PARTITION BY groups, so the circuit
@@ -478,6 +462,7 @@ object SqlIncremental {
                             sources: Map[String, String]): Inc = {
     var node = walk(child, sources)
     val plain = Seq.newBuilder[Expression]
+    val scalarConjs = Seq.newBuilder[Expression]
     splitAnd(cond).foreach {
       case InSubquery(Seq(v: AttributeReference), lq: ListQuery) =>
         node = node.semiJoin(inColumn(lq, v, sources), Seq(v.name))
@@ -497,7 +482,22 @@ object SqlIncremental {
       case Not(ex: Exists) =>
         val (sub, keys) = decorrelateExists(ex, sources)
         node = node.antiJoin(sub, keys)
+      // comparisons against scalar subqueries (WHERE x > (SELECT AVG ...)):
+      // join the subquery in as a __sqN column, compare, drop the helper
+      case c if c.exists(_.isInstanceOf[ScalarSubquery]) => scalarConjs += c
       case other => plain += other
+    }
+    val withScalars = scalarConjs.result()
+    if (withScalars.nonEmpty) {
+      val scalars = withScalars.flatMap(_.collect { case s: ScalarSubquery => s })
+        .groupBy(_.exprId).map(_._2.head).toSeq
+      val (node2, nameOf) = attachScalars(node, child.output.map(_.name),
+        scalars, sources)
+      val rewritten = withScalars.map(_.transform {
+        case s: ScalarSubquery => UnresolvedAttribute.quoted(nameOf(s.exprId))
+      })
+      node = node2.where(rewritten.map(toColumn).reduce(_ && _))
+        .select(child.output.map(a => col(a.name)): _*) // drop __sq helpers
     }
     plain.result().reduceOption(And)
       .map(c => node.where(toColumn(c))).getOrElse(node)
@@ -509,6 +509,46 @@ object SqlIncremental {
                        sources: Map[String, String]): Inc = {
     val outName = lq.plan.output.head.name
     walk(lq.plan, sources).select(col(outName).as(probe.name))
+  }
+
+  /** Join every scalar subquery's single-row (or per-correlation-group)
+    * circuit onto `node` under a generated column name. Uncorrelated
+    * subqueries join on a constant key; correlated ones decorrelate via
+    * `correlatedScalar`. Returns the augmented circuit (original `carried`
+    * columns plus one `__sqN` per subquery) and the name map. */
+  private def attachScalars(node0: Inc, carried0: Seq[String],
+                            scalars: Seq[ScalarSubquery],
+                            sources: Map[String, String])
+      : (Inc, Map[ExprId, String]) = {
+    scalars.foreach { s =>
+      if (!s.plan.exists {
+        case Aggregate(g, _, _, _) => g.isEmpty
+        case _ => false
+      }) throw new UnsupportedPlanException(
+        "scalar subqueries must be global aggregates (exactly one row " +
+          s"on any state) for incremental mode, got: ${s.plan.nodeName}")
+    }
+    val nameOf = scalars.zipWithIndex.map { case (s, i) =>
+      s.exprId -> s"__sq$i"
+    }.toMap
+    var node = node0
+    var carried = carried0
+    val (correlated, plainScalars) = scalars.partition(_.outerAttrs.nonEmpty)
+    if (plainScalars.nonEmpty) {
+      node = node.select(carried.map(col) :+ lit(1).as("__one"): _*)
+      plainScalars.foreach { s =>
+        val sub = walk(s.plan, sources).select(
+          col(s.plan.output.head.name).as(nameOf(s.exprId)),
+          lit(1).as("__one"))
+        node = node.join(sub, Seq("__one"))
+        carried :+= nameOf(s.exprId)
+      }
+    }
+    correlated.foreach { s =>
+      node = correlatedScalar(node, carried, s, nameOf(s.exprId), sources)
+      carried :+= nameOf(s.exprId)
+    }
+    (node, nameOf)
   }
 
   /** Correlated scalar subquery → decorrelated grouped aggregate joined on

@@ -98,6 +98,28 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Composite SQL-compiled standing view: CTE + grouped aggregate +
+    // uncorrelated scalar subquery (suppliers whose total shipped quantity
+    // beats the average total), maintained through insert + retraction
+    // waves — the dashboard-query shape end-to-end.
+    "q87_incremental_cte_scalar" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      li.limit(0).createOrReplaceTempView("LC")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH t AS (SELECT l_suppkey, SUM(l_quantity) AS total
+                      FROM LC GROUP BY l_suppkey)
+           SELECT l_suppkey, total FROM t
+           WHERE total > (SELECT AVG(total) FROM t)""",
+        Set("LC"))
+      val r = new Runner(s, circuit, Map("LC" -> li.limit(0)))
+      r.step(Map("LC" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("LC" -> ZSet.fromRows(li.filter(col("l_quantity") >= 30))))
+      r.step(Map("LC" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") < 10)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Incremental ROLLUP view compiled from SQL text (Expand is linear;
     // NULL-keyed subtotal groups exercise the null-safe touched-group
     // re-fold) maintained through insert + retraction waves.
@@ -183,6 +205,11 @@ object IncrementalQ {
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
                 CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_quantity >= 10
-         GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q87_incremental_cte_scalar" ->
+      """WITH t AS (SELECT l_suppkey, CAST(SUM(l_quantity) AS DOUBLE) AS total
+                    FROM lineitem WHERE l_quantity >= 10 GROUP BY l_suppkey)
+         SELECT l_suppkey, total FROM t
+         WHERE total > (SELECT AVG(total) FROM t)"""
   )
 }
