@@ -29,12 +29,24 @@ import org.apache.spark.sql.GraftSqlBridge
   * retractions), ROLLUP/CUBE/GROUPING SETS (Expand is linear),
   * UNNEST/explode (Generate is linear), DISTINCT, UNION [ALL],
   * EXCEPT [ALL], INTERSECT [ALL], windows (partitioned: touched-partition
-  * re-fold; global: whole-state re-evaluation), ORDER BY ... LIMIT top-k
-  * views, bare ORDER BY (presentation-only), and subquery aliases /
-  * nested views. Genuinely unsupported shapes — unconditioned cross
-  * joins, LIMIT without ORDER BY, NOT IN over nullable columns,
-  * uncorrelated EXISTS — throw `UnsupportedPlanException` with an
-  * explanation; the fallback is the manual `Incremental` DSL.
+  * re-fold; global: whole-state re-evaluation; computed PARTITION BY
+  * projected below), ORDER BY ... LIMIT top-k views, bare ORDER BY
+  * (presentation-only), WITH ... CTEs (inlined, including refs inside
+  * subquery expressions), scalar subqueries in select lists and filter
+  * predicates (uncorrelated: constant-key join; correlated: decorrelated
+  * grouped join with the aggregate-over-empty default), and subquery
+  * aliases / nested views. Genuinely unsupported shapes — unconditioned
+  * cross joins, LIMIT without ORDER BY, NOT IN over nullable columns,
+  * uncorrelated EXISTS, non-aggregate scalar subqueries — throw
+  * `UnsupportedPlanException` with an explanation; the fallback is the
+  * manual `Incremental` DSL.
+  *
+  * Cost note: each non-linear inner node's delta re-derives its inputs'
+  * batch value from integrated state (the Inc model is stateless);
+  * deeply composite views therefore pay per-step cost proportional to
+  * their non-linear node count. The reference instead stores an output
+  * trace per operator — the natural next step here would be per-node
+  * integral caching in the Runner.
   */
 object SqlIncremental {
 
