@@ -494,9 +494,27 @@ object SqlIncremental {
       case Not(ex: Exists) =>
         val (sub, keys) = decorrelateExists(ex, sources)
         node = node.antiJoin(sub, keys)
+      // multi-column (a, b) IN (SELECT x, y ...): semi join on all columns
+      case InSubquery(vs, lq: ListQuery)
+          if vs.forall(_.isInstanceOf[AttributeReference]) =>
+        val probes = vs.map(_.asInstanceOf[AttributeReference])
+        node = node.semiJoin(inColumns(lq, probes, sources), probes.map(_.name))
+      case Not(InSubquery(vs, lq: ListQuery))
+          if vs.forall(_.isInstanceOf[AttributeReference]) =>
+        val probes = vs.map(_.asInstanceOf[AttributeReference])
+        if (probes.exists(_.nullable) || lq.plan.output.exists(_.nullable))
+          throw new UnsupportedPlanException(
+            "NOT IN over nullable columns is not maintainable as an anti " +
+              "join (3-valued NULL semantics); declare the columns NOT NULL")
+        node = node.antiJoin(inColumns(lq, probes, sources), probes.map(_.name))
       // comparisons against scalar subqueries (WHERE x > (SELECT AVG ...)):
       // join the subquery in as a __sqN column, compare, drop the helper
       case c if c.exists(_.isInstanceOf[ScalarSubquery]) => scalarConjs += c
+      // any other subquery shape would die opaquely inside Spark's
+      // analyzer when the filter executes — reject it up front instead
+      case c if c.exists(_.isInstanceOf[SubqueryExpression]) =>
+        throw new UnsupportedPlanException(
+          s"unsupported subquery shape in filter predicate: $c")
       case other => plain += other
     }
     val withScalars = scalarConjs.result()
@@ -521,6 +539,17 @@ object SqlIncremental {
                        sources: Map[String, String]): Inc = {
     val outName = lq.plan.output.head.name
     walk(lq.plan, sources).select(col(outName).as(probe.name))
+  }
+
+  /** Multi-column IN subquery → circuit with its outputs positionally
+    * renamed to the probe attributes. */
+  private def inColumns(lq: ListQuery, probes: Seq[AttributeReference],
+                        sources: Map[String, String]): Inc = {
+    require(lq.plan.output.size == probes.size, "IN arity mismatch")
+    walk(lq.plan, sources).select(
+      lq.plan.output.zip(probes).map { case (o, p) =>
+        col(o.name).as(p.name)
+      }: _*)
   }
 
   /** Join every scalar subquery's single-row (or per-correlation-group)

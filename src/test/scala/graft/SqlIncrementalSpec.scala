@@ -309,6 +309,32 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2 === Map("a" -> (3L, 7L), "b" -> (3L, 17L)))
   }
 
+  test("multi-column (a,b) IN subqueries lower to multi-key semi/anti joins") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE S21 (k VARCHAR NOT NULL, g BIGINT NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE U21 (k2 VARCHAR NOT NULL, g2 BIGINT NOT NULL);
+        |CREATE VIEW MIN21 AS SELECT k, g, v FROM S21 WHERE (k, g) IN (SELECT k2, g2 FROM U21);
+        |CREATE VIEW MNIN21 AS SELECT k, g, v FROM S21 WHERE (k, g) NOT IN (SELECT k2, g2 FROM U21)""".stripMargin)
+    val s = StructType(Seq(StructField("k", StringType),
+      StructField("g", LongType), StructField("v", LongType)))
+    val u = StructType(Seq(StructField("k2", StringType), StructField("g2", LongType)))
+    val step1 = Map(
+      "S21" -> z(s, Seq("a", 1L, 10L, 1L), Seq("a", 2L, 20L, 1L), Seq("b", 1L, 30L, 1L)),
+      "U21" -> z(u, Seq("a", 1L, 1L), Seq("b", 2L, 1L)))
+    val step2 = Map("U21" -> z(u, Seq("a", 1L, -1L), Seq("b", 1L, 1L)))
+    val rIn = e.incrementalRunner("MIN21")
+    rIn.step(step1); rIn.step(step2)
+    assert(canon(ZSet.consolidate(rIn.output)) === canon(rIn.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(rIn.output)).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet === Set(("b", 1L)))
+    val rNin = e.incrementalRunner("MNIN21")
+    rNin.step(step1); rNin.step(step2)
+    assert(canon(ZSet.consolidate(rNin.output)) === canon(rNin.recompute))
+    assert(ZSet.toRows(ZSet.consolidate(rNin.output)).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet === Set(("a", 1L), ("a", 2L)))
+  }
+
   test("correlated scalar subqueries decorrelate to grouped joins with empty defaults") {
     val e = new Engine(spark)
     e.executeScript(
