@@ -87,6 +87,16 @@ final class Engine(val spark: SparkSession) {
     new graft.streaming.Incremental.Runner(spark, incrementalCircuit(name),
       tables.keys.map(t => t -> emptyFor(t)).toMap)
 
+  /** A SHARED step driver maintaining several views at once over one set
+    * of input integrals — the reference's multi-view circuits (a circuit
+    * catalog registers many output handles; MultiViewTests). Each step
+    * feeds every view's circuit from the same integrated inputs, and any
+    * common traced operators are advanced once. */
+  def incrementalRunner(names: Seq[String]): graft.streaming.Incremental.Runner =
+    new graft.streaming.Incremental.Runner(spark,
+      names.map(n => n -> incrementalCircuit(n)),
+      tables.keys.map(t => t -> emptyFor(t)).toMap)
+
   /** Materialize a view to parquet — the sink operator
     * (DBSPSinkOperator.java:32: every CREATE VIEW is an output handle).
     * On a cluster this is the terminal exchange of the standing query. */

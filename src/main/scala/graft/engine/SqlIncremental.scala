@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, InnerLike, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.GraftSqlBridge
@@ -41,12 +41,12 @@ import org.apache.spark.sql.GraftSqlBridge
   * `UnsupportedPlanException` with an explanation; the fallback is the
   * manual `Incremental` DSL.
   *
-  * Cost note: each non-linear inner node's delta re-derives its inputs'
-  * batch value from integrated state (the Inc model is stateless);
-  * deeply composite views therefore pay per-step cost proportional to
-  * their non-linear node count. The reference instead stores an output
-  * trace per operator — the natural next step here would be per-node
-  * integral caching in the Runner.
+  * Cost note: the Runner stores an output trace per non-linear operator
+  * (the reference's per-operator integrals, IncrementalizeVisitor.java:
+  * 35-63 / OptimizeIncrementalVisitor.java:96-164), so a composite view's
+  * per-step cost is O(|delta| + touched groups) per operator — inner
+  * aggregates and join inputs are read from stored state, never re-derived
+  * from the raw source integrals.
   */
 object SqlIncremental {
 
@@ -295,10 +295,22 @@ object SqlIncremental {
         case a: AttributeReference => rename.getOrElse(a.exprId, a.name)
         case ne => ne.name
       }
-      expandInc.aggregateRows(keys, aggCols, outInternal)
-        .select(outInternal.zip(aggExprs.map(_.name)).map {
-          case (i, f) => col(i).as(f)
-        }: _*)
+      // Weight-linear aggregates (COUNT/SUM/AVG) take the O(|delta|) linear
+      // path; anything else re-folds touched groups exactly. Either way the
+      // aggregate node's output keeps EVERY grouping key (even ones the
+      // view's select list drops, e.g. the raw grouping-id behind a
+      // GROUPING() marker): the node's stored trace is restricted by key to
+      // retract touched groups' previous results, so the keys must be
+      // present in it. The outer linear select projects to the view shape.
+      linearizeAggs(aggExprs, re, keys) match {
+        case Some((comps, finals)) =>
+          expandInc.aggregateLinear(keys, comps).select(finals: _*)
+        case None =>
+          expandInc.aggregateRows(keys, aggCols, (keys ++ outInternal).distinct)
+            .select(outInternal.zip(aggExprs.map(_.name)).map {
+              case (i, f) => col(i).as(f)
+            }: _*)
+      }
 
     case Aggregate(groupExprs, aggExprs, child, _) =>
       // Computed grouping keys (GROUP BY b % 5) are projected below the
@@ -340,8 +352,22 @@ object SqlIncremental {
       // correction circuit — the single group re-folds every step and
       // empty state yields the SQL zero row (reference
       // CalciteToDBSPCompiler.java:349-381).
+      // Keys stay in the aggregate node's output (its trace is key-restricted
+      // for retraction) even when the select list omits them; the outer
+      // select restores the view's declared shape. Weight-linear aggregates
+      // (COUNT/SUM/AVG) take the O(|delta|) linear path.
+      val prepPlain: Expression => Expression = e => e.transform {
+        case x if computed.exists(_._1.semanticEquals(x)) =>
+          UnresolvedAttribute.quoted(computed.find(_._1.semanticEquals(x)).get._2)
+      }
       if (keys.isEmpty) base.aggregateRowsGlobal(aggCols, outOrder)
-      else base.aggregateRows(keys, aggCols, outOrder)
+      else linearizeAggs(aggExprs, prepPlain, keys) match {
+        case Some((comps, finals)) =>
+          base.aggregateLinear(keys, comps).select(finals: _*)
+        case None =>
+          base.aggregateRows(keys, aggCols, (keys ++ outOrder).distinct)
+            .select(outOrder.map(col): _*)
+      }
 
     case Union(children, false, false) =>
       // SQL UNION ALL is positional; the weighted union merges by name —
@@ -460,6 +486,78 @@ object SqlIncremental {
 
     case other => throw new UnsupportedPlanException(
       s"unsupported plan node for incremental mode: ${other.nodeName}")
+  }
+
+  /** Try to lower every aggregate in a select list to weight-linear
+    * components (the reference's linear aggregate path,
+    * AggregateCompiler.java:116-288: COUNT = Σw, SUM(x) = Σ w·x, AVG =
+    * Σw·x / Σw over non-null x) so the circuit can use
+    * `Inc.aggregateLinear` — per-step cost O(|delta|), no child-state
+    * scans. Returns the component aggregate columns plus one finalize
+    * Column per output expression, or None when any aggregate needs the
+    * exact re-fold path (MIN/MAX, DISTINCT aggregates, FILTER clauses,
+    * decimal sums — their merge semantics differ). SUM's NULL-over-empty is
+    * preserved by pairing each sum with a non-null-count component.
+    * `prep` pre-rewrites expressions (internal renames / computed-key
+    * substitution); finalize expressions may only reference `keyNames`,
+    * the generated components, and the group-weight column `__gw`. */
+  private def linearizeAggs(aggExprs: Seq[NamedExpression],
+                            prep: Expression => Expression,
+                            keyNames: Seq[String])
+      : Option[(Seq[(String, Column)], Seq[Column])] = {
+    import org.apache.spark.sql.functions.{sum, when}
+    import org.apache.spark.sql.types._
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    def fresh(c: Column): String = {
+      val n = s"__lc${comps.size}"; comps += n -> c; n
+    }
+    val w = col(graft.zset.ZSet.W)
+    def nonNullCnt(x: Column): Column =
+      sum(when(x.isNotNull, w).otherwise(lit(0L)))
+    def linearType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => true
+      case _ => false
+    }
+    def asExpr(c: Column): Expression =
+      org.apache.spark.sql.GraftSqlBridge.toExpressionTree(c)
+    var ok = true
+    val finals = aggExprs.map { ne =>
+      val lowered = prep(ne).transform {
+        case ae: AggregateExpression =>
+          if (ae.isDistinct || ae.filter.isDefined) { ok = false; ae }
+          else ae.aggregateFunction match {
+            case c: Count if c.children.isEmpty || c.children.forall(_.foldable) =>
+              UnresolvedAttribute.quoted("__gw")
+            case c: Count if c.children.size == 1 =>
+              UnresolvedAttribute.quoted(
+                fresh(nonNullCnt(toColumn(c.children.head))))
+            case s: Sum if linearType(s.child.dataType) =>
+              val x = toColumn(s.child)
+              val sumN = fresh(sum(x * w))
+              val cntN = fresh(nonNullCnt(x))
+              // SQL SUM is NULL over zero non-null rows; a merged component
+              // sum cannot tell that apart from a sum equal to 0
+              asExpr(when(col(cntN) > lit(0L), col(sumN)).otherwise(lit(null)))
+            case a: Average if linearType(a.child.dataType) =>
+              val x = toColumn(a.child).cast("double")
+              val sumN = fresh(sum(x * w))
+              val cntN = fresh(nonNullCnt(x))
+              // cnt = 0 → NULL via non-ANSI division, exactly AVG-over-empty
+              asExpr(col(sumN) / col(cntN))
+            case _ => ok = false; ae
+          }
+      }
+      // finalize may only read grouping keys, components, and __gw
+      val allowed = (keyNames ++ comps.map(_._1) :+ "__gw").map(_.toLowerCase).toSet
+      val refs = lowered.collect {
+        case a: AttributeReference => a.name.toLowerCase
+        case u: UnresolvedAttribute => u.name.toLowerCase
+      }
+      if (!refs.forall(allowed.contains)) ok = false
+      toColumn(lowered).as(ne.name)
+    }
+    if (ok) Some((comps.toSeq, finals)) else None
   }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {

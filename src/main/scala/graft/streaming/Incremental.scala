@@ -4,6 +4,8 @@ import graft.zset.ZSet
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Incremental view maintenance over weighted-delta DataFrames — the
   * reference's distinctive layer (§4.2 of SURVEY.md).
   *
@@ -11,222 +13,411 @@ import org.apache.spark.sql.functions._
   * (integrate) and sinks in D (differentiate)
   * (backend/optimize/IncrementalizeVisitor.java:35-63), then pushes the
   * integrals through **linear** operators unchanged and replaces I∘op with
-  * dedicated incremental operators for the non-linear ones
+  * dedicated *stateful* incremental operators for the non-linear ones
   * (OptimizeIncrementalVisitor.java:37-178: join :96-108, distinct :139-149,
-  * aggregate :152-164). We implement the same algebra directly:
+  * aggregate :152-164). Each such operator owns a stored **trace** — the
+  * integral of its own output stream (DBSPIntegralOperator.java:31; the DBSP
+  * runtime keeps a trace per join/aggregate/distinct operator). We implement
+  * the same algebra AND the same state model:
   *
-  *  - linear ops (map/filter/negate/union/minus): delta in → delta out;
+  *  - linear ops (map/filter/negate/union/minus): delta in → delta out,
+  *    stateless;
   *  - bilinear join: Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB
-  *    (DBSPIncrementalJoinOperator.java:35);
-  *  - aggregate / distinct: re-fold only the groups touched by the delta
-  *    against integrated state, emitting retractions of their previous
-  *    results (DBSPIncrementalAggregateOperator.java:35,
-  *    DBSPIncrementalDistinctOperator.java:31). Negative weights can shrink
+  *    (DBSPIncrementalJoinOperator.java:35) — A and B read from stored
+  *    traces, never re-derived;
+  *  - aggregate / distinct / top-k / window: re-fold only the groups touched
+  *    by the delta against the child's stored trace, and retract those
+  *    groups' previous results by reading them from the operator's OWN
+  *    output trace (DBSPIncrementalAggregateOperator.java:35,
+  *    DBSPIncrementalDistinctOperator.java:31) — so neither the old child
+  *    state nor the old results are recomputed. Negative weights can shrink
   *    MIN/MAX, so re-folding affected groups — not streaming accumulation —
-  *    is the only correct general strategy (SURVEY §7.4 risk 2).
+  *    remains the only correct general strategy (SURVEY §7.4 risk 2).
   *
-  * A node is (batch, delta): `batch` evaluates the operator over full
-  * integrated inputs; `delta` produces the output delta for one step given
-  * the *pre-step* integrated inputs and the step's input deltas. Batch ≡
-  * incremental equivalence (the reference's NaiveIncrementalTests.java:35
-  * axis) then holds by construction and is asserted in
-  * IncrementalEquivalenceSpec.
+  * A circuit is a DAG of `Inc` nodes. Each node exposes `batch` (full
+  * recompute over integrated inputs — the equivalence oracle) and a per-step
+  * `deltaEval` evaluated inside a `StepCtx` that memoizes every node's delta
+  * (shared sub-circuits are computed once per step) and serves pre-step
+  * values from the Runner's stored traces. Batch ≡ incremental equivalence
+  * (the reference's NaiveIncrementalTests.java:35 axis) holds by induction —
+  * trace(X) after k steps telescopes to X.batch(integrated inputs) — and is
+  * asserted in IncrementalEquivalenceSpec.
   *
   * Scale: each step's work is O(|delta| + touched groups), never O(state).
-  * State lives in consolidated Z-set DataFrames; on a cluster these would be
-  * checkpointed tables (Delta/parquet) merged per micro-batch via
-  * foreachBatch — here they are persisted DataFrames, re-consolidated each
-  * step so lineage stays O(1) deep.
+  * State (input integrals + operator traces) lives in consolidated Z-set
+  * DataFrames; on a cluster these are checkpointed tables (Delta/parquet)
+  * merged per micro-batch via foreachBatch — here they are persisted
+  * DataFrames, re-consolidated adaptively so lineage stays O(1) deep. One
+  * Runner maintains N sink views over ONE set of input integrals and shared
+  * traces — the reference's multi-view catalogs (MultiViewTests; a circuit
+  * registers many output handles).
   */
 object Incremental {
 
   type Inputs = Map[String, DataFrame] // name → Z-set (weighted)
 
-  /** A circuit node: full-recompute semantics + per-step delta semantics. */
-  final case class Inc(
-      batch: Inputs => DataFrame,
-      delta: (Inputs, Inputs) => DataFrame) {
+  /** Per-step evaluation context: pre-step input integrals, the step's
+    * input deltas, the Runner's stored traces, and a per-node delta memo so
+    * shared sub-circuits contribute one computation per step. */
+  final class StepCtx private[streaming] (
+      pre: Inputs,
+      stepDeltas: Inputs,
+      trace: Long => Option[DataFrame]) {
+    private val memo = mutable.LongMap.empty[DataFrame]
+    private[streaming] def inputValue(name: String): DataFrame = pre(name)
+    private[streaming] def inputDelta(name: String): DataFrame = stepDeltas(name)
+    private[streaming] def deltaOf(n: Inc): DataFrame =
+      memo.getOrElseUpdate(n.id, n.deltaEval(this))
+    /** Pre-step value of `n`: the stored trace when the Runner keeps one,
+      * else recomputed through the cheap linear pass-through chain down to
+      * source integrals / traced operators. */
+    private[streaming] def valueOf(n: Inc): DataFrame =
+      trace(n.id).getOrElse(n.valueEval(this))
+    /** The node's own stored output integral (stateful operators retract
+      * previous results from it instead of recomputing them). */
+    private[streaming] def traceOf(n: Inc): DataFrame =
+      trace(n.id).getOrElse(throw new IllegalStateException(
+        s"stateful node ${n.id} has no stored trace — Runner marking bug"))
+  }
+
+  /** A circuit node. Combinators build the DAG; the Runner walks it, places
+    * traces on the stateful (non-linear) operators, and drives steps. */
+  sealed abstract class Inc {
+    private[streaming] val id: Long = Inc.ids.getAndIncrement()
+    private[streaming] def kids: Seq[Inc]
+    /** Children whose PRE-STEP VALUE this node's delta reads — these drive
+      * the Runner's trace placement (the incrementalizer's I-insertion,
+      * IncrementalizeVisitor.java:35-63). */
+    private[streaming] def valueDeps: Seq[Inc] = Seq.empty
+    /** True for operators that retract from their own output trace. */
+    private[streaming] def ownTrace: Boolean = false
+
+    /** Full-recompute semantics over integrated inputs (the oracle). */
+    def batch(in: Inputs): DataFrame
+
+    /** This step's output delta, evaluated against pre-step traces. */
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame
+
+    /** Pre-step value when the Runner stores no trace for this node: only
+      * linear chains and sources are evaluated this way (cheap — map-side
+      * over cached integrals). Non-linear nodes consulted for value always
+      * get a trace from the Runner's marking pass. */
+    private[streaming] def valueEval(ctx: StepCtx): DataFrame =
+      throw new IllegalStateException(
+        s"node $id consulted for value without a stored trace")
+
+    // ---- combinators (the circuit-building API) --------------------------
 
     /** Linear unary op lifted to both modes (map/filter/negate/…). */
-    def linear(f: DataFrame => DataFrame): Inc =
-      Inc(in => f(batch(in)), (i, d) => f(delta(i, d)))
+    def linear(f: DataFrame => DataFrame): Inc = Linear(this, f)
 
     def select(exprs: Column*): Inc = linear(ZSet.map(_)(exprs: _*))
     def where(cond: Column): Inc = linear(_.filter(cond))
     def negate: Inc = linear(ZSet.negate)
 
     /** Weighted union (n-ary sum operator is linear). */
-    def union(other: Inc): Inc = Inc(
-      in => ZSet.plus(batch(in), other.batch(in)),
-      (i, d) => ZSet.plus(delta(i, d), other.delta(i, d)))
-
+    def union(other: Inc): Inc = SumN(Seq(this, other))
     def minus(other: Inc): Inc = union(other.negate)
 
     /** Bilinear incremental equi-join:
-      * Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB. */
-    def join(other: Inc, keys: Seq[String]): Inc = Inc(
-      in => ZSet.join(batch(in), other.batch(in), keys),
-      (i, d) => {
-        val a = batch(i); val b = other.batch(i)
-        val da = delta(i, d); val db = other.delta(i, d)
-        ZSet.plus(
-          ZSet.join(da, b, keys),
-          ZSet.join(a, db, keys),
-          ZSet.join(da, db, keys))
-      })
+      * Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, with A and B served from stored
+      * traces (DBSPIncrementalJoinOperator.java:35). */
+    def join(other: Inc, keys: Seq[String]): Inc = JoinInc(this, other, keys)
 
-    /** Incremental grouped aggregate: re-fold only groups present in the
-      * delta; emit (new result) − (old result) for those groups. */
-    def aggregate(keys: Seq[String], aggs: (String, Column)*): Inc = Inc(
-      in => ZSet.fromRows(ZSet.aggregate(batch(in), keys, aggs: _*)),
-      (i, d) => {
-        val oldChild = batch(i)
-        val dChild = delta(i, d)
-        val newChild = ZSet.plus(oldChild, dChild)
-        val touched = dChild.select(keys.map(col): _*).distinct()
-        def refold(child: DataFrame) =
-          ZSet.aggregate(
-            Incremental.touchedOnly(child, touched, keys),
-            keys, aggs: _*)
-        ZSet.minus(
-          ZSet.fromRows(refold(newChild)),
-          ZSet.fromRows(refold(oldChild)))
-      })
-
-    /** Incremental SEMI join: rows of this side with ≥1 match in `other`
-      * — the bilinear join against other's distinct key set, which
-      * preserves this side's multiplicities (SEMI/ANTI are how Calcite
-      * lowers EXISTS/IN upstream of the reference, which itself throws
-      * Unimplemented for them — CalciteToDBSPCompiler.java:571-572; we
-      * support them compositionally). */
-    def semiJoin(other: Inc, keys: Seq[String]): Inc = {
-      import org.apache.spark.sql.functions.col
-      join(other.select(keys.map(col): _*).distinct, keys)
-    }
-
-    /** Incremental ANTI join: this side minus its semi join. */
-    def antiJoin(other: Inc, keys: Seq[String]): Inc =
-      minus(semiJoin(other, keys))
+    /** Incremental grouped aggregate (weight-linear folds: COUNT = Σw,
+      * SUM = Σ w·x): re-fold only groups present in the delta; retract
+      * those groups' previous results from the own output trace. */
+    def aggregate(keys: Seq[String], aggs: (String, Column)*): Inc =
+      AggW(this, keys, aggs)
 
     /** Incremental grouped aggregate over *expanded* rows: consolidates
-      * state, expands weights back to row multiplicity, and applies plain
-      * Spark aggregate columns — so ANY aggregate function (MIN/MAX/AVG/
-      * percentiles/…) is exact under retractions, at the cost of the
-      * expansion. Only groups touched by the delta are re-folded.
-      * `outOrder` fixes the output column order (keys and aggregates as
-      * the original query listed them). */
+      * touched state, expands weights back to row multiplicity, and applies
+      * plain Spark aggregate columns — so ANY aggregate function (MIN/MAX/
+      * AVG/percentiles/…) is exact under retractions. Only touched groups
+      * re-fold; previous results come from the own trace. `outOrder` fixes
+      * the output column order. */
     def aggregateRows(keys: Seq[String], aggCols: Seq[Column],
                       outOrder: Seq[String]): Inc = {
       require(keys.nonEmpty, "aggregateRows needs grouping keys")
-      def fold(child: DataFrame): DataFrame = {
-        val rows = ZSet.toRows(ZSet.consolidate(child))
-        rows.groupBy(keys.map(col): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(outOrder.map(col): _*)
-      }
-      Inc(
-        in => ZSet.fromRows(fold(batch(in))),
-        (i, d) => {
-          val oldChild = batch(i)
-          val dChild = delta(i, d)
-          val touched = dChild.select(keys.map(col): _*).distinct()
-          def out(child: DataFrame) = ZSet.fromRows(fold(
-            Incremental.touchedOnly(child, touched, keys)))
-          ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
-        })
+      require(keys.forall(outOrder.contains),
+        s"aggregateRows output must carry its grouping keys (trace " +
+          s"retraction is key-restricted): keys=$keys out=$outOrder")
+      AggRows(this, keys, aggCols, outOrder)
+    }
+
+    /** Weight-LINEAR incremental grouped aggregate (the reference's linear
+      * aggregate path, AggregateCompiler.java:116-231: COUNT = Σw,
+      * SUM(x) = Σ w·x): every component is a group-wise SUM of a row
+      * expression × weight, so the step delta is computed by aggregating
+      * ONLY the input delta and merging the component sums with the
+      * previous results read from the own trace — per-step cost O(|delta|),
+      * with no scan of the child state at all (the reason this node has no
+      * valueDeps and its child needs no trace). The node's output carries
+      * the components plus a `__gw` group-weight column (the group-liveness
+      * bit: a group exists while Σw ≠ 0); callers project/finalize with a
+      * linear select on top. Component NULL semantics are the SQL ones a
+      * plain `sum` has (all-NULL → NULL) — callers needing SUM's
+      * NULL-on-empty must pair each sum with a non-null-count component
+      * and finalize with `when(cnt > 0, s)`. */
+    def aggregateLinear(keys: Seq[String], comps: Seq[(String, Column)]): Inc = {
+      require(keys.nonEmpty, "aggregateLinear needs grouping keys")
+      AggLinear(this, keys, comps)
     }
 
     /** Incremental GLOBAL aggregate (no grouping keys). The single group is
       * touched by every delta, so each step re-folds the whole consolidated
-      * state — the cost a global standing aggregate fundamentally has under
-      * arbitrary retractions (MIN/MAX can shrink). Empty input emits the
-      * SQL zero row (COUNT=0, SUM=NULL): Spark's global `groupBy().agg`
+      * child state — the cost a global standing aggregate fundamentally has
+      * under arbitrary retractions (MIN/MAX can shrink) — but the previous
+      * result is read from the own trace, not recomputed. Empty input emits
+      * the SQL zero row (COUNT=0, SUM=NULL): Spark's global `groupBy().agg`
       * does this natively, which is the reference's empty-input correction
-      * circuit — constant zero row + retraction when the first row arrives
-      * (CalciteToDBSPCompiler.java:349-381) — expressed as a re-fold. The
-      * Runner seeds the output integral with Q(∅) so the integral of
-      * deltas telescopes to Q(state). */
-    def aggregateRowsGlobal(aggCols: Seq[Column], outOrder: Seq[String]): Inc = {
-      def fold(child: DataFrame): DataFrame =
-        ZSet.toRows(ZSet.consolidate(child))
-          .groupBy()
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(outOrder.map(col): _*)
-      Inc(
-        in => ZSet.fromRows(fold(batch(in))),
-        (i, d) => {
-          val oldChild = batch(i)
-          ZSet.minus(
-            ZSet.fromRows(fold(ZSet.plus(oldChild, delta(i, d)))),
-            ZSet.fromRows(fold(oldChild)))
-        })
-    }
+      * circuit (CalciteToDBSPCompiler.java:349-381); the Runner seeds the
+      * trace with Q(∅) so the integral of deltas telescopes to Q(state). */
+    def aggregateRowsGlobal(aggCols: Seq[Column], outOrder: Seq[String]): Inc =
+      AggGlobal(this, aggCols, outOrder)
 
     /** Whole-state re-evaluation: compute `eval` over the consolidated new
-      * state and retract the previous evaluation. The per-step cost is one
-      * `eval` over state ×2 — only correct to use for operators whose
-      * output is a small function of the whole input, e.g. ORDER BY/LIMIT
-      * top-k (the reference re-aggregates sorts into a sorted Vec the same
-      * way, visitSort :980-1048). At scale the eval is TakeOrdered-shaped:
-      * a scan + per-partition top-k + k-row reduce, no full sort. */
-    def reevaluate(eval: DataFrame => DataFrame): Inc = Inc(
-      in => ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(batch(in))))),
-      (i, d) => {
-        val oldChild = batch(i)
-        def out(child: DataFrame) =
-          ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(child))))
-        ZSet.minus(out(ZSet.plus(oldChild, delta(i, d))), out(oldChild))
-      })
+      * state and retract the previous evaluation — read from the own trace,
+      * so the per-step cost is ONE `eval` over state (the reference
+      * re-aggregates sorts into a sorted Vec the same way, visitSort
+      * :980-1048). Only correct for operators whose output is a small
+      * function of the whole input, e.g. ORDER BY/LIMIT top-k; at scale the
+      * eval is TakeOrdered-shaped: per-partition top-k + a k-row reduce. */
+    def reevaluate(eval: DataFrame => DataFrame): Inc = Reeval(this, eval)
 
     /** Incremental partitioned window aggregate
       * (DBSPWindowAggregateOperator.java:34-39 participates in incremental
-      * circuits via OptimizeIncrementalVisitor:53-93): a delta only
-      * changes results inside the partitions it touches, so re-evaluate
-      * the window over those partitions of the new state and retract
-      * their previous results. Cost per step: O(touched partitions), not
-      * O(state). `eval` receives the consolidated positive rows of the
-      * child and must return one result row per input row. */
+      * circuits via OptimizeIncrementalVisitor:53-93): a delta only changes
+      * results inside the partitions it touches, so re-evaluate the window
+      * over those partitions of the new state and retract their previous
+      * results from the own trace. Cost per step: O(touched partitions).
+      * `eval` receives consolidated positive rows of the child and must
+      * return one result row per input row. */
     def windowAggregate(partitionKeys: Seq[String])
-                       (eval: DataFrame => DataFrame): Inc = Inc(
-      in => ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(batch(in))))),
-      (i, d) => {
-        val oldChild = batch(i)
-        val dChild = delta(i, d)
-        val touched = dChild.select(partitionKeys.map(col): _*).distinct()
-        def out(child: DataFrame) =
-          ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(
-            Incremental.touchedOnly(child, touched, partitionKeys)))))
-        ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
-      })
+                       (eval: DataFrame => DataFrame): Inc =
+      WindowAgg(this, partitionKeys, eval)
 
-    /** Nonlinear per-row re-evaluation shared by distinct and positive
-      * part: re-derive only the rows the delta touches, retract their
-      * previous derivation. */
-    private def rowRefold(derive: DataFrame => DataFrame): Inc = Inc(
-      in => derive(batch(in)),
-      (i, d) => {
-        val oldChild = batch(i)
-        val dChild = delta(i, d)
-        val names = dChild.columns.filterNot(_ == ZSet.W).toSeq
-        val touched = dChild.select(names.map(col): _*).distinct()
-        def out(child: DataFrame) =
-          derive(Incremental.touchedOnly(child, touched, names))
-        ZSet.minus(out(ZSet.plus(oldChild, dChild)), out(oldChild))
-      })
-
-    /** Incremental distinct: re-evaluate presence only for touched rows. */
-    def distinct: Inc = rowRefold(ZSet.distinct)
+    /** Incremental distinct: re-derive presence only for touched rows;
+      * previous presence read from the own trace
+      * (DBSPIncrementalDistinctOperator.java:31). */
+    def distinct: Inc = Refold(this, ZSet.distinct)
 
     /** Incremental positive part (EXCEPT ALL's clamp): max(0, w) copies of
       * each touched row survive. */
-    def positivePart: Inc = rowRefold(ZSet.positive)
+    def positivePart: Inc = Refold(this, ZSet.positive)
+
+    /** Incremental SEMI join: rows of this side with ≥1 match in `other` —
+      * the bilinear join against other's distinct key set (a small traced
+      * state), which preserves this side's multiplicities (SEMI/ANTI are
+      * how Calcite lowers EXISTS/IN upstream of the reference, which itself
+      * throws Unimplemented for them — CalciteToDBSPCompiler.java:571-572;
+      * we support them compositionally). */
+    def semiJoin(other: Inc, keys: Seq[String]): Inc =
+      join(other.select(keys.map(col): _*).distinct, keys)
+
+    /** Incremental ANTI join: this side minus its semi join. */
+    def antiJoin(other: Inc, keys: Seq[String]): Inc =
+      minus(semiJoin(other, keys))
   }
 
-  /** Input node: its delta is the step's delta for `name`; its batch value
-    * is the integral of everything fed so far. */
-  def source(name: String): Inc = Inc(
-    in => in(name),
-    (_, d) => d(name))
+  private object Inc {
+    val ids = new java.util.concurrent.atomic.AtomicLong()
+  }
+
+  /** Input node: its delta is the step's delta for `name`; its value is the
+    * Runner's input integral (the I the incrementalizer places on sources). */
+  def source(name: String): Inc = Source(name)
+
+  // ---- node implementations ----------------------------------------------
+
+  private[streaming] final case class Source(name: String) extends Inc {
+    def kids: Seq[Inc] = Nil
+    def batch(in: Inputs): DataFrame = in(name)
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = ctx.inputDelta(name)
+    override private[streaming] def valueEval(ctx: StepCtx): DataFrame =
+      ctx.inputValue(name)
+  }
+
+  private[streaming] final case class Linear(child: Inc, f: DataFrame => DataFrame)
+      extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    def batch(in: Inputs): DataFrame = f(child.batch(in))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = f(ctx.deltaOf(child))
+    override private[streaming] def valueEval(ctx: StepCtx): DataFrame =
+      f(ctx.valueOf(child))
+  }
+
+  private[streaming] final case class SumN(children: Seq[Inc]) extends Inc {
+    def kids: Seq[Inc] = children
+    def batch(in: Inputs): DataFrame = ZSet.plus(children.map(_.batch(in)): _*)
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame =
+      ZSet.plus(children.map(ctx.deltaOf): _*)
+    override private[streaming] def valueEval(ctx: StepCtx): DataFrame =
+      ZSet.plus(children.map(ctx.valueOf): _*)
+  }
+
+  private[streaming] final case class JoinInc(left: Inc, right: Inc,
+                                              keys: Seq[String]) extends Inc {
+    def kids: Seq[Inc] = Seq(left, right)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    def batch(in: Inputs): DataFrame =
+      ZSet.join(left.batch(in), right.batch(in), keys)
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      val a = ctx.valueOf(left); val b = ctx.valueOf(right)
+      val da = ctx.deltaOf(left); val db = ctx.deltaOf(right)
+      ZSet.plus(
+        ZSet.join(da, b, keys),
+        ZSet.join(a, db, keys),
+        ZSet.join(da, db, keys))
+    }
+    // Reached only if this join's value is consulted but the Runner chose
+    // not to trace it (never, per marking) — correct O(state) fallback.
+    override private[streaming] def valueEval(ctx: StepCtx): DataFrame =
+      ZSet.join(ctx.valueOf(left), ctx.valueOf(right), keys)
+  }
+
+  private[streaming] final case class AggW(child: Inc, keys: Seq[String],
+                                           aggs: Seq[(String, Column)]) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    override private[streaming] def ownTrace: Boolean = true
+    private def fold(z: DataFrame): DataFrame =
+      ZSet.fromRows(ZSet.aggregate(z, keys, aggs: _*))
+    def batch(in: Inputs): DataFrame = fold(child.batch(in))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      val dChild = ctx.deltaOf(child)
+      val touched = dChild.select(keys.map(col): _*).distinct()
+      val newChild = ZSet.plus(ctx.valueOf(child), dChild)
+      ZSet.minus(
+        fold(touchedOnly(newChild, touched, keys)),
+        ZSet.consolidate(touchedOnly(ctx.traceOf(this), touched, keys)))
+    }
+  }
+
+  private[streaming] final case class AggRows(child: Inc, keys: Seq[String],
+                                              aggCols: Seq[Column],
+                                              outOrder: Seq[String]) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    override private[streaming] def ownTrace: Boolean = true
+    private def fold(z: DataFrame): DataFrame =
+      ZSet.fromRows(
+        ZSet.toRows(ZSet.consolidate(z))
+          .groupBy(keys.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(outOrder.map(col): _*))
+    def batch(in: Inputs): DataFrame = fold(child.batch(in))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      val dChild = ctx.deltaOf(child)
+      val touched = dChild.select(keys.map(col): _*).distinct()
+      val newChild = ZSet.plus(ctx.valueOf(child), dChild)
+      ZSet.minus(
+        fold(touchedOnly(newChild, touched, keys)),
+        ZSet.consolidate(touchedOnly(ctx.traceOf(this), touched, keys)))
+    }
+  }
+
+  /** Weight-linear grouped aggregate: components are group-wise sums, so
+    * old ⊕ Δ merges by addition. Output schema: keys ++ comps ++ __gw. */
+  private[streaming] final case class AggLinear(child: Inc, keys: Seq[String],
+                                                comps: Seq[(String, Column)]) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def ownTrace: Boolean = true
+    private val GW = "__gw"
+    private def raw(z: DataFrame): DataFrame = {
+      val cols = comps.map { case (n, c) => c.as(n) } :+ sum(col(ZSet.W)).as(GW)
+      z.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
+    def batch(in: Inputs): DataFrame =
+      ZSet.fromRows(raw(child.batch(in)).filter(col(GW) =!= 0))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      // the only input-sized operation: one aggregation of the delta
+      val dComp = raw(ctx.deltaOf(child))
+      val touched = dComp.select(keys.map(col): _*).distinct()
+      val oldZ = ZSet.consolidate(touchedOnly(ctx.traceOf(this), touched, keys))
+      // merge old component rows with the delta's components (sums add;
+      // a group stays alive while its merged Σw ≠ 0)
+      val mergeCols =
+        comps.map { case (n, _) => sum(col(n)).as(n) } :+ sum(col(GW)).as(GW)
+      val merged = ZSet.toRows(oldZ).unionByName(dComp)
+        .groupBy(keys.map(col): _*)
+        .agg(mergeCols.head, mergeCols.tail: _*)
+        .filter(col(GW) =!= 0)
+      ZSet.minus(ZSet.fromRows(merged), oldZ)
+    }
+  }
+
+  private[streaming] final case class AggGlobal(child: Inc, aggCols: Seq[Column],
+                                                outOrder: Seq[String]) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    override private[streaming] def ownTrace: Boolean = true
+    private def fold(z: DataFrame): DataFrame =
+      ZSet.fromRows(
+        ZSet.toRows(ZSet.consolidate(z))
+          .groupBy()
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(outOrder.map(col): _*))
+    def batch(in: Inputs): DataFrame = fold(child.batch(in))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame =
+      ZSet.minus(
+        fold(ZSet.plus(ctx.valueOf(child), ctx.deltaOf(child))),
+        ZSet.consolidate(ctx.traceOf(this)))
+  }
+
+  private[streaming] final case class Reeval(child: Inc,
+                                             eval: DataFrame => DataFrame) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    override private[streaming] def ownTrace: Boolean = true
+    private def out(z: DataFrame): DataFrame =
+      ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(z))))
+    def batch(in: Inputs): DataFrame = out(child.batch(in))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame =
+      ZSet.minus(
+        out(ZSet.plus(ctx.valueOf(child), ctx.deltaOf(child))),
+        ZSet.consolidate(ctx.traceOf(this)))
+  }
+
+  private[streaming] final case class WindowAgg(child: Inc, partKeys: Seq[String],
+                                                eval: DataFrame => DataFrame) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    override private[streaming] def ownTrace: Boolean = true
+    private def out(z: DataFrame): DataFrame =
+      ZSet.fromRows(eval(ZSet.toRows(ZSet.consolidate(z))))
+    def batch(in: Inputs): DataFrame = out(child.batch(in))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      val dChild = ctx.deltaOf(child)
+      val touched = dChild.select(partKeys.map(col): _*).distinct()
+      val newChild = ZSet.plus(ctx.valueOf(child), dChild)
+      ZSet.minus(
+        out(touchedOnly(newChild, touched, partKeys)),
+        ZSet.consolidate(touchedOnly(ctx.traceOf(this), touched, partKeys)))
+    }
+  }
+
+  /** Nonlinear per-row re-derivation shared by distinct and positive part:
+    * re-derive only the rows the delta touches; previous derivations read
+    * from the own trace. */
+  private[streaming] final case class Refold(child: Inc,
+                                             derive: DataFrame => DataFrame) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    override private[streaming] def ownTrace: Boolean = true
+    def batch(in: Inputs): DataFrame = derive(child.batch(in))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      val dChild = ctx.deltaOf(child)
+      val names = dChild.columns.filterNot(_ == ZSet.W).toSeq
+      val touched = dChild.select(names.map(col): _*).distinct()
+      val newChild = ZSet.plus(ctx.valueOf(child), dChild)
+      ZSet.minus(
+        derive(touchedOnly(newChild, touched, names)),
+        ZSet.consolidate(touchedOnly(ctx.traceOf(this), touched, names)))
+    }
+  }
+
+  // ---- shared helpers -----------------------------------------------------
 
   /** Restrict `child` to rows whose key columns match a touched-key row,
     * with NULL-SAFE equality: grouping treats NULL as a value (a rollup
@@ -256,92 +447,246 @@ object Incremental {
     if (est <= threshold) broadcast(df) else df
   }
 
-  /** Step-driver: integrates input deltas and the output stream, asserting
-    * the DBSP contract out = D(Q(I(in))). Used by tests and as the v1
-    * runtime for incremental views.
+  /** Step-driver maintaining N sink views over one set of input integrals
+    * and shared per-operator traces — the circuit runtime. Asserts the DBSP
+    * contract out = D(Q(I(in))) per view.
     *
-    * State maintenance is adaptive: each step appends the delta as a union
-    * (no shuffle) and weights merge downstream wherever state is consumed.
-    * A full consolidation — the only shuffling O(state) operation — runs
-    * when the lazily-unioned row count exceeds twice the last consolidated
-    * base (so a stream of small deltas consolidates rarely, while catch-up
-    * deltas comparable to the state consolidate before the next re-fold
-    * reads them), or every `consolidateEvery` steps as a lineage bound —
-    * mirroring DBSP's background trace merges. Each new state is
-    * materialized into the block cache and its superseded predecessor is
-    * unpersisted, so storage memory stays O(current state) instead of
-    * growing linearly with step count. */
-  final class Runner(spark: SparkSession, query: Inc,
+    * State model (the reference's, re-expressed): the Runner stores
+    *  - one integral per input table (the I on sources),
+    *  - one output trace per stateful operator (the traces inside
+    *    DBSP's incremental join/aggregate/distinct operators),
+    *  - one output integral per sink whose root operator is stateless.
+    * A step computes every node's delta ONCE (memoized; shared sub-circuits
+    * are shared), advances each touched state by its own delta, and
+    * materializes ALL new states in a SINGLE Spark job (no per-state count
+    * barriers — the job both populates the caches and yields the sizes the
+    * consolidation heuristic needs).
+    *
+    * State maintenance is adaptive: each advance appends the delta as a
+    * union (no shuffle); a full consolidation — the only shuffling O(state)
+    * operation — runs when the cached size of the lazily-unioned state
+    * exceeds twice its last consolidated base, or after `consolidateEvery`
+    * advances as a lineage bound — mirroring DBSP's background trace
+    * merges. Superseded states are unpersisted so storage stays O(current
+    * state). */
+  final class Runner(val spark: SparkSession, roots: Seq[(String, Inc)],
                      schemas: Map[String, DataFrame],
                      consolidateEvery: Int = 8) {
-    /** Integrated inputs (lazily-unioned Z-sets). */
-    private var integrated: Inputs =
-      schemas.map { case (n, df) => n -> ZSet.fromRows(df.limit(0)) }
-    /** Integrated output, seeded with Q(∅): for most queries that is the
-      * empty Z-set, but a global aggregate's Q(∅) is the zero row
-      * (COUNT=0, SUM=NULL) — the reference's empty-input correction
-      * (CalciteToDBSPCompiler.java:349-381). Seeding makes the integral of
-      * per-step deltas telescope to Q(state) exactly. */
-    private var outState: Option[DataFrame] = Some(query.batch(integrated))
-    private var steps = 0
-    /** Row count of each state at its last consolidation. */
-    private val baseRows = scala.collection.mutable.Map.empty[String, Long]
 
-    /** Persist + materialize the advanced state; consolidate if the lazy
-      * union has outgrown its consolidated base; release the predecessor. */
-    private def advance(name: String, z: DataFrame, compact: Boolean,
-                        superseded: Option[DataFrame]): DataFrame = {
-      val lazyState = z.persist()
-      val rows = lazyState.count() // narrow scan: cached parent + delta
-      val result =
-        if (compact || rows > 2L * math.max(baseRows.getOrElse(name, 0L), 1L)) {
-          val c = ZSet.consolidate(lazyState).persist()
-          baseRows(name) = c.count()
-          lazyState.unpersist(false)
-          c
-        } else lazyState
-      superseded.foreach(_.unpersist(false))
-      result
+    /** Single-view runner (sink named "__out"). */
+    def this(spark: SparkSession, query: Inc, schemas: Map[String, DataFrame]) =
+      this(spark, Seq("__out" -> query), schemas)
+    def this(spark: SparkSession, query: Inc, schemas: Map[String, DataFrame],
+             consolidateEvery: Int) =
+      this(spark, Seq("__out" -> query), schemas, consolidateEvery)
+
+    require(roots.nonEmpty, "Runner needs at least one sink view")
+    private val rootOf: Map[String, Inc] = roots.toMap
+    private val primary: String = roots.head._1
+
+    /** Deterministic node order (DFS from the sinks, declaration order) —
+      * stable across identical circuit rebuilds, so checkpoint state keys
+      * survive a process restart. */
+    private val nodes: Seq[Inc] = {
+      val seen = mutable.LinkedHashMap.empty[Long, Inc]
+      def dfs(n: Inc): Unit = if (!seen.contains(n.id)) {
+        seen(n.id) = n; n.kids.foreach(dfs)
+      }
+      roots.foreach { case (_, r) => dfs(r) }
+      seen.values.toSeq
+    }
+    private val nodeKey: Map[Long, Int] = nodes.map(_.id).zipWithIndex.toMap
+
+    /** Source tables reachable below each node — a step that feeds no
+      * source of a subtree cannot change that subtree's output (its delta
+      * is the zero Z-set), so untouched traces are left as-is. */
+    private val sourcesBelow: Map[Long, Set[String]] = {
+      val m = mutable.Map.empty[Long, Set[String]]
+      def go(n: Inc): Set[String] = m.getOrElseUpdate(n.id, n match {
+        case Source(nm) => Set(nm)
+        case _ => n.kids.flatMap(go).toSet
+      })
+      nodes.foreach(go)
+      m.toMap
     }
 
-    /** Feed one step of input deltas (weighted); returns the output delta. */
-    def step(deltas: Inputs): DataFrame = {
-      val full = integrated.map { case (n, z) =>
+    /** Trace placement (the incrementalizer's I-insertion): every operator
+      * that retracts from its own output, plus every non-linear operator
+      * whose pre-step value a parent consults (value consultation passes
+      * through linear chains and sources for free). */
+    private val tracedIds: Set[Long] = {
+      val t = mutable.Set.empty[Long]
+      nodes.foreach(n => if (n.ownTrace) t += n.id)
+      def mark(n: Inc): Unit = if (!t.contains(n.id)) n match {
+        case Linear(c, _) => mark(c)
+        case SumN(cs)     => cs.foreach(mark)
+        case _: Source    => ()
+        case other        => t += other.id // stateless non-linear (join)
+      }
+      nodes.foreach(_.valueDeps.foreach(mark))
+      t.toSet
+    }
+    private def tracedNodes: Seq[Inc] = nodes.filter(n => tracedIds(n.id))
+
+    private val emptyInputs: Inputs =
+      schemas.map { case (n, df) => n -> ZSet.fromRows(df.limit(0)) }
+
+    /** Integrated inputs (lazily-unioned Z-sets). */
+    private var integrated: Inputs = emptyInputs
+    /** Stored traces: node id → integral of that node's output deltas,
+      * seeded with the node's Q(∅) — for most operators the empty Z-set,
+      * but a global aggregate's Q(∅) is the zero row (COUNT=0, SUM=NULL),
+      * the reference's empty-input correction
+      * (CalciteToDBSPCompiler.java:349-381). Seeding makes each trace
+      * telescope to the node's batch value exactly. */
+    private var traces: Map[Long, DataFrame] =
+      tracedNodes.map(n => n.id -> n.batch(emptyInputs)).toMap
+    /** Output integrals for sinks whose root is stateless (a traced root's
+      * output IS its trace). */
+    private var outs: Map[String, DataFrame] =
+      roots.filterNot { case (_, r) => tracedIds(r.id) }
+        .map { case (nm, r) => nm -> r.batch(emptyInputs) }.toMap
+
+    /** Previous step's persisted deltas, released at the next step. */
+    private var lastDeltas: Seq[DataFrame] = Nil
+    /** Cached size (bytes) of each state at its last consolidation. */
+    private val baseSize = mutable.Map.empty[String, Long]
+    /** Advances since each state's last consolidation (lineage bound). */
+    private val pending = mutable.Map.empty[String, Int]
+
+    private def inKey(name: String) = s"in_$name"
+    private def outKey(name: String) = s"out_$name"
+    private def traceKey(id: Long) = s"trace_${nodeKey(id)}"
+
+    /** Feed one step of input deltas (weighted); returns the primary
+      * sink's output delta. */
+    def step(deltas: Inputs): DataFrame = stepAll(deltas)(primary)
+
+    /** Feed one step of input deltas; returns every sink's output delta. */
+    def stepAll(deltas: Inputs): Map[String, DataFrame] = {
+      val unknown = deltas.keySet -- integrated.keySet
+      require(unknown.isEmpty, s"deltas for undeclared inputs: $unknown")
+      val active = deltas.keySet
+      val full: Inputs = integrated.map { case (n, z) =>
+        // limit(0) over the cached state optimizes to an empty LocalRelation,
+        // so Catalyst's PropagateEmptyRelation prunes every untouched branch
+        // out of the step's plans.
         n -> deltas.getOrElse(n, z.limit(0))
       }
-      val d = query.delta(integrated, full).persist()
-      steps += 1
-      val compact = steps % consolidateEvery == 0
-      // Advance the output FIRST: its count materializes d (which reads the
-      // pre-step input states) into the cache, so the input advances below
-      // can safely unpersist those superseded states — and the separate
-      // `d.count()` barrier a naive protocol pays is free.
-      outState = Some(advance("__out", outState match {
-        case Some(o) => ZSet.plus(o, d)
-        case None    => d
-      }, compact, outState))
-      integrated = integrated.map { case (n, z) =>
-        n -> advance(n, ZSet.plus(z, full(n)), compact, Some(z))
+      val ctx = new StepCtx(integrated, full, id => traces.get(id))
+
+      // Every sink's delta; the memo fills every interior node's delta too.
+      val rootDeltas: Map[String, DataFrame] =
+        roots.map { case (nm, r) => nm -> ctx.deltaOf(r) }.toMap
+      def touchedNode(n: Inc): Boolean = sourcesBelow(n.id).exists(active)
+
+      // Advance each touched state by its own delta (lazy unions).
+      val advTraces: Seq[(Inc, DataFrame)] =
+        tracedNodes.filter(touchedNode).map(n => n -> ctx.deltaOf(n))
+      val newTraces: Map[Long, DataFrame] =
+        advTraces.map { case (n, d) => n.id -> ZSet.plus(traces(n.id), d) }.toMap
+      val newOuts: Map[String, DataFrame] = outs.collect {
+        case (nm, o) if touchedNode(rootOf(nm)) =>
+          nm -> ZSet.plus(o, rootDeltas(nm))
       }
-      d
+      val newInputs: Inputs =
+        active.map(n => n -> ZSet.plus(integrated(n), full(n))).toMap
+
+      // Persist the step's deltas + all advanced states; materialize them
+      // in ONE job (cache population + sizes, no per-state count barrier).
+      val stepDeltas: Seq[DataFrame] =
+        (rootDeltas.values ++ advTraces.map(_._2)).toSeq.distinct
+      val advanced: Seq[(String, DataFrame)] =
+        newTraces.toSeq.map { case (id, df) => traceKey(id) -> df } ++
+          newOuts.toSeq.map { case (nm, df) => outKey(nm) -> df } ++
+          newInputs.toSeq.map { case (nm, df) => inKey(nm) -> df }
+      stepDeltas.foreach(_.persist())
+      advanced.foreach(_._2.persist())
+      materialize(stepDeltas ++ advanced.map(_._2))
+
+      // Consolidate states whose lazy union outgrew its base (or on the
+      // lineage bound); one extra job total, only when something is due.
+      val settled: Map[String, DataFrame] = {
+        val due = advanced.filter { case (k, df) =>
+          pending(k) = pending.getOrElse(k, 0) + 1
+          val size = cachedSizeBytes(df)
+          if (!baseSize.contains(k)) { baseSize(k) = math.max(size, 1L); false }
+          else pending(k) >= consolidateEvery || size > 2L * baseSize(k)
+        }
+        val compacted = due.map { case (k, df) =>
+          k -> ZSet.consolidate(df).persist()
+        }
+        materialize(compacted.map(_._2))
+        compacted.foreach { case (k, c) =>
+          baseSize(k) = math.max(cachedSizeBytes(c), 1L)
+          pending(k) = 0
+        }
+        val byKey = compacted.toMap
+        byKey.keys.foreach(k => advanced.find(_._1 == k).foreach(_._2.unpersist(false)))
+        advanced.toMap ++ byKey
+      }
+
+      // Swap in the new states; release superseded ones and the previous
+      // step's deltas (the current step's stay cached for the caller).
+      val superseded =
+        advTraces.map { case (n, _) => traces(n.id) } ++
+          newOuts.keys.map(outs) ++ newInputs.keys.map(integrated) ++ lastDeltas
+      traces = traces ++ newTraces.keys.map(id => id -> settled(traceKey(id)))
+      outs = outs ++ newOuts.keys.map(nm => nm -> settled(outKey(nm)))
+      integrated = integrated ++ newInputs.keys.map(nm => nm -> settled(inKey(nm)))
+      superseded.foreach(_.unpersist(false))
+      lastDeltas = stepDeltas
+      rootDeltas
     }
 
-    /** Integral of all output deltas so far, including the Q(∅) seed
+    /** Integral of a sink's output deltas so far, including the Q(∅) seed
       * (weights merged lazily by the consumer — wrap in ZSet.consolidate
       * for canonical rows). */
-    def output: DataFrame = outState.get
+    def output(name: String): DataFrame = {
+      val r = rootOf.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown sink $name (have ${roots.map(_._1).mkString(", ")})"))
+      if (tracedIds(r.id)) traces(r.id) else outs(name)
+    }
+    def output: DataFrame = output(primary)
 
-    /** Persist consolidated state to parquet so maintenance can resume in
-      * a later session/process — the durable-state-table shape a cluster
+    /** Full recompute over the integrated inputs — the equivalence oracle. */
+    def recompute(name: String): DataFrame =
+      ZSet.consolidate(rootOf(name).batch(integrated))
+    def recompute: DataFrame = recompute(primary)
+
+    /** One Spark job materializing every given cached plan (populates the
+      * block-manager caches; InMemoryRelation's accumulators then carry the
+      * sizes the consolidation heuristic reads — no per-state actions). */
+    private def materialize(dfs: Seq[DataFrame]): Unit = if (dfs.nonEmpty) {
+      val rdds = dfs.map(_.queryExecution.toRdd.map(_ => ()))
+      spark.sparkContext.union(rdds).count()
+    }
+
+    /** Post-materialization cached size of a persisted DataFrame, from the
+      * InMemoryRelation's size accumulator (no job). Falls back to the
+      * optimizer estimate if cache substitution didn't apply. */
+    private def cachedSizeBytes(df: DataFrame): Long = {
+      val stats = df.queryExecution.withCachedData.collectFirst {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.stats.sizeInBytes
+      }.getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+      if (stats > Long.MaxValue) Long.MaxValue else stats.toLong
+    }
+
+    /** Persist consolidated state to parquet so maintenance can resume in a
+      * later session/process — the durable-state-table shape a cluster
       * deployment uses (checkpoint per micro-batch via foreachBatch).
+      * Writes the input integrals, every operator trace, and stateless-root
+      * output integrals under deterministic names (the DFS node order, so a
+      * rebuilt identical circuit restores into the same slots).
       *
       * Each table is written to a temp dir and swapped in, and the live
       * state is re-anchored onto the freshly written files: after a
       * restore, the state's lineage points INTO the checkpoint dir, and
-      * overwriting files that lazy plans still reference would re-apply
-      * the step's delta on any cache miss. Re-anchoring also cuts the
-      * lineage to any foreachBatch micro-batch DataFrame, which is only
-      * valid during its batch. */
+      * overwriting files that lazy plans still reference would re-apply the
+      * step's delta on any cache miss. Re-anchoring also cuts the lineage
+      * to any foreachBatch micro-batch DataFrame, which is only valid
+      * during its batch. */
     def checkpoint(dir: String): Unit = {
       def writeSwap(df: DataFrame, dest: String): Unit = {
         val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -352,29 +697,24 @@ object Incremental {
         fs.delete(d, true)
         fs.rename(tmp, d)
       }
-      integrated.foreach { case (n, z) =>
-        writeSwap(ZSet.consolidate(z), s"$dir/in_$n")
-      }
-      writeSwap(ZSet.consolidate(output), s"$dir/out")
-      val superseded = integrated.values.toSeq ++ outState.toSeq
-      integrated = integrated.map { case (n, _) =>
-        n -> spark.read.parquet(s"$dir/in_$n")
-      }
-      outState = Some(spark.read.parquet(s"$dir/out"))
-      baseRows.clear()
+      integrated.foreach { case (n, z) => writeSwap(ZSet.consolidate(z), s"$dir/${inKey(n)}") }
+      outs.foreach { case (n, o) => writeSwap(ZSet.consolidate(o), s"$dir/${outKey(n)}") }
+      traces.foreach { case (id, t) => writeSwap(ZSet.consolidate(t), s"$dir/${traceKey(id)}") }
+      val superseded = integrated.values.toSeq ++ outs.values ++ traces.values
+      integrated = integrated.map { case (n, _) => n -> spark.read.parquet(s"$dir/${inKey(n)}") }
+      outs = outs.map { case (n, _) => n -> spark.read.parquet(s"$dir/${outKey(n)}") }
+      traces = traces.map { case (id, _) => id -> spark.read.parquet(s"$dir/${traceKey(id)}") }
+      baseSize.clear(); pending.clear()
       superseded.foreach(_.unpersist(false))
     }
 
-    /** Resume from a checkpoint written by `checkpoint`. */
+    /** Resume from a checkpoint written by `checkpoint` (same circuit
+      * structure — node slots match by deterministic DFS order). */
     def restore(dir: String): Unit = {
-      integrated = integrated.map { case (n, _) =>
-        n -> spark.read.parquet(s"$dir/in_$n")
-      }
-      outState = Some(spark.read.parquet(s"$dir/out"))
-      steps = 0
+      integrated = integrated.map { case (n, _) => n -> spark.read.parquet(s"$dir/${inKey(n)}") }
+      outs = outs.map { case (n, _) => n -> spark.read.parquet(s"$dir/${outKey(n)}") }
+      traces = traces.map { case (id, _) => id -> spark.read.parquet(s"$dir/${traceKey(id)}") }
+      baseSize.clear(); pending.clear()
     }
-
-    /** Full recompute over the integrated inputs — the equivalence oracle. */
-    def recompute: DataFrame = ZSet.consolidate(query.batch(integrated))
   }
 }
