@@ -68,6 +68,11 @@ object Incremental {
     private[streaming] def inputDelta(name: String): DataFrame = stepDeltas(name)
     private[streaming] def deltaOf(n: Inc): DataFrame =
       memo.getOrElseUpdate(n.id, n.deltaEval(this))
+    /** Replace a node's memoized delta with its materialized re-anchored
+      * frame, so every parent planned afterwards composes against an O(1)
+      * leaf instead of embedding this node's full delta tree. */
+    private[streaming] def setDelta(n: Inc, df: DataFrame): Unit =
+      memo(n.id) = df
     /** Pre-step value of `n`: the stored trace when the Runner keeps one,
       * else recomputed through the cheap linear pass-through chain down to
       * source integrals / traced operators. */
@@ -222,6 +227,17 @@ object Incremental {
 
   private object Inc {
     val ids = new java.util.concurrent.atomic.AtomicLong()
+  }
+
+  private object Runner {
+    /** Shared daemon pool for concurrent state materialization. */
+    lazy val materializeEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+          val t = new Thread(r, "graft-materialize")
+          t.setDaemon(true)
+          t
+        }))
   }
 
   /** Input node: its delta is the step's delta for `name`; its value is the
@@ -471,7 +487,8 @@ object Incremental {
     * state). */
   final class Runner(val spark: SparkSession, roots: Seq[(String, Inc)],
                      schemas: Map[String, DataFrame],
-                     consolidateEvery: Int = 8) {
+                     consolidateEvery: Int = 8,
+                     adaptiveDeltas: Boolean = false) {
 
     /** Single-view runner (sink named "__out"). */
     def this(spark: SparkSession, query: Inc, schemas: Map[String, DataFrame]) =
@@ -528,6 +545,34 @@ object Incremental {
     }
     private def tracedNodes: Seq[Inc] = nodes.filter(n => tracedIds(n.id))
 
+    /** Traced nodes immediately below each node: a node's delta tree
+      * extends down to its nearest traced descendants (whose deltas are
+      * materialized + re-anchored before any parent plans against them). */
+    private val nearestTracedBelow: Map[Long, Set[Long]] = {
+      val m = mutable.Map.empty[Long, Set[Long]]
+      def below(n: Inc): Set[Long] =
+        m.getOrElseUpdate(n.id, n.kids.flatMap { k =>
+          if (tracedIds(k.id)) Set(k.id) else below(k)
+        }.toSet)
+      nodes.foreach(below)
+      m.toMap
+    }
+    /** Materialization wave per traced node (1 = no traced descendants):
+      * wave k's deltas are planned only after wave k-1's are anchored, so
+      * every delta plan is a shallow tree over cached leaves — the DBSP
+      * execution model (each operator computes its delta once per step,
+      * parents consume stored results, never re-derivations). */
+    private val waveOf: Map[Long, Int] = {
+      val m = mutable.Map.empty[Long, Int]
+      def wave(id: Long): Int = {
+        if (!m.contains(id))
+          m(id) = 1 + nearestTracedBelow(id).map(wave).maxOption.getOrElse(0)
+        m(id)
+      }
+      tracedIds.foreach(wave)
+      m.toMap
+    }
+
     private val emptyInputs: Inputs =
       schemas.map { case (n, df) => n -> ZSet.fromRows(df.limit(0)) }
 
@@ -547,26 +592,83 @@ object Incremental {
       roots.filterNot { case (_, r) => tracedIds(r.id) }
         .map { case (nm, r) => nm -> r.batch(emptyInputs) }.toMap
 
-    /** Previous step's persisted deltas, released at the next step. */
+    /** Refcounts over the persisted frames backing live state unions and
+      * caller-held deltas (identity-keyed — DataFrames don't define value
+      * equality); a frame's cache entry is released when its last reference
+      * drops. */
+    private val refs = new java.util.IdentityHashMap[DataFrame, Integer]()
+    private def incref(df: DataFrame): Unit =
+      refs.put(df, Integer.valueOf(Option(refs.get(df)).fold(0)(_.intValue) + 1))
+    private def decref(df: DataFrame): Unit = {
+      val n = Option(refs.get(df)).fold(0)(_.intValue) - 1
+      if (n <= 0) { refs.remove(df); df.unpersist(false) }
+      else refs.put(df, Integer.valueOf(n))
+    }
+    /** Previous step's deltas (one reference held for the caller, released
+      * at the next step). */
     private var lastDeltas: Seq[DataFrame] = Nil
-    /** Cached size (bytes) of each state at its last consolidation. */
+    /** Per state key, the persisted constituent frames backing its current
+      * lazy union (the compacted base + the anchored deltas appended since);
+      * all released together when the state compacts. */
+    private val constituents = mutable.Map.empty[String, List[DataFrame]]
+    /** Cached size (bytes) of each state at its last compaction. */
     private val baseSize = mutable.Map.empty[String, Long]
-    /** Advances since each state's last consolidation (lineage bound). */
+    /** Cached bytes of deltas appended since each state's last compaction. */
+    private val accSize = mutable.Map.empty[String, Long]
+    /** Advances since each state's last compaction (lineage bound). */
     private val pending = mutable.Map.empty[String, Int]
 
     private def inKey(name: String) = s"in_$name"
     private def outKey(name: String) = s"out_$name"
     private def traceKey(id: Long) = s"trace_${nodeKey(id)}"
+    private val idByTraceKey: Map[String, Long] =
+      nodes.map(n => traceKey(n.id) -> n.id).toMap
+
+    private def stateByKey(k: String): DataFrame =
+      if (k.startsWith("in_")) integrated(k.stripPrefix("in_"))
+      else if (k.startsWith("out_")) outs(k.stripPrefix("out_"))
+      else traces(idByTraceKey(k))
+    private def setState(k: String, df: DataFrame): Unit =
+      if (k.startsWith("in_")) integrated += k.stripPrefix("in_") -> df
+      else if (k.startsWith("out_")) outs += k.stripPrefix("out_") -> df
+      else traces += idByTraceKey(k) -> df
 
     /** Feed one step of input deltas (weighted); returns the primary
       * sink's output delta. */
     def step(deltas: Inputs): DataFrame = stepAll(deltas)(primary)
+
+    private val debugTiming = sys.env.contains("GRAFT_STEP_DEBUG")
+    private def phase[A](label: String)(f: => A): A =
+      if (!debugTiming) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"STEPPHASE $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
 
     /** Feed one step of input deltas; returns every sink's output delta. */
     def stepAll(deltas: Inputs): Map[String, DataFrame] = {
       val unknown = deltas.keySet -- integrated.keySet
       require(unknown.isEmpty, s"deltas for undeclared inputs: $unknown")
       val active = deltas.keySet
+
+      // Compact states whose appended deltas outgrew their base (union
+      // > 2× the last compacted size) or that hit the lineage bound —
+      // decided from the PREVIOUS step's sizes and swapped in lazily here,
+      // so the compaction (the only O(state) shuffle) executes inside the
+      // SAME parallel pass as this step's deltas: every delta plan that
+      // reads the state populates/reads the one cache entry.
+      val compacts: Map[String, DataFrame] = phase("compact-plans") {
+        constituents.keys.filter { k =>
+          pending.getOrElse(k, 0) >= consolidateEvery ||
+            accSize.getOrElse(k, 0L) > math.max(baseSize.getOrElse(k, 0L), 1L)
+        }.map { k =>
+          val c = ZSet.consolidate(stateByKey(k)).persist()
+          setState(k, c)
+          k -> c
+        }.toMap
+      }
+
       val full: Inputs = integrated.map { case (n, z) =>
         // limit(0) over the cached state optimizes to an empty LocalRelation,
         // so Catalyst's PropagateEmptyRelation prunes every untouched branch
@@ -576,67 +678,73 @@ object Incremental {
       val ctx = new StepCtx(integrated, full, id => traces.get(id))
 
       // Every sink's delta; the memo fills every interior node's delta too.
-      val rootDeltas: Map[String, DataFrame] =
+      val rootDeltas: Map[String, DataFrame] = phase("delta-plans") {
         roots.map { case (nm, r) => nm -> ctx.deltaOf(r) }.toMap
+      }
       def touchedNode(n: Inc): Boolean = sourcesBelow(n.id).exists(active)
 
-      // Advance each touched state by its own delta (lazy unions).
+      // This step's deltas are the ONLY plans that get planned + executed:
+      // each is persisted, computed once (one parallel pass + one union
+      // job), and re-anchored onto its computed RDD as a LogicalRDD leaf.
+      // Raw input deltas are included so every node delta that embeds them
+      // is served from cache, and the input integrals advance from the
+      // same anchored leaf.
       val advTraces: Seq[(Inc, DataFrame)] =
         tracedNodes.filter(touchedNode).map(n => n -> ctx.deltaOf(n))
-      val newTraces: Map[Long, DataFrame] =
-        advTraces.map { case (n, d) => n.id -> ZSet.plus(traces(n.id), d) }.toMap
-      val newOuts: Map[String, DataFrame] = outs.collect {
-        case (nm, o) if touchedNode(rootOf(nm)) =>
-          nm -> ZSet.plus(o, rootDeltas(nm))
-      }
-      val newInputs: Inputs =
-        active.map(n => n -> ZSet.plus(integrated(n), full(n))).toMap
-
-      // Persist the step's deltas + all advanced states; materialize them
-      // in ONE job (cache population + sizes, no per-state count barrier).
+      val inputDeltas: Seq[(String, DataFrame)] =
+        active.toSeq.map(n => n -> full(n))
       val stepDeltas: Seq[DataFrame] =
-        (rootDeltas.values ++ advTraces.map(_._2)).toSeq.distinct
-      val advanced: Seq[(String, DataFrame)] =
-        newTraces.toSeq.map { case (id, df) => traceKey(id) -> df } ++
-          newOuts.toSeq.map { case (nm, df) => outKey(nm) -> df } ++
-          newInputs.toSeq.map { case (nm, df) => inKey(nm) -> df }
+        (rootDeltas.values ++ advTraces.map(_._2) ++ inputDeltas.map(_._2))
+          .toSeq.distinct
       stepDeltas.foreach(_.persist())
-      advanced.foreach(_._2.persist())
-      materialize(stepDeltas ++ advanced.map(_._2))
-
-      // Consolidate states whose lazy union outgrew its base (or on the
-      // lineage bound); one extra job total, only when something is due.
-      val settled: Map[String, DataFrame] = {
-        val due = advanced.filter { case (k, df) =>
-          pending(k) = pending.getOrElse(k, 0) + 1
-          val size = cachedSizeBytes(df)
-          if (!baseSize.contains(k)) { baseSize(k) = math.max(size, 1L); false }
-          else pending(k) >= consolidateEvery || size > 2L * baseSize(k)
-        }
-        val compacted = due.map { case (k, df) =>
-          k -> ZSet.consolidate(df).persist()
-        }
-        materialize(compacted.map(_._2))
-        compacted.foreach { case (k, c) =>
-          baseSize(k) = math.max(cachedSizeBytes(c), 1L)
-          pending(k) = 0
-        }
-        val byKey = compacted.toMap
-        byKey.keys.foreach(k => advanced.find(_._1 == k).foreach(_._2.unpersist(false)))
-        advanced.toMap ++ byKey
+      phase("materialize")(materialize(stepDeltas ++ compacts.values))
+      val anchorOf: Map[DataFrame, DataFrame] = phase("reanchor") {
+        stepDeltas.map(df =>
+          df -> org.apache.spark.sql.GraftSqlBridge.reanchor(df)).toMap
       }
 
-      // Swap in the new states; release superseded ones and the previous
-      // step's deltas (the current step's stay cached for the caller).
-      val superseded =
-        advTraces.map { case (n, _) => traces(n.id) } ++
-          newOuts.keys.map(outs) ++ newInputs.keys.map(integrated) ++ lastDeltas
-      traces = traces ++ newTraces.keys.map(id => id -> settled(traceKey(id)))
-      outs = outs ++ newOuts.keys.map(nm => nm -> settled(outKey(nm)))
-      integrated = integrated ++ newInputs.keys.map(nm => nm -> settled(inKey(nm)))
-      superseded.foreach(_.unpersist(false))
+      // Settle the compactions now that they're materialized: re-anchor,
+      // release every constituent they folded in, reset bookkeeping.
+      compacts.foreach { case (k, c) =>
+        baseSize(k) = math.max(cachedSizeBytes(c), 1L)
+        accSize(k) = 0L
+        pending(k) = 0
+        constituents(k).foreach(decref)
+        incref(c)
+        constituents(k) = List(c)
+        setState(k, org.apache.spark.sql.GraftSqlBridge.reanchor(c))
+      }
+
+      // Advance each touched state as a LAZY union of its previous value
+      // and the anchored delta leaf — nothing to plan, nothing to run; the
+      // delta's cache entry is pinned (refcounted — deltas are shared
+      // across states) until a compaction folds it into the state's base.
+      // (key, new state union, this step's constituent original)
+      val advancedStates: Seq[(String, DataFrame, DataFrame)] =
+        advTraces.map { case (n, d) =>
+          (traceKey(n.id), ZSet.plus(traces(n.id), anchorOf(d)), d)
+        } ++
+          outs.collect {
+            case (nm, o) if touchedNode(rootOf(nm)) =>
+              (outKey(nm), ZSet.plus(o, anchorOf(rootDeltas(nm))), rootDeltas(nm))
+          } ++
+          inputDeltas.map { case (nm, d) =>
+            (inKey(nm), ZSet.plus(integrated(nm), anchorOf(d)), d)
+          }
+      advancedStates.foreach { case (k, st, d) =>
+        incref(d)
+        constituents(k) = constituents.getOrElse(k, Nil) :+ d
+        pending(k) = pending.getOrElse(k, 0) + 1
+        accSize(k) = accSize.getOrElse(k, 0L) + cachedSizeBytes(d)
+        setState(k, st)
+      }
+
+      // One reference on this step's deltas is held for the caller and
+      // released at the next step.
+      stepDeltas.foreach(incref)
+      lastDeltas.foreach(decref)
       lastDeltas = stepDeltas
-      rootDeltas
+      rootDeltas.map { case (nm, d) => nm -> anchorOf(d) }
     }
 
     /** Integral of a sink's output deltas so far, including the Q(∅) seed
@@ -656,10 +764,45 @@ object Incremental {
 
     /** One Spark job materializing every given cached plan (populates the
       * block-manager caches; InMemoryRelation's accumulators then carry the
-      * sizes the consolidation heuristic reads — no per-state actions). */
+      * sizes the consolidation heuristic reads — no per-state actions).
+      *
+      * RDD construction runs in parallel: under AQE, building a cached
+      * plan's RDD executes its shuffle stages as eager blocking jobs
+      * (AdaptiveSparkPlanExec.getFinalPhysicalPlan), so a serial loop over
+      * N states pays N× the stage latency; concurrent submission lets the
+      * scheduler overlap them (the multi-threaded-driver pattern Spark
+      * documents — on a cluster this is N concurrent job groups). */
     private def materialize(dfs: Seq[DataFrame]): Unit = if (dfs.nonEmpty) {
-      val rdds = dfs.map(_.queryExecution.toRdd.map(_ => ()))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = Runner.materializeEc
+      // Delta/compaction plans are built over WARM state: cached frames
+      // whose sizes are known (broadcastIfSmall decides broadcasts from
+      // actual cached stats), so AQE's runtime re-planning buys nothing
+      // here while costing a re-optimization pass plus a blocking job
+      // round PER SHUFFLE STAGE per plan — the per-micro-batch latency
+      // floor. Planning these passes non-adaptively lets the single union
+      // job run every stage of every delta concurrently. Cold-scan-heavy
+      // deployments can re-enable with adaptiveDeltas=true.
+      val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      if (!adaptiveDeltas) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+      val rdds = Await.result(
+        Future.sequence(dfs.zipWithIndex.map { case (df, i) => Future {
+          val t0 = System.nanoTime()
+          val r = df.queryExecution.toRdd.map(_ => ())
+          if (debugTiming)
+            println(f"STEPPHASE   toRdd-$i%-8d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          r
+        }}),
+        Duration.Inf)
+      val t1 = System.nanoTime()
       spark.sparkContext.union(rdds).count()
+      if (debugTiming)
+        println(f"STEPPHASE   union-job        ${(System.nanoTime() - t1) / 1e9}%7.2f s (${dfs.size} states)")
+      } finally {
+        if (!adaptiveDeltas) spark.conf.set("spark.sql.adaptive.enabled", prior)
+      }
     }
 
     /** Post-materialization cached size of a persisted DataFrame, from the
@@ -700,12 +843,19 @@ object Incremental {
       integrated.foreach { case (n, z) => writeSwap(ZSet.consolidate(z), s"$dir/${inKey(n)}") }
       outs.foreach { case (n, o) => writeSwap(ZSet.consolidate(o), s"$dir/${outKey(n)}") }
       traces.foreach { case (id, t) => writeSwap(ZSet.consolidate(t), s"$dir/${traceKey(id)}") }
-      val superseded = integrated.values.toSeq ++ outs.values ++ traces.values
       integrated = integrated.map { case (n, _) => n -> spark.read.parquet(s"$dir/${inKey(n)}") }
       outs = outs.map { case (n, _) => n -> spark.read.parquet(s"$dir/${outKey(n)}") }
       traces = traces.map { case (id, _) => id -> spark.read.parquet(s"$dir/${traceKey(id)}") }
-      baseSize.clear(); pending.clear()
-      superseded.foreach(_.unpersist(false))
+      releaseAll()
+    }
+
+    /** Drop every cache reference (states now anchor on durable storage). */
+    private def releaseAll(): Unit = {
+      constituents.values.flatten.foreach(decref)
+      constituents.clear()
+      lastDeltas.foreach(decref)
+      lastDeltas = Nil
+      baseSize.clear(); accSize.clear(); pending.clear()
     }
 
     /** Resume from a checkpoint written by `checkpoint` (same circuit
@@ -714,7 +864,7 @@ object Incremental {
       integrated = integrated.map { case (n, _) => n -> spark.read.parquet(s"$dir/${inKey(n)}") }
       outs = outs.map { case (n, _) => n -> spark.read.parquet(s"$dir/${outKey(n)}") }
       traces = traces.map { case (id, _) => id -> spark.read.parquet(s"$dir/${traceKey(id)}") }
-      baseSize.clear(); pending.clear()
+      releaseAll()
     }
   }
 }

@@ -18,6 +18,20 @@ object GraftSqlBridge {
   def toExpressionTree(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Re-anchor a persisted + already-materialized DataFrame onto its
+    * computed internal-row RDD as a `LogicalRDD` leaf (the same mechanism
+    * `Dataset.checkpoint` uses — stats/partitioning/ordering carry over).
+    * The returned frame has an O(1)-depth plan, so standing state that is
+    * advanced by union every step stops growing the analyzer/optimizer's
+    * per-step work. The ORIGINAL frame owns the cache entry: keep it
+    * pinned until the re-anchored state is superseded. */
+  def reanchor(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = false))
+  }
+
   /** Register a session-scoped SQL function whose body is composed from
     * Column expressions (stays fully codegen'd — this is NOT a UDF). */
   def registerSqlFunction(spark: SparkSession, name: String,
