@@ -20,9 +20,13 @@ import org.apache.spark.sql.GraftSqlBridge
   * `Incremental.Inc` circuit over the named source tables.
   *
   * Supported plan shapes: source scans, Project, Filter (including
-  * EXISTS / [NOT] IN subquery predicates, lowered to semi/anti circuits),
+  * EXISTS / [NOT] IN subquery predicates, lowered to semi/anti circuits —
+  * correlated EXISTS may mix equality keys with inequality residuals, and
+  * NOT IN over nullable columns takes the null-aware 3VL circuit),
   * joins of every type with arbitrary equi keys and residual predicates
-  * (single-sided conjuncts pushed below the join), grouped aggregates
+  * (single-sided conjuncts pushed below inner joins; outer-join residuals
+  * pad "unmatched after residual" via null-safe row-value matching),
+  * grouped aggregates
   * over plain or computed keys and keyless (global) aggregates with the
   * empty-input zero row (any Spark aggregate function — groups re-fold
   * from consolidated state, so non-linear MIN/MAX/AVG are exact under
@@ -36,10 +40,10 @@ import org.apache.spark.sql.GraftSqlBridge
   * predicates (uncorrelated: constant-key join; correlated: decorrelated
   * grouped join with the aggregate-over-empty default), and subquery
   * aliases / nested views. Genuinely unsupported shapes — unconditioned
-  * cross joins, LIMIT without ORDER BY, NOT IN over nullable columns,
-  * uncorrelated EXISTS, non-aggregate scalar subqueries — throw
-  * `UnsupportedPlanException` with an explanation; the fallback is the
-  * manual `Incremental` DSL.
+  * cross joins, LIMIT without ORDER BY, uncorrelated EXISTS,
+  * pure-inequality EXISTS correlation (unbounded delta product),
+  * non-aggregate scalar subqueries — throw `UnsupportedPlanException`
+  * with an explanation; the fallback is the manual `Incremental` DSL.
   *
   * Cost note: the Runner stores an output trace per non-linear operator
   * (the reference's per-operator integrals, IncrementalizeVisitor.java:
@@ -143,10 +147,16 @@ object SqlIncremental {
           (lo.reduceOption(And), ro.reduceOption(And), rest.reduceOption(And))
         case other => (None, None, other)
       }
-      if (residualAll.isDefined && !joinType.isInstanceOf[InnerLike])
-        throw new UnsupportedPlanException(
-          s"residual join predicate is only supported for inner joins, " +
-            s"got $joinType with ${residualAll.get}")
+      // Non-inner joins keep the whole residual on the inner branch (no
+      // side pushdown: an ON conjunct on the preserved side governs
+      // MATCHING, not filtering — a preserved row failing it is padded,
+      // not dropped). Pads then become "unmatched AFTER the residual"
+      // (the reference composes the same join+filter graphs,
+      // CalciteToDBSPCompiler.java:665-747): matched preserved-side row
+      // VALUES are read off the inner result and the complement is padded,
+      // with NULL-SAFE value matching so NULL-bearing rows aren't
+      // double-padded.
+      val residualRowMatch = residual.isDefined && !joinType.isInstanceOf[InnerLike]
       // Same-named pairs merge USING-style; differently-named pairs rename
       // the right key to the left name for the bilinear join and the right
       // column is reconstructed in the output projection.
@@ -197,11 +207,27 @@ object SqlIncremental {
       // other side's columns — including its half of renamed pairs — are
       // typed NULLs. Merged same-named keys keep USING semantics (single
       // column, kept side's value).
+      // Preserved-side rows with a residual-surviving match, as a weight-1
+      // value set read off the inner result (only built when a residual
+      // forces row-value matching; the pure-key pads below are cheaper).
+      lazy val leftNames = left.output.map(_.name)
+      lazy val matchedLeftVals: Inc =
+        inner.select(leftNames.map(col): _*).distinct
+      // r's column names (right side post-rename) are all present in the
+      // restored inner output: merged keys share the left name, renamed
+      // keys read the joined key value (equal by the equi condition).
+      lazy val rNames = right.output.map(a => renameMap.getOrElse(a.name, a.name))
+      lazy val matchedRightVals: Inc =
+        inner.select(rNames.map(col): _*).distinct
+      def unmatchedAfterResidual(keep: Inc, matchedVals: Inc,
+                                 valNames: Seq[String], outCols: Seq[Column]): Inc =
+        keep.minus(keep.joinNullSafe(matchedVals, valNames)).select(outCols: _*)
       def padLeft: Inc = {
         val cols = left.output.map(a => col(a.name)) ++
           right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
             .map(a => lit(null).cast(a.dataType).as(a.name))
-        padUnmatched(l, r, keys, cols)
+        if (residualRowMatch) unmatchedAfterResidual(l, matchedLeftVals, leftNames, cols)
+        else padUnmatched(l, r, keys, cols)
       }
       def padRight: Inc = {
         val cols = left.output.map { a =>
@@ -215,7 +241,8 @@ object SqlIncremental {
                 case None     => col(a.name)
               }
             }
-        padUnmatched(r, l, keys, cols)
+        if (residualRowMatch) unmatchedAfterResidual(r, matchedRightVals, rNames, cols)
+        else padUnmatched(r, l, keys, cols)
       }
       joinType match {
         case _: InnerLike => inner
@@ -229,7 +256,11 @@ object SqlIncremental {
         case FullOuter  => inner union padLeft union padRight
         // Semi/anti appear when compiling optimized plans (EXISTS/IN are
         // rewritten there); the reference throws Unimplemented for them
-        // (:571-572) — we support them compositionally.
+        // (:571-572) — we support them compositionally. With a residual,
+        // semi = preserved rows whose VALUE has a surviving match.
+        case LeftSemi if residualRowMatch => l.joinNullSafe(matchedLeftVals, leftNames)
+        case LeftAnti if residualRowMatch =>
+          l.minus(l.joinNullSafe(matchedLeftVals, leftNames))
         case LeftSemi => l.semiJoin(r, keys)
         case LeftAnti => l.antiJoin(r, keys)
         case other => throw new UnsupportedPlanException(
@@ -573,25 +604,25 @@ object SqlIncremental {
     var node = walk(child, sources)
     val plain = Seq.newBuilder[Expression]
     val scalarConjs = Seq.newBuilder[Expression]
+    val outerNames = child.output.map(_.name)
     splitAnd(cond).foreach {
       case InSubquery(Seq(v: AttributeReference), lq: ListQuery) =>
         node = node.semiJoin(inColumn(lq, v, sources), Seq(v.name))
       case Not(InSubquery(Seq(v: AttributeReference), lq: ListQuery)) =>
         // anti join == NOT IN only under 2-valued semantics: any NULL on
-        // either side flips the whole predicate to UNKNOWN in SQL. The
-        // engine's tables are NOT NULL by default (reference
-        // doc/sql/types.rst:37-41), so require provable non-nullability.
+        // either side flips the whole predicate to UNKNOWN in SQL. Over
+        // provably non-null columns the plain anti join applies; otherwise
+        // build the NULL-AWARE circuit: a row passes iff the subquery is
+        // empty, OR (the probe is non-NULL AND the subquery has no NULLs
+        // AND the probe misses every subquery value) — matching the
+        // null-aware anti join Spark itself plans for NOT IN.
         if (v.nullable || lq.plan.output.head.nullable)
-          throw new UnsupportedPlanException(
-            "NOT IN over nullable columns is not maintainable as an anti " +
-              "join (3-valued NULL semantics); declare the columns NOT NULL")
-        node = node.antiJoin(inColumn(lq, v, sources), Seq(v.name))
+          node = nullAwareNotIn(node, outerNames, v, lq, sources)
+        else node = node.antiJoin(inColumn(lq, v, sources), Seq(v.name))
       case ex: Exists =>
-        val (sub, keys) = decorrelateExists(ex, sources)
-        node = node.semiJoin(sub, keys)
+        node = existsJoin(node, outerNames, ex, sources, negate = false)
       case Not(ex: Exists) =>
-        val (sub, keys) = decorrelateExists(ex, sources)
-        node = node.antiJoin(sub, keys)
+        node = existsJoin(node, outerNames, ex, sources, negate = true)
       // multi-column (a, b) IN (SELECT x, y ...): semi join on all columns
       case InSubquery(vs, lq: ListQuery)
           if vs.forall(_.isInstanceOf[AttributeReference]) =>
@@ -629,6 +660,60 @@ object SqlIncremental {
     }
     plain.result().reduceOption(And)
       .map(c => node.where(toColumn(c))).getOrElse(node)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS conjunct → semi/anti circuit. With only
+    * equality correlation this is the plain key-set semi join; with an
+    * inequality residual the subquery joins in on the equality keys, the
+    * residual filters, and the outer ROW VALUES with ≥1 surviving match
+    * form a weight-1 set joined back null-safely — semi-join semantics
+    * (outer multiplicities preserved, match count irrelevant). */
+  private def existsJoin(node: Inc, outerNames: Seq[String], ex: Exists,
+                         sources: Map[String, String], negate: Boolean): Inc = {
+    val (sub, keys, residOpt) = decorrelateExists(ex, sources)
+    residOpt match {
+      case None =>
+        if (negate) node.antiJoin(sub, keys) else node.semiJoin(sub, keys)
+      case Some(res) =>
+        val matchedVals = node.join(sub, keys).where(res)
+          .select(outerNames.map(col): _*).distinct
+        val semi = node.joinNullSafe(matchedVals, outerNames)
+        if (negate) node.minus(semi) else semi
+    }
+  }
+
+  /** NULL-aware NOT IN circuit (3-valued semantics, the null-aware anti
+    * join Spark itself plans for NOT IN): a row passes iff the subquery is
+    * empty, OR the probe is non-NULL, the subquery contains no NULL, and
+    * the probe misses every subquery value. The subquery's row/NULL counts
+    * are a maintained global aggregate attached on a constant key, so the
+    * whole circuit is incremental. */
+  private def nullAwareNotIn(node: Inc, outerNames: Seq[String],
+                             v: AttributeReference, lq: ListQuery,
+                             sources: Map[String, String]): Inc = {
+    import org.apache.spark.sql.functions.{count, when}
+    val subName = lq.plan.output.head.name
+    val sub = walk(lq.plan, sources)
+    val counts = sub.select(col(subName).as("__niv"))
+      .aggregateRowsGlobal(
+        Seq(count(lit(1)).as("__cnt"),
+            count(when(col("__niv").isNull, lit(1))).as("__ncnt")),
+        Seq("__cnt", "__ncnt"))
+      .select(lit(1).as("__one"), col("__cnt"), col("__ncnt"))
+    val tagged = node.select(outerNames.map(col) :+ lit(1).as("__one"): _*)
+      .join(counts, Seq("__one"))
+    // subquery empty → every outer row passes (IN over ∅ is FALSE, not
+    // UNKNOWN — NULL probes included)
+    val passEmpty = tagged.where(col("__cnt") === 0)
+    // subquery non-empty and NULL-free → non-NULL probes that miss every
+    // value pass; everything else (NULL probe, or any NULL in the
+    // subquery) is UNKNOWN → filtered
+    val candidates = tagged.where(col("__cnt") > 0 && col("__ncnt") === 0 &&
+      col(v.name).isNotNull)
+    val misses = candidates.antiJoin(
+      sub.where(col(subName).isNotNull).select(col(subName).as(v.name)),
+      Seq(v.name))
+    passEmpty.union(misses).select(outerNames.map(col): _*)
   }
 
   /** IN-list subquery → circuit producing the single column renamed to the
@@ -747,13 +832,22 @@ object SqlIncremental {
     matched union padded
   }
 
-  /** Correlated EXISTS → (inner circuit projected to the correlation keys
-    * renamed to the outer attribute names, outer key names). Correlation
-    * must be equality conjuncts `inner.a = outer.b` (the decomposable form
-    * JoinConditionAnalyzer handles); other correlated shapes throw. */
+  /** Correlated EXISTS → (inner circuit, outer key names, optional residual
+    * predicate). Equality correlation conjuncts `inner.a = outer.b` become
+    * the semi-join keys (the decomposable form JoinConditionAnalyzer
+    * handles); NON-equality correlated conjuncts (`inner.a > outer.b`, …)
+    * become a residual applied after the key join — the reference
+    * decorrelates arbitrary correlations the same way upstream (Calcite's
+    * RelDecorrelator, CalciteCompiler.java:429-447). At least one equality
+    * conjunct is required (it bounds the per-step delta join).
+    *
+    * With a residual, the returned circuit is projected to the keys (outer
+    * names) plus every inner column the residual reads under fresh
+    * `__exrN` names, and the residual Column is rewritten onto those. */
   private def decorrelateExists(ex: Exists, sources: Map[String, String])
-      : (Inc, Seq[String]) = {
+      : (Inc, Seq[String], Option[Column]) = {
     var pairs = Seq.empty[(NamedExpression, NamedExpression)] // (inner, outer)
+    var resid = Seq.empty[Expression]
     def extract(e: Expression): Option[(NamedExpression, NamedExpression)] = e match {
       case EqualTo(a: AttributeReference, OuterReference(o)) => Some(a -> o)
       case EqualTo(OuterReference(o), a: AttributeReference) => Some(a -> o)
@@ -763,23 +857,55 @@ object SqlIncremental {
       case Filter(c, ch) =>
         val (corr, rest) = splitAnd(c).partition(_.exists(_.isInstanceOf[OuterReference]))
         corr.foreach { conj =>
-          pairs :+= extract(conj).getOrElse(throw new UnsupportedPlanException(
-            s"EXISTS correlation must be equality conjuncts, got: $conj"))
+          extract(conj) match {
+            case Some(p) => pairs :+= p
+            case None    => resid :+= conj
+          }
         }
         rest.reduceOption(And).map(Filter(_, ch)).getOrElse(ch)
     }
     if (pairs.isEmpty) throw new UnsupportedPlanException(
-      "uncorrelated EXISTS is not maintainable as a join (its truth is " +
-        "global, not per-row); correlate it or restate as a join")
+      if (resid.isEmpty)
+        "uncorrelated EXISTS is not maintainable as a join (its truth is " +
+          "global, not per-row); correlate it or restate as a join"
+      else
+        "EXISTS correlation needs at least one equality conjunct to key " +
+          s"the semi join (pure-inequality correlation would make the " +
+          s"per-step delta product unbounded): ${resid.mkString(" AND ")}")
     // the subquery's own projection is irrelevant to existence — drop the
     // top Project chain so the correlation keys stay visible
     def dropProjects(p: LogicalPlan): LogicalPlan = p match {
       case Project(_, c) => dropProjects(c)
       case other => other
     }
-    val inner = walk(dropProjects(stripped), sources)
-      .select(pairs.map { case (i, o) => col(i.name).as(o.name) }: _*)
-    (inner, pairs.map(_._2.name))
+    val innerPlan = dropProjects(stripped)
+    val keyCols = pairs.map { case (i, o) => col(i.name).as(o.name) }
+    if (resid.isEmpty) {
+      (walk(innerPlan, sources).select(keyCols: _*), pairs.map(_._2.name), None)
+    } else {
+      // project the residual's inner columns under fresh names (they may
+      // collide with outer names) and rewrite the residual onto outer
+      // attribute names + those fresh names
+      // outer attrs appear WRAPPED in OuterReference, and a plain collect
+      // descends into the wrapper's child — exclude those exprIds
+      val outerIds = resid.flatMap(_.collect {
+        case OuterReference(o: AttributeReference) => o.exprId
+      }).toSet
+      val innerAttrs = resid.flatMap(_.collect {
+        case a: AttributeReference if !outerIds.contains(a.exprId) => a
+      }).groupBy(_.exprId).map(_._2.head).toSeq
+      val freshOf: Map[ExprId, String] = innerAttrs.zipWithIndex.map {
+        case (a, i) => a.exprId -> s"__exr$i"
+      }.toMap
+      val extraCols = innerAttrs.map(a => col(a.name).as(freshOf(a.exprId)))
+      val rewritten = resid.map(_.transform {
+        case OuterReference(o) => UnresolvedAttribute.quoted(o.name)
+        case a: AttributeReference if freshOf.contains(a.exprId) =>
+          UnresolvedAttribute.quoted(freshOf(a.exprId))
+      }).reduce(And)
+      val sub = walk(innerPlan, sources).select(keyCols ++ extraCols: _*)
+      (sub, pairs.map(_._2.name), Some(toColumn(rewritten)))
+    }
   }
 
   /** SortOrder → DataFrame sort Column (direction + null ordering). */

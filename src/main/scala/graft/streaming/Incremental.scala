@@ -129,6 +129,13 @@ object Incremental {
       * traces (DBSPIncrementalJoinOperator.java:35). */
     def join(other: Inc, keys: Seq[String]): Inc = JoinInc(this, other, keys)
 
+    /** Bilinear join with NULL-SAFE key equality (`<=>`) — for joins whose
+      * key is a row VALUE (outer-join pad matching, EXISTS residuals over
+      * nullable columns), where SQL's NULL≠NULL would miscount NULL-bearing
+      * rows. Same Δ algebra as `join`. */
+    def joinNullSafe(other: Inc, keys: Seq[String]): Inc =
+      JoinInc(this, other, keys, nullSafe = true)
+
     /** Incremental grouped aggregate (weight-linear folds: COUNT = Σw,
       * SUM = Σ w·x): re-fold only groups present in the delta; retract
       * those groups' previous results from the own output trace. */
@@ -273,23 +280,23 @@ object Incremental {
   }
 
   private[streaming] final case class JoinInc(left: Inc, right: Inc,
-                                              keys: Seq[String]) extends Inc {
+                                              keys: Seq[String],
+                                              nullSafe: Boolean = false) extends Inc {
     def kids: Seq[Inc] = Seq(left, right)
     override private[streaming] def valueDeps: Seq[Inc] = kids
+    private def jn(a: DataFrame, b: DataFrame): DataFrame =
+      if (nullSafe) ZSet.joinNullSafe(a, b, keys) else ZSet.join(a, b, keys)
     def batch(in: Inputs): DataFrame =
-      ZSet.join(left.batch(in), right.batch(in), keys)
+      jn(left.batch(in), right.batch(in))
     private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
       val a = ctx.valueOf(left); val b = ctx.valueOf(right)
       val da = ctx.deltaOf(left); val db = ctx.deltaOf(right)
-      ZSet.plus(
-        ZSet.join(da, b, keys),
-        ZSet.join(a, db, keys),
-        ZSet.join(da, db, keys))
+      ZSet.plus(jn(da, b), jn(a, db), jn(da, db))
     }
     // Reached only if this join's value is consulted but the Runner chose
     // not to trace it (never, per marking) — correct O(state) fallback.
     override private[streaming] def valueEval(ctx: StepCtx): DataFrame =
-      ZSet.join(ctx.valueOf(left), ctx.valueOf(right), keys)
+      jn(ctx.valueOf(left), ctx.valueOf(right))
   }
 
   private[streaming] final case class AggW(child: Inc, keys: Seq[String],
@@ -646,18 +653,32 @@ object Incremental {
         r
       }
 
-    /** Feed one step of input deltas; returns every sink's output delta. */
+    /** Feed one step of input deltas; returns every sink's output delta.
+      *
+      * Materialization is staged by WAVE (a traced node's wave is 1 + the
+      * max wave of its nearest traced descendants): wave k's deltas are
+      * planned only after wave k-1's are materialized, re-anchored as
+      * LogicalRDD leaves, and swapped into the step memo — so every plan
+      * Catalyst ever sees is a SHALLOW tree over cached leaves. This is
+      * the DBSP execution model (each operator computes its delta once per
+      * step; parents consume stored results), and it is what keeps the
+      * driver's planning cost per step O(circuit), not O(circuit depth ×
+      * plan size): a single-pass variant that embeds child delta plans in
+      * parents re-optimizes the shared subtrees once per parent and races
+      * the union job against its own uncomputed caches. Jobs per step =
+      * wave count (+1 for untraced-root sinks) — each small and shallow. */
     def stepAll(deltas: Inputs): Map[String, DataFrame] = {
       val unknown = deltas.keySet -- integrated.keySet
       require(unknown.isEmpty, s"deltas for undeclared inputs: $unknown")
       val active = deltas.keySet
+      def touchedNode(n: Inc): Boolean = sourcesBelow(n.id).exists(active)
 
       // Compact states whose appended deltas outgrew their base (union
       // > 2× the last compacted size) or that hit the lineage bound —
       // decided from the PREVIOUS step's sizes and swapped in lazily here,
       // so the compaction (the only O(state) shuffle) executes inside the
-      // SAME parallel pass as this step's deltas: every delta plan that
-      // reads the state populates/reads the one cache entry.
+      // first materialization pass: every delta plan that reads the state
+      // populates/reads the one cache entry.
       val compacts: Map[String, DataFrame] = phase("compact-plans") {
         constituents.keys.filter { k =>
           pending.getOrElse(k, 0) >= consolidateEvery ||
@@ -669,39 +690,45 @@ object Incremental {
         }.toMap
       }
 
+      val persisted = mutable.ArrayBuffer.empty[DataFrame]
+      val anchorOf = new java.util.IdentityHashMap[DataFrame, DataFrame]()
+      // frames that already ARE anchored leaves (e.g. a traced root's delta
+      // read back out of the memo) — re-materializing them would double-cache
+      val anchors = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+      def anchored(df: DataFrame): DataFrame =
+        Option(anchorOf.get(df)).getOrElse(df)
+      /** Persist + materialize one wave (a single multi-threaded union
+        * job), then re-anchor each frame onto its computed RDD. */
+      def materializeWave(dfs: Seq[DataFrame], extras: Seq[DataFrame]): Unit = {
+        val fresh = dfs.distinct
+          .filterNot(anchorOf.containsKey).filterNot(anchors.contains)
+        if (fresh.nonEmpty || extras.nonEmpty) {
+          fresh.foreach(_.persist())
+          materialize(fresh ++ extras)
+          fresh.foreach { df =>
+            val a = org.apache.spark.sql.GraftSqlBridge.reanchor(df)
+            anchorOf.put(df, a)
+            anchors.add(a)
+          }
+          persisted ++= fresh
+        }
+      }
+
+      // Wave 0: raw input deltas (+ pending compactions ride along) — every
+      // downstream delta then reads an anchored leaf instead of re-scanning
+      // the caller's plan.
+      val inputDeltas: Seq[(String, DataFrame)] =
+        active.toSeq.map(n => n -> deltas(n))
+      phase("wave-0")(materializeWave(inputDeltas.map(_._2), compacts.values.toSeq))
+
       val full: Inputs = integrated.map { case (n, z) =>
         // limit(0) over the cached state optimizes to an empty LocalRelation,
         // so Catalyst's PropagateEmptyRelation prunes every untouched branch
         // out of the step's plans.
-        n -> deltas.getOrElse(n, z.limit(0))
+        n -> deltas.get(n).map(anchored).getOrElse(z.limit(0))
       }
       val ctx = new StepCtx(integrated, full, id => traces.get(id))
-
-      // Every sink's delta; the memo fills every interior node's delta too.
-      val rootDeltas: Map[String, DataFrame] = phase("delta-plans") {
-        roots.map { case (nm, r) => nm -> ctx.deltaOf(r) }.toMap
-      }
-      def touchedNode(n: Inc): Boolean = sourcesBelow(n.id).exists(active)
-
-      // This step's deltas are the ONLY plans that get planned + executed:
-      // each is persisted, computed once (one parallel pass + one union
-      // job), and re-anchored onto its computed RDD as a LogicalRDD leaf.
-      // Raw input deltas are included so every node delta that embeds them
-      // is served from cache, and the input integrals advance from the
-      // same anchored leaf.
-      val advTraces: Seq[(Inc, DataFrame)] =
-        tracedNodes.filter(touchedNode).map(n => n -> ctx.deltaOf(n))
-      val inputDeltas: Seq[(String, DataFrame)] =
-        active.toSeq.map(n => n -> full(n))
-      val stepDeltas: Seq[DataFrame] =
-        (rootDeltas.values ++ advTraces.map(_._2) ++ inputDeltas.map(_._2))
-          .toSeq.distinct
-      stepDeltas.foreach(_.persist())
-      phase("materialize")(materialize(stepDeltas ++ compacts.values))
-      val anchorOf: Map[DataFrame, DataFrame] = phase("reanchor") {
-        stepDeltas.map(df =>
-          df -> org.apache.spark.sql.GraftSqlBridge.reanchor(df)).toMap
-      }
 
       // Settle the compactions now that they're materialized: re-anchor,
       // release every constituent they folded in, reset bookkeeping.
@@ -715,21 +742,46 @@ object Incremental {
         setState(k, org.apache.spark.sql.GraftSqlBridge.reanchor(c))
       }
 
+      // Waves 1..K: traced operators bottom-up; each node's delta is
+      // computed once, materialized, and re-anchored into the memo before
+      // any parent's delta is planned.
+      val advTraces = mutable.ArrayBuffer.empty[(Inc, DataFrame)]
+      val maxWave = waveOf.values.maxOption.getOrElse(0)
+      for (w <- 1 to maxWave) {
+        val waveNodes =
+          tracedNodes.filter(n => waveOf(n.id) == w && touchedNode(n))
+        if (waveNodes.nonEmpty) phase(s"wave-$w") {
+          val ds = waveNodes.map(n => n -> ctx.deltaOf(n))
+          materializeWave(ds.map(_._2), Nil)
+          ds.foreach { case (n, d) => ctx.setDelta(n, anchored(d)) }
+          advTraces ++= ds
+        }
+      }
+
+      // Sink deltas: a traced root's delta is already anchored in the memo;
+      // untraced roots (linear chains over traced/source leaves) need one
+      // final shallow pass.
+      val rootDeltas: Map[String, DataFrame] = phase("root-deltas") {
+        val rd = roots.map { case (nm, r) => nm -> ctx.deltaOf(r) }.toMap
+        materializeWave(rd.values.toSeq, Nil)
+        rd
+      }
+
       // Advance each touched state as a LAZY union of its previous value
       // and the anchored delta leaf — nothing to plan, nothing to run; the
       // delta's cache entry is pinned (refcounted — deltas are shared
       // across states) until a compaction folds it into the state's base.
       // (key, new state union, this step's constituent original)
       val advancedStates: Seq[(String, DataFrame, DataFrame)] =
-        advTraces.map { case (n, d) =>
-          (traceKey(n.id), ZSet.plus(traces(n.id), anchorOf(d)), d)
+        advTraces.toSeq.map { case (n, d) =>
+          (traceKey(n.id), ZSet.plus(traces(n.id), anchored(d)), d)
         } ++
           outs.collect {
             case (nm, o) if touchedNode(rootOf(nm)) =>
-              (outKey(nm), ZSet.plus(o, anchorOf(rootDeltas(nm))), rootDeltas(nm))
+              (outKey(nm), ZSet.plus(o, anchored(rootDeltas(nm))), rootDeltas(nm))
           } ++
           inputDeltas.map { case (nm, d) =>
-            (inKey(nm), ZSet.plus(integrated(nm), anchorOf(d)), d)
+            (inKey(nm), ZSet.plus(integrated(nm), anchored(d)), d)
           }
       advancedStates.foreach { case (k, st, d) =>
         incref(d)
@@ -741,10 +793,11 @@ object Incremental {
 
       // One reference on this step's deltas is held for the caller and
       // released at the next step.
+      val stepDeltas = persisted.toSeq
       stepDeltas.foreach(incref)
       lastDeltas.foreach(decref)
       lastDeltas = stepDeltas
-      rootDeltas.map { case (nm, d) => nm -> anchorOf(d) }
+      rootDeltas.map { case (nm, d) => nm -> anchored(d) }
     }
 
     /** Integral of a sink's output deltas so far, including the Q(∅) seed

@@ -96,6 +96,23 @@ object ZSet {
       .drop("__wl", "__wr")
   }
 
+  /** Bilinear equi-join with NULL-SAFE key equality (`<=>`): NULL keys
+    * match NULL keys. Used where the join key is a ROW VALUE rather than a
+    * SQL join key — e.g. matching rows of a relation against a distinct
+    * set of its own row values (outer-join pads / EXISTS residuals over
+    * nullable columns), where SQL's NULL≠NULL would silently miscount
+    * rows containing NULLs. Output carries `a`'s key columns. */
+  def joinNullSafe(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val aw = a.withColumnRenamed(W, "__wl")
+    val bw = keys.foldLeft(b.withColumnRenamed(W, "__wr")) {
+      (d, k) => d.withColumnRenamed(k, s"__rk_$k")
+    }
+    val cond = keys.map(k => aw(k) <=> bw(s"__rk_$k")).reduce(_ && _)
+    aw.join(bw, cond)
+      .withColumn(W, col("__wl") * col("__wr"))
+      .drop("__wl" +: "__wr" +: keys.map(k => s"__rk_$k"): _*)
+  }
+
   /** Weight-aware grouped fold (DBSPAggregateOperator): linear aggregates
     * only — COUNT = Σw, SUM(x) = Σ w·x. Emits no row for groups whose
     * weight sum is 0 (an empty group in Z-set semantics). */

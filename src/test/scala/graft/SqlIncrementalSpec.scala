@@ -599,4 +599,152 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => (x.getString(0), x.getLong(1))).toSet
     assert(top2 === Set(("b", 20L), ("a", 10L)))
   }
+
+  test("outer joins with residual ON predicates pad 'unmatched after residual'") {
+    // the reference composes join+filter graphs for outer joins with
+    // non-equi ON conjuncts (CalciteToDBSPCompiler.java:665-747); the pad
+    // must cover rows whose key matches but whose residual fails — and a
+    // NULL-valued row must not be double-padded (null-safe value matching)
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE LO (k VARCHAR NOT NULL, v BIGINT NULL);
+        |CREATE TABLE RO (k VARCHAR NOT NULL, w BIGINT NOT NULL);
+        |CREATE VIEW LJR AS
+        |  SELECT LO.k AS k, v, w FROM LO LEFT JOIN RO ON LO.k = RO.k AND LO.v > RO.w;
+        |CREATE VIEW FJR AS
+        |  SELECT v, w FROM LO FULL JOIN RO ON LO.k = RO.k AND LO.v > RO.w""".stripMargin)
+    val lo = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val ro = StructType(Seq(StructField("k", StringType), StructField("w", LongType)))
+    val steps = Seq(
+      Map( // a: 10 > 5 matches; b: 1 > 5 fails residual → padded;
+           // NULL v row: residual UNKNOWN → padded; c: no key match
+        "LO" -> z(lo, Seq("a", 10L, 1L), Seq("b", 1L, 1L), Seq("b", null, 1L),
+          Seq("c", 7L, 1L)),
+        "RO" -> z(ro, Seq("a", 5L, 1L), Seq("b", 5L, 1L), Seq("d", 9L, 1L))),
+      Map( // retract a's partner → a flips matched → padded
+        "RO" -> z(ro, Seq("a", 5L, -1L), Seq("b", 0L, 1L))),
+      Map( // retract b's failing row; duplicate the NULL row (weight 2)
+        "LO" -> z(lo, Seq("b", 1L, -1L), Seq("b", null, 1L))))
+    for (view <- Seq("LJR", "FJR")) {
+      val r = e.incrementalRunner(view)
+      steps.foreach(r.step)
+      assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute),
+        s"$view: inc != recompute")
+    }
+    // independent check against Spark SQL over the net final contents
+    import spark.implicits._
+    Seq(("a", Option(10L)), ("c", Some(7L)), ("b", None), ("b", None))
+      .toDF("k", "v").createOrReplaceTempView("LO_F")
+    Seq(("b", 5L), ("d", 9L), ("b", 0L)).toDF("k", "w")
+      .createOrReplaceTempView("RO_F")
+    val r2 = e.incrementalRunner("LJR")
+    steps.foreach(r2.step)
+    val want = spark.sql(
+      "SELECT LO_F.k, v, w FROM LO_F LEFT JOIN RO_F ON LO_F.k = RO_F.k AND v > w")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r2.output))) === canon(want))
+  }
+
+  test("NOT IN over nullable columns takes the null-aware 3VL circuit") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE OT (x BIGINT NULL, tag VARCHAR NOT NULL);
+        |CREATE TABLE IT (y BIGINT NULL);
+        |CREATE VIEW NNI AS SELECT tag FROM OT WHERE x NOT IN (SELECT y FROM IT)""".stripMargin)
+    val ot = StructType(Seq(StructField("x", LongType), StructField("tag", StringType)))
+    val it = StructType(Seq(StructField("y", LongType)))
+    val r = e.incrementalRunner("NNI")
+    def passed: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
+      .collect().map(_.getString(0)).toSet
+    // empty subquery: every row passes, NULL probe included
+    r.step(Map("OT" -> z(ot, Seq(1L, "a", 1L), Seq(null, "b", 1L), Seq(3L, "c", 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("a", "b", "c"))
+    // 1 ∈ subquery: a matches → false; b NULL probe → UNKNOWN; c passes
+    r.step(Map("IT" -> z(it, Seq(1L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("c"))
+    // a NULL enters the subquery: nothing passes (miss → UNKNOWN)
+    r.step(Map("IT" -> z(it, Seq(null, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set.empty[String])
+    // retract the NULL: back to c only — and Spark SQL agrees
+    r.step(Map("IT" -> z(it, Seq(null, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    import spark.implicits._
+    Seq((Option(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("x", "tag")
+      .createOrReplaceTempView("OT_F")
+    Seq(Option(1L)).toDF("y").createOrReplaceTempView("IT_F")
+    val want = spark.sql("SELECT tag FROM OT_F WHERE x NOT IN (SELECT y FROM IT_F)")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+  }
+
+  test("correlated EXISTS with an inequality residual (reference correlatedAggregate shape)") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE ORD (cust VARCHAR NOT NULL, total BIGINT NOT NULL);
+        |CREATE TABLE LIM (cust VARCHAR NOT NULL, cap BIGINT NOT NULL);
+        |CREATE VIEW OVERCAP AS
+        |  SELECT cust, total FROM ORD o
+        |  WHERE EXISTS (SELECT 1 FROM LIM l WHERE l.cust = o.cust AND l.cap < o.total);
+        |CREATE VIEW UNDERCAP AS
+        |  SELECT cust, total FROM ORD o
+        |  WHERE NOT EXISTS (SELECT 1 FROM LIM l WHERE l.cust = o.cust AND l.cap < o.total)""".stripMargin)
+    val ord = StructType(Seq(StructField("cust", StringType), StructField("total", LongType)))
+    val lim = StructType(Seq(StructField("cust", StringType), StructField("cap", LongType)))
+    val steps = Seq(
+      Map( // a's 100 (×2 — multiplicity must survive the semi join) beats
+           // cap 50; a's 30 doesn't; b has no cap row → NOT EXISTS keeps it
+        "ORD" -> z(ord, Seq("a", 100L, 2L), Seq("a", 30L, 1L), Seq("b", 70L, 1L)),
+        "LIM" -> z(lim, Seq("a", 50L, 1L))),
+      Map( // b gets a cap under its total → flips views
+        "LIM" -> z(lim, Seq("b", 60L, 1L))),
+      Map( // retract a's cap → a's rows flip back; retract one 100-copy
+        "ORD" -> z(ord, Seq("a", 100L, -1L)),
+        "LIM" -> z(lim, Seq("a", 50L, -1L))))
+    for (view <- Seq("OVERCAP", "UNDERCAP")) {
+      val r = e.incrementalRunner(view)
+      steps.foreach(r.step)
+      assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute),
+        s"$view: inc != recompute")
+    }
+    import spark.implicits._
+    Seq(("a", 100L), ("a", 30L), ("b", 70L)).toDF("cust", "total")
+      .createOrReplaceTempView("ORD_F")
+    Seq(("b", 60L)).toDF("cust", "cap").createOrReplaceTempView("LIM_F")
+    val r2 = e.incrementalRunner("OVERCAP")
+    steps.foreach(r2.step)
+    val want = spark.sql(
+      """SELECT cust, total FROM ORD_F o
+        |WHERE EXISTS (SELECT 1 FROM LIM_F l WHERE l.cust = o.cust AND l.cap < o.total)""".stripMargin)
+    assert(canon(ZSet.toRows(ZSet.consolidate(r2.output))) === canon(want))
+  }
+
+  test("multi-sink runner: N views maintained over ONE set of input integrals") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE MS (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW MS_TOTALS AS SELECT k, SUM(v) AS total, COUNT(*) AS n FROM MS GROUP BY k;
+        |CREATE VIEW MS_KEYS AS SELECT DISTINCT k FROM MS;
+        |CREATE VIEW MS_BIG AS SELECT k, v FROM MS WHERE v > 10""".stripMargin)
+    val ms = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val r = e.incrementalRunner(Seq("MS_TOTALS", "MS_KEYS", "MS_BIG"))
+    val d1 = r.stepAll(Map("MS" -> z(ms,
+      Seq("a", 5L, 1L), Seq("a", 20L, 1L), Seq("b", 7L, 1L))))
+    assert(d1.keySet === Set("MS_TOTALS", "MS_KEYS", "MS_BIG"))
+    val d2 = r.stepAll(Map("MS" -> z(ms, Seq("a", 20L, -1L), Seq("c", 30L, 1L))))
+    // every sink maintained through the same steps, off shared integrals
+    for (v <- Seq("MS_TOTALS", "MS_KEYS", "MS_BIG"))
+      assert(canon(ZSet.consolidate(r.output(v))) === canon(r.recompute(v)),
+        s"$v: inc != recompute")
+    // a retracted to only v=5 → leaves MS_BIG; c entered
+    val big = ZSet.toRows(ZSet.consolidate(r.output("MS_BIG"))).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(big === Set(("c", 30L)))
+    val keys = ZSet.toRows(ZSet.consolidate(r.output("MS_KEYS"))).collect()
+      .map(_.getString(0)).toSet
+    assert(keys === Set("a", "b", "c"))
+    // quiet sink sees an empty delta, not a recomputation
+    assert(ZSet.consolidate(d2("MS_KEYS"))
+      .filter(org.apache.spark.sql.functions.col("k") === "b").count() === 0)
+  }
 }
