@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   *
   * Codecs: images (PNG/JPEG/BMP/GIF) decode for REAL through the JDK's
   * ImageIO, including Java2D resize + re-encode; audio (WAV/AU/AIFF PCM)
-  * decodes through javax.sound.sampled. Only VIDEO remains a clearly
-  * fenced stub (`decodeStub`) — the JDK ships no video codec and this
-  * container has no external ones; a production deployment swaps that one
-  * function for a JNI/javacpp decoder without touching any plan shape.
-  * Corrupt/undecodable payloads yield `decode_ok = false` rows instead of
-  * failing the task — at 100 TB some inputs are always broken.
+  * decodes through javax.sound.sampled; VIDEO decodes for REAL when the
+  * payload is an animated GIF (the JDK's one multi-frame format — frame
+  * dimensions, count, duration, per-frame sampling all real). Other video
+  * containers (MP4/WebM) hit the clearly fenced `decodeStub` — the JDK
+  * ships no codec for them and this container has no external ones; a
+  * production deployment swaps that one function for a JNI/javacpp decoder
+  * without touching any plan shape. Corrupt/undecodable payloads yield
+  * `decode_ok = false` rows instead of failing the task — at 100 TB some
+  * inputs are always broken.
   *
   * Scale notes: media rows are KB–MB sized, so the operative knob is bytes
   * per partition, not rows (`repartitionForMedia`); decode is per-row CPU
@@ -128,10 +131,65 @@ object Multimodal {
     } catch { case _: Exception => failed }
   }
 
-  /** STUB decoder for VIDEO only — the JDK ships no video codec; a real
-    * deployment hands `content` to JNI/javacpp here (the one function that
-    * changes in production). Derives deterministic fake duration/features
-    * from the bytes so plumbing and tests stay end-to-end real. */
+  /** VIDEO decode. The JDK's one real multi-frame format is animated GIF
+    * (ImageIO's GIF reader exposes every frame), so GIF payloads decode
+    * for REAL — true frame dimensions, frame count, and duration (GIF's
+    * default 100 ms inter-frame delay). Everything else falls through to
+    * `decodeStub`: the JDK ships no MP4/WebM codec; a production
+    * deployment hands those bytes to JNI/javacpp in `decodeVideo` (the one
+    * function that changes) without touching any plan shape. */
+  private def decodeVideo(content: Array[Byte]): Decoded = {
+    val frames = gifFrames(content)
+    if (frames.isEmpty) decodeStub(content)
+    else {
+      val first = frames.head
+      val hist = new Array[Float](8)
+      // pooled luminance histogram over a bounded grid of every frame
+      var n = 0
+      frames.foreach { img =>
+        val stepX = math.max(1, img.getWidth / 16)
+        val stepY = math.max(1, img.getHeight / 16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum / 32) += 1.0f; n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+      }
+      var j = 0
+      while (j < 8) { hist(j) = hist(j) / math.max(n, 1); j += 1 }
+      (first.getWidth, first.getHeight, frames.size * 100L, hist, true)
+    }
+  }
+
+  /** All frames of an animated GIF via ImageIO's multi-image reader;
+    * empty for non-GIF payloads. */
+  private def gifFrames(content: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val r = readers.next()
+        if (!r.getFormatName.equalsIgnoreCase("gif")) Seq.empty
+        else {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          try (0 until n).map(r.read(_)) finally r.dispose()
+        }
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** DETERMINISTIC-FAKE fence for container-less codecs (MP4/WebM/...):
+    * fake-but-stable dims/duration/features derived from the bytes, so
+    * plumbing and tests stay end-to-end real until a JNI decoder lands. */
   private def decodeStub(content: Array[Byte]): Decoded = {
     val n = content.length
     val h = java.util.Arrays.hashCode(content)
@@ -150,7 +208,7 @@ object Multimodal {
     else modality match {
       case "image" => decodeImage(content)
       case "audio" => decodeAudio(content)
-      case _       => decodeStub(content)
+      case _       => decodeVideo(content)
     }
 
   /** Decode + feature-extract, batchwise per partition. */
@@ -221,11 +279,65 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Video frame-sampling plan: one row per sampled frame offset — the
-    * explode happens *before* decode so each task decodes only its frames. */
-  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
-    media.filter(col("modality") === "video")
-      .withColumn("duration_ms", (length(col("content")) * 8).cast(LongType)) // stub duration
-      .withColumn("frame_ms", explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
+  /** Video frame-sampling plan: a cheap per-video metadata probe (REAL
+    * duration for GIF payloads — frame count × GIF's 100 ms default delay;
+    * the deterministic fence for container-less codecs), then one row per
+    * sampled frame offset — the explode happens *before* the per-frame
+    * decode so each task decodes only its own frames. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    val spark = media.sparkSession
+    val vids = media.filter(col("modality") === "video")
+    val metaSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("duration_ms", LongType)))
+    val meta = spark.createDataFrame(
+      vids.select("media_id", "content").rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val fs = if (bytes == null) Seq.empty else gifFrames(bytes)
+          val dur =
+            if (fs.nonEmpty) fs.size * 100L
+            else if (bytes == null) 0L
+            else bytes.length.toLong * 8 // fenced-fake duration (no codec)
+          Row(r.getLong(0), dur)
+        }
+      }, metaSchema)
+    vids.join(meta, "media_id")
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
+          lit(everyMs))))
       .select(col("media_id"), col("doc_id"), col("frame_ms"), col("content"))
+  }
+
+  /** Decode the sampled frames: GIF payloads decode the frame at
+    * `frame_ms` for REAL (true dimensions); other payloads keep the
+    * deterministic fence. A production JNI decoder seeks to the offset
+    * here — GIF's sequential format makes this O(frames) per sample at
+    * fixture scale, which is exactly the shape the fence replaces. */
+  def decodeFrames(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("decode_ok", BooleanType)))
+    val rows = frames.select("media_id", "frame_ms", "content").rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0); val ms = r.getLong(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          val fs = if (bytes == null) Seq.empty else gifFrames(bytes)
+          if (fs.nonEmpty) {
+            val idx = math.min((ms / 100L).toInt, fs.size - 1)
+            val f = fs(idx)
+            Row(id, ms, f.getWidth, f.getHeight, true)
+          } else if (bytes != null && bytes.nonEmpty) {
+            val (w, h, _, _, ok) = decodeStub(bytes)
+            Row(id, ms, w, h, ok)
+          } else Row(id, ms, 0, 0, false)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
 }

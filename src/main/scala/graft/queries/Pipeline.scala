@@ -63,42 +63,62 @@ object Pipeline {
       Similarity.bruteForceTopK(emb, queries, 5)
     }),
 
-    // Multimodal decode/feature plumbing over the documents corpus
-    // (rows-only: decode features aren't DuckDB-expressible; real-codec
-    // values are pinned by PipelineSpec's PNG/WAV fixtures)
+    // Multimodal decode/feature plumbing over the documents corpus.
+    // Oracle-checked INVARIANTS: media_id/modality/n_bytes are pure
+    // functions of (doc_id, text) DuckDB can recompute (n_bytes =
+    // octet_length of the UTF-8 payload), and decode_ok is deterministic —
+    // text bytes never decode as image (ImageIO → null) or audio
+    // (AudioSystem throws), while the fenced video path always extracts.
+    // Real-codec VALUES are pinned by PipelineSpec's PNG/WAV fixtures.
     "q82_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(T(s, d, "documents")))
         .select(col("media_id"), col("modality"), col("n_bytes"),
           col("decode_ok"))),
 
-    // IVF ANN over the same probes as q75 (centroid model is
-    // engine-specific → rows-only here; recall vs brute force is
-    // value-checked in PipelineSpec)
+    // IVF ANN over the same probes as q75, probing EVERY centroid: with
+    // nProbe = nCentroids the probed buckets cover the corpus, so the
+    // result must equal brute-force top-k — which IS DuckDB-expressible
+    // (the q75 oracle). This puts the whole IVF path (quantizer training,
+    // assignment, probe ranking, rerank) under the value oracle; the
+    // realistic nProbe < nCentroids path is recall-spec'd in PipelineSpec.
     "q79_ann_ivf_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.ivfTopK(emb, queries, 5, nCentroids = 16, nProbe = 4)
+      Similarity.ivfTopK(emb, queries, 5, nCentroids = 16, nProbe = 16)
     }),
 
-    // MinHash near-dup pairs (engine-hash-specific → rows-only here;
-    // value-checked by PipelineSpec's planted duplicates)
+    // MinHash near-dup pairs at the banding guarantee: with 16 bands × 4
+    // rows, P(miss | J ≥ 0.9) < 4e-8 — and the hashes are deterministic,
+    // so for a fixed corpus the result EQUALS the exact-Jaccard ≥ 0.9
+    // pairs, which DuckDB recomputes directly via list intersection
+    // (false positives are impossible: candidates are verified with exact
+    // Jaccard). The full LSH path — signatures, banding, candidate join,
+    // verification — sits under the value oracle.
     "q76_near_dup_minhash" -> ((s, d) =>
-      Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.5)),
+      Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.9)),
 
-    // SimHash near-dup pairs (rows-only, same reason)
+    // SimHash near-dup pairs — the one honestly rows-only entry: both the
+    // pair set and the hamming distances are functions of xxhash64 bit
+    // votes with no portable SQL equivalent, and the gate corpus has no
+    // byte-identical pairs (which would give a hash-free invariant).
+    // Value-checked by PipelineSpec's planted duplicates instead.
     "q77_near_dup_simhash" -> ((s, d) =>
       Dedup.simhashNearDuplicates(T(s, d, "documents"), maxHamming = 7)),
 
-    // Document fingerprints joined with quality scores (rows-only: xxhash64
-    // + regex classes are engine-specific)
+    // Fingerprint collision invariant, driver-visible: the 64-bit
+    // fingerprint is a pure function of the normalized text, so its
+    // distinct count must equal the distinct normalized-text count
+    // (collision-free on the fixture) — DuckDB recomputes both without
+    // xxhash64. BPE-ish token total is portable arithmetic.
     "q78_fingerprint_quality" -> ((s, d) =>
-      T(s, d, "documents").select(
-        col("doc_id"),
-        TA.fingerprint(col("text")).as("fp"),
-        TA.qualityScore(col("text")).as("quality"),
-        TA.tokenCountBpe(col("text")).as("n_tokens_bpe")))
+      T(s, d, "documents").agg(
+        countDistinct(TA.fingerprint(col("text"))).as("n_fp"),
+        countDistinct(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("n_norm"),
+        count(lit(1)).as("n_docs"),
+        sum(TA.tokenCountBpe(col("text"))).as("sum_bpe")))
   )
 
   private val dotSelf =
@@ -152,6 +172,58 @@ object Pipeline {
                      ORDER BY ($dotQ) / ($normE * $normQ) DESC, e.vec_id ASC) AS rank
             FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q) t
           WHERE rank <= 5"""
-    }
+    },
+    // IVF probing every centroid covers the whole corpus → must equal the
+    // brute-force top-k (identical cosine arithmetic, same tie-break)
+    "q79_ann_ivf_topk" -> {
+      val dotQ =
+        """list_reduce(list_transform(list_zip(e.embedding, q.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"""
+      val normE = """SQRT(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      val normQ = """SQRT(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      s"""SELECT q_id, rank, vec_id, cos FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   ($dotQ) / ($normE * $normQ) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($dotQ) / ($normE * $normQ) DESC, e.vec_id ASC) AS rank
+            FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q) t
+          WHERE rank <= 5"""
+    },
+    // exact word-3-gram Jaccard over all pairs (O(n²) is fine for the
+    // oracle at gate scale; the engine side stays bucketed-LSH)
+    "q76_near_dup_minhash" ->
+      raw"""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 t -> length(t) > 0) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(range(len(t) - 2),
+                                 i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))
+                     END AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.9""",
+    "q78_fingerprint_quality" ->
+      raw"""SELECT COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_fp,
+                   COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_norm,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'),
+                                            x -> length(x) > 0))) AS BIGINT) AS sum_bpe
+            FROM documents""",
+    "q82_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                (doc_id % 3 = 2) AS decode_ok
+         FROM documents"""
   )
 }

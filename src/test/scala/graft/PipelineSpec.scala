@@ -244,6 +244,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.select("media_id").distinct().count() === 1L)
   }
 
+  /** An animated GIF built with the JDK's own GIF writer: `n` frames of
+    * `w`×`h`, each a different solid shade. */
+  private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(40 * i + 20, 40 * i + 20, 40 * i + 20))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    bos.toByteArray
+  }
+
+  test("multimodal: animated-GIF video decodes for REAL — dims, duration, sampled frames") {
+    val rows = Seq(
+      Row(10L, 10L, "video", "image/gif", gifBytes(16, 12, 4), Map.empty[String, String]),
+      Row(11L, 11L, "video", "video/mp4", Array.fill[Byte](64)(7), Map.empty[String, String]))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // GIF: true frame dimensions + 100 ms/frame duration through ImageIO
+    assert(feats(10L).getAs[Boolean]("decode_ok"))
+    assert(feats(10L).getAs[Int]("width") === 16)
+    assert(feats(10L).getAs[Int]("height") === 12)
+    assert(feats(10L).getAs[Long]("duration_ms") === 400L)
+    // non-GIF video still routes through the fence
+    assert(feats(11L).getAs[Boolean]("decode_ok"))
+    // sampleFrames uses the REAL duration: 4 frames at 100 ms each
+    val sampled = Multimodal.sampleFrames(media, everyMs = 100L)
+      .filter(col("media_id") === 10L)
+    assert(sampled.count() === 4L)
+    // decodeFrames returns true dimensions for every sampled GIF frame
+    val decoded = Multimodal.decodeFrames(sampled).collect()
+    assert(decoded.length === 4)
+    assert(decoded.forall(_.getAs[Boolean]("decode_ok")))
+    assert(decoded.forall(r => r.getAs[Int]("width") === 16 &&
+      r.getAs[Int]("height") === 12))
+  }
+
   test("multimodal: synthetic media schema plumbing stays intact") {
     val docs = Seq((1L, "hello world", "en", "srcA", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
