@@ -8,10 +8,11 @@ import org.scalatest.BeforeAndAfterAll
 /** Executes the SqlLogicTest corpora in src/test/resources/slt through the
   * SLT parser/executor — the reference's headline test format
   * (sqllogictest/Main.java, run-tests.sh:7-18). The three select files
-  * mirror the SQLite select1/select2/select3 grammar (expressions × WHERE ×
-  * ORDER BY, aggregates/GROUP BY, joins/set-ops/subqueries/strings) with
+  * mirror the SQLite select1–select5 + aggregate grammar families
+  * (expressions × WHERE × ORDER BY, aggregates/GROUP BY, joins/set-ops/
+  * subqueries/strings, compound set-op chains, join+group grammars) with
   * expected results computed by DuckDB at generation time
-  * (tools/gen_slt.py) — >1000 queries total, every one verified by literal
+  * (tools/gen_slt.py) — >5000 queries total, every one verified by literal
   * values or the SLT MD5 scheme. */
 class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -33,9 +34,14 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o.passed >= minQueries, s"$file: only ${o.passed} records passed")
   }
 
-  test("select1.test: single-table expression grammar") { check("select1.test", 600) }
+  test("select1.test: single-table expression grammar") { check("select1.test", 1200) }
   test("select2.test: aggregate and GROUP BY grammar") { check("select2.test", 280) }
   test("select3.test: joins, set ops, subqueries, strings") { check("select3.test", 170) }
+  test("select4.test: compound set-operation grammar") { check("select4.test", 1700) }
+  test("select5.test: join + GROUP BY grammar") { check("select5.test", 1100) }
+  test("aggregate.test: expression/DISTINCT/multi-key aggregate grammar") {
+    check("aggregate.test", 640)
+  }
 
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)

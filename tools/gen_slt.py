@@ -133,6 +133,11 @@ def gen_select1():
         "coalesce(e,d,c,b,a)",
         "case when a<b then a+1 else b-1 end",
         "case a%3 when 0 then a*2 when 1 then a+3 else a-4 end",
+        "b*2-c", "coalesce(c,d,e)",
+        "case when b is null then -1 else b end",
+        "a%10", "(b+c)*(d-e)", "abs(a-b)+abs(c-d)",
+        "case when a%2=0 then b else c end",
+        "least(b,c)", "greatest(d,e)", "least(a,b,c,d,e)",
     ]
     wheres = [
         "", "a>b", "b>c and c>d", "c BETWEEN b-2 AND d+2",
@@ -150,7 +155,7 @@ def gen_select1():
     # multi-column select lists
     for i in range(len(exprs)):
         e2 = f"{exprs[i]}, {exprs[(i + 3) % len(exprs)]}, {exprs[(i + 7) % len(exprs)]}"
-        for w in wheres[:7]:
+        for w in wheres:
             wsql = f" WHERE {w}" if w else ""
             f.query(f"SELECT {e2} FROM t1{wsql} ORDER BY a", "III", "nosort")
     # interleaved statements: late inserts must be visible to later queries
@@ -257,9 +262,175 @@ def gen_select3():
     return f
 
 
+def t4_statements(f):
+    f.statement("CREATE TABLE t4(w INTEGER, x INTEGER, y INTEGER, z INTEGER)")
+    for i in range(40):
+        w = 100 + 3 * i
+        x = maybe_null(100 + rng.randrange(120), rng.randrange(11))
+        y = maybe_null(100 + rng.randrange(120), rng.randrange(11))
+        zz = maybe_null(100 + rng.randrange(120), rng.randrange(11))
+        f.statement(f"INSERT INTO t4 VALUES({w},{x},{y},{zz})")
+
+
+def t5_statements(f):
+    f.statement("CREATE TABLE t5(k INTEGER, g INTEGER, v INTEGER)")
+    for i in range(60):
+        k = 100 + 3 * rng.randrange(55)  # overlaps most of t4.w
+        g = rng.randrange(6)
+        v = 300 + rng.randrange(200)
+        f.statement(f"INSERT INTO t5 VALUES({k},{g},{v})")
+
+
+def gen_select4():
+    """Compound set-operation grammar (the select4 family shape): chains of
+    subselects under UNION / UNION ALL / INTERSECT / EXCEPT, parenthesized
+    explicitly so both engines associate identically."""
+    f = File("select4.test")
+    t4_statements(f)
+    branches = [
+        "SELECT x FROM t4 WHERE w>120",
+        "SELECT y FROM t4 WHERE x<y",
+        "SELECT z FROM t4 WHERE y BETWEEN 110 AND 180",
+        "SELECT x+1 FROM t4 WHERE z IS NOT NULL",
+        "SELECT w-100 FROM t4",
+        "SELECT abs(y-z) FROM t4 WHERE y IS NOT NULL AND z IS NOT NULL",
+        "SELECT x FROM t4 WHERE x IS NULL",
+        "SELECT case when x>y then x else y end FROM t4",
+        "SELECT z FROM t4 WHERE w%2=0",
+        "SELECT y FROM t4 WHERE y>x AND y>z",
+        "SELECT x-y FROM t4 WHERE x>=y",
+        "SELECT w%7 FROM t4 WHERE z<160",
+    ]
+    ops = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+    for l in branches:
+        for r in branches:
+            for op in ops:
+                f.query(f"({l}) {op} ({r})", "I", "rowsort")
+    # three-branch chains, both association orders
+    for i in range(len(branches)):
+        for d1, d2 in [(1, 2), (3, 5), (2, 7), (5, 1)]:
+            a = branches[i]
+            b = branches[(i + d1) % len(branches)]
+            c = branches[(i + d2) % len(branches)]
+            for o1 in ops:
+                for o2 in ops:
+                    f.query(f"(({a}) {o1} ({b})) {o2} ({c})", "I", "rowsort")
+    for i in range(len(branches)):
+        for d1, d2, d3 in [(1, 4, 7), (2, 5, 9), (3, 6, 10), (5, 8, 11)]:
+            a = branches[i]
+            b = branches[(i + d1) % len(branches)]
+            c = branches[(i + d2) % len(branches)]
+            dd = branches[(i + d3) % len(branches)]
+            for o1 in ops:
+                for o2 in ops[:2]:
+                    f.query(f"((({a}) {o1} ({b})) {o2} ({c})) UNION ({dd})",
+                            "I", "rowsort")
+    return f
+
+
+def gen_select5():
+    """Join + GROUP BY grammar (the select5 family shape): equi joins of
+    t4×t5 under grouped aggregates with HAVING and ORDER BY."""
+    f = File("select5.test")
+    t4_statements(f)
+    t5_statements(f)
+    joins = ["t4 JOIN t5 ON w=k", "t4 LEFT JOIN t5 ON w=k",
+             "t4 JOIN t5 ON x=k", "t4 JOIN t5 ON w=k AND v>320"]
+    groups = ["g", "w%5", "g, w%2", "v%3, g"]
+    aggs = ["count(*)", "count(x)", "sum(v)", "min(v)", "max(x)",
+            "sum(x+v)", "max(v-y)", "count(distinct v)"]
+    wheres = ["", "x IS NOT NULL", "v>350", "y>x", "w BETWEEN 110 AND 220"]
+    havings = ["", " HAVING count(*)>1", " HAVING min(v)>310"]
+    for j in joins:
+        for grp in groups:
+            ncols = grp.count(",") + 2
+            for agg in aggs:
+                for w in wheres:
+                    wsql = f" WHERE {w}" if w else ""
+                    f.query(f"SELECT {grp}, {agg} FROM {j}{wsql} GROUP BY {grp}",
+                            "I" * ncols, "rowsort")
+            for agg in aggs[:6]:
+                for h in havings[1:]:
+                    f.query(f"SELECT {grp}, {agg} FROM {j} GROUP BY {grp}{h}",
+                            "I" * ncols, "rowsort")
+    for j in joins:
+        for grp in groups:
+            ncols = grp.count(",") + 3
+            for i in range(len(aggs)):
+                a1 = aggs[i]; a2 = aggs[(i + 3) % len(aggs)]
+                f.query(f"SELECT {grp}, {a1}, {a2} FROM {j} GROUP BY {grp}",
+                        "I" * ncols, "rowsort")
+    # ungrouped join aggregates + ORDER BY count
+    for j in joins:
+        for agg in aggs:
+            for w in wheres:
+                wsql = f" WHERE {w}" if w else ""
+                f.query(f"SELECT {agg} FROM {j}{wsql}", "I", "nosort")
+    for j in joins[:2]:
+        for grp in groups[:2]:
+            f.query(
+                f"SELECT {grp}, count(*) FROM {j} GROUP BY {grp} "
+                f"ORDER BY count(*) DESC, {grp} NULLS FIRST",
+                "I" * (grp.count(",") + 2), "nosort")
+    return f
+
+
+def gen_aggregate():
+    """Aggregate-family grammar over t1: expression aggregates, DISTINCT,
+    multi-key GROUP BY, HAVING over a different aggregate, CASE inside
+    aggregates, aggregates over subqueries."""
+    f = File("aggregate.test")
+    t1_statements(f)
+    aggs = ["count(*)", "count(b)", "count(distinct b)", "count(distinct c%10)",
+            "sum(a)", "sum(b+c)", "sum(case when b>c then 1 else 0 end)",
+            "min(b)", "max(b)", "min(b+c)", "max(a-e)",
+            "sum(abs(b-c))", "min(coalesce(b,a))", "max(case when e IS NULL then 0 else e end)"]
+    wheres = ["", "a>120", "b IS NOT NULL", "b>c or c>d", "e IS NULL",
+              "a%2=0", "c BETWEEN 120 AND 220", "abs(b-d)<50"]
+    for agg in aggs:
+        for w in wheres:
+            wsql = f" WHERE {w}" if w else ""
+            f.query(f"SELECT {agg} FROM t1{wsql}", "I", "nosort")
+    # aggregate pairs and triples
+    for i in range(len(aggs)):
+        a1 = aggs[i]; a2 = aggs[(i + 5) % len(aggs)]; a3 = aggs[(i + 9) % len(aggs)]
+        for w in wheres:
+            wsql = f" WHERE {w}" if w else ""
+            f.query(f"SELECT {a1}, {a2} FROM t1{wsql}", "II", "nosort")
+            f.query(f"SELECT {a1}, {a2}, {a3} FROM t1{wsql}", "III", "nosort")
+    # single- and multi-key GROUP BY with HAVING over a different aggregate
+    groups = ["a%4", "b%3", "c%5", "a%2, d%3", "b%2, e%2"]
+    havings = ["", " HAVING count(*)>2", " HAVING max(a)>150", " HAVING min(a)<180"]
+    for grp in groups:
+        ncols = grp.count(",") + 1
+        for agg in aggs:
+            for h in havings[:3]:
+                f.query(f"SELECT {grp}, {agg} FROM t1 GROUP BY {grp}{h}",
+                        "I" * (ncols + 1), "rowsort")
+        for h in havings[2:]:
+            f.query(f"SELECT {grp}, count(*) FROM t1 GROUP BY {grp}{h}",
+                    "I" * (ncols + 1), "rowsort")
+    for grp in groups:
+        ncols = grp.count(",") + 2
+        for agg in aggs:
+            gkeys = ", ".join(f"{k.strip()} NULLS FIRST" for k in grp.split(","))
+            f.query(f"SELECT {grp}, {agg} FROM t1 GROUP BY {grp} "
+                    f"ORDER BY {agg} NULLS FIRST, {gkeys}",
+                    "I" * ncols, "nosort")
+    # aggregates over subqueries and grouped subqueries
+    for agg in aggs[:8]:
+        f.query(f"SELECT {agg} FROM (SELECT * FROM t1 WHERE b IS NOT NULL) s",
+                "I", "nosort")
+        f.query(
+            f"SELECT max(n) FROM (SELECT a%5 AS grp, count(*) AS n FROM t1 GROUP BY a%5) s",
+            "I", "nosort")
+    return f
+
+
 def main():
     total = 0
-    for g in (gen_select1, gen_select2, gen_select3):
+    for g in (gen_select1, gen_select2, gen_select3, gen_select4,
+              gen_select5, gen_aggregate):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
