@@ -99,13 +99,35 @@ object Pipeline {
     "q76_near_dup_minhash" -> ((s, d) =>
       Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.9)),
 
-    // SimHash near-dup pairs — the one honestly rows-only entry: both the
-    // pair set and the hamming distances are functions of xxhash64 bit
-    // votes with no portable SQL equivalent, and the gate corpus has no
-    // byte-identical pairs (which would give a hash-free invariant).
-    // Value-checked by PipelineSpec's planted duplicates instead.
-    "q77_near_dup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDuplicates(T(s, d, "documents"), maxHamming = 7)),
+    // SimHash COMPLETENESS under the value oracle: a shifted copy of the
+    // corpus plants one identical-text pair per document. Equal token
+    // sequences vote identically, so their signatures are equal (hamming
+    // 0) and every chunk bucket agrees — the banded pipeline MUST surface
+    // them; dropping any (bucket join, distinct, verification) fails the
+    // gate. Restricting the output to equal-normalized-text pairs makes
+    // the result engine-independent (DuckDB recomputes it by self-joining
+    // on the normalized token string — the corpus has no natural
+    // equal-norm pairs, so the result is exactly the planted ones).
+    // Realistic hamming 1..7 distances stay functions of xxhash64 bit
+    // votes with no portable oracle; those are value-checked by
+    // PipelineSpec's planted near-duplicates.
+    "q77_near_dup_simhash" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(docs.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val norm = planted.select(col("doc_id"),
+        concat_ws(" ", filter(
+          split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("__norm"))
+        .filter(length(col("__norm")) > 0)
+      Dedup.simhashNearDuplicates(planted, maxHamming = 7)
+        .join(norm.select(col("doc_id").as("id_a"), col("__norm").as("__na")),
+          "id_a")
+        .join(norm.select(col("doc_id").as("id_b"), col("__norm").as("__nb")),
+          "id_b")
+        .filter(col("__na") === col("__nb"))
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
 
     // Fingerprint collision invariant, driver-visible: the 64-bit
     // fingerprint is a pure function of the normalized text, so its
@@ -211,6 +233,23 @@ object Pipeline {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.9""",
+    // simhash completeness: planted identical-text pairs (hamming 0) are
+    // exactly the equal-normalized-text pairs of corpus ∪ shifted copy
+    "q77_near_dup_simhash" ->
+      raw"""WITH p AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+            ), n AS (
+              SELECT doc_id,
+                     array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                       t -> length(t) > 0), ' ') AS norm
+              FROM p
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
+            WHERE length(a.norm) > 0""",
     "q78_fingerprint_quality" ->
       raw"""SELECT COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_fp,
                    COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_norm,

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.Fixpoint
+import graft.streaming.Incremental._
+import graft.zset.ZSet
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Recursive queries: semi-naive fixpoints (operators/Fixpoint.scala) and
+  * the incremental standing-closure view (Incremental.ClosureInc) — both
+  * beyond-reference surface (the reference's Calcite pipeline rejects
+  * recursion). Goldens are hand-computed; the SQL path cross-checks
+  * against Spark's native WITH RECURSIVE (UnionLoop). */
+class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("fixpoint")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    df.select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+  }
+
+  test("transitive closure of a chain") {
+    val got = pairsOf(Fixpoint.transitiveClosure(edges(1L -> 2L, 2L -> 3L, 3L -> 4L)))
+    assert(got === Set(1L -> 2L, 2L -> 3L, 3L -> 4L,
+      1L -> 3L, 2L -> 4L, 1L -> 4L))
+  }
+
+  test("transitive closure of a cycle terminates (set semantics)") {
+    val got = pairsOf(Fixpoint.transitiveClosure(edges(1L -> 2L, 2L -> 3L, 3L -> 1L)))
+    val all = for (a <- 1L to 3L; b <- 1L to 3L) yield (a, b)
+    assert(got === all.toSet)
+  }
+
+  test("closure matches Spark's native WITH RECURSIVE on an acyclic graph") {
+    import spark.implicits._
+    val e = edges(1L -> 2L, 2L -> 3L, 2L -> 4L, 4L -> 5L, 7L -> 8L)
+    e.createOrReplaceTempView("fx_e")
+    val sql = spark.sql(
+      """WITH RECURSIVE reach (src, dst) AS (
+           SELECT src, dst FROM fx_e
+           UNION ALL
+           SELECT r.src, e.dst FROM reach r JOIN fx_e e ON r.dst = e.src
+         ) SELECT DISTINCT src, dst FROM reach""")
+    assert(pairsOf(Fixpoint.transitiveClosure(e)) === pairsOf(sql))
+  }
+
+  test("setMinus is NULL-safe (NULL-bearing facts terminate the loop)") {
+    import spark.implicits._
+    val a = Seq((Some(1L), "x"), (None: Option[Long], "y")).toDF("k", "v")
+    val b = Seq((None: Option[Long], "y")).toDF("k", "v")
+    val got = Fixpoint.setMinus(a, b).as[(Option[Long], String)].collect().toSet
+    assert(got === Set((Some(1L), "x")))
+  }
+
+  test("semiNaive rejects divergence via maxIters") {
+    import spark.implicits._
+    val base = Seq(0L).toDF("n")
+    intercept[IllegalStateException] {
+      Fixpoint.semiNaive(base, f => f.select((col("n") + 1).as("n")),
+        maxIters = 5)
+    }
+  }
+
+  test("incremental closure: insert-only steps are exact (bridge joins two old components)") {
+    val chainA = edges(1L -> 2L, 2L -> 3L) // component A
+    val chainB = edges(10L -> 11L, 11L -> 12L) // component B
+    val bridge = edges(3L -> 10L) // new edge joins them
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> chainA.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(chainA.unionAll(chainB))))
+    val d = r.step(Map("E" -> ZSet.fromRows(bridge)))
+    // The step's DELTA must be exactly the cross-component pairs (+1 each):
+    // every x∈{1,2,3} now reaches 10 and everything 10 reaches, via ≥1 new edge.
+    val want = for (a <- Seq(1L, 2L, 3L); b <- Seq(10L, 11L, 12L)) yield (a, b)
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(d))) === want.toSet)
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      pairsOf(Fixpoint.transitiveClosure(
+        chainA.unionAll(chainB).unionAll(bridge))))
+  }
+
+  test("incremental closure: chained new edges in one delta (multi-segment paths)") {
+    val base = edges(1L -> 2L)
+    val delta = edges(2L -> 3L, 3L -> 4L) // a path needs BOTH new edges
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> base.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(base)))
+    r.step(Map("E" -> ZSet.fromRows(delta)))
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      Set(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 3L, 2L -> 4L, 1L -> 4L))
+  }
+
+  test("incremental closure: retraction severs paths (re-derivation diff)") {
+    val base = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val cut = edges(2L -> 3L)
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> base.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(base)))
+    val d = r.step(Map("E" -> ZSet.negate(ZSet.fromRows(cut))))
+    // pairs routed through 2->3 must retract with weight -1
+    import spark.implicits._
+    val retracted = ZSet.consolidate(d).filter(col(ZSet.W) === -1L)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+    assert(retracted === Set(2L -> 3L, 1L -> 3L, 2L -> 4L, 1L -> 4L))
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      Set(1L -> 2L, 3L -> 4L))
+  }
+
+  test("incremental closure: re-inserted duplicate edge adds no pairs") {
+    val base = edges(1L -> 2L, 2L -> 3L)
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> base.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(base)))
+    val d = r.step(Map("E" -> ZSet.fromRows(edges(1L -> 2L))))
+    assert(ZSet.consolidate(d).count() === 0)
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      Set(1L -> 2L, 2L -> 3L, 1L -> 3L))
+  }
+
+  test("incremental closure: batch ≡ incremental after mixed waves") {
+    val all = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L)
+    val w1 = edges(1L -> 2L, 4L -> 5L)
+    val w2 = edges(2L -> 3L, 3L -> 1L)
+    val cut = edges(3L -> 1L)
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> all.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(w1)))
+    r.step(Map("E" -> ZSet.fromRows(w2)))
+    r.step(Map("E" -> ZSet.negate(ZSet.fromRows(cut))))
+    val net = edges(1L -> 2L, 2L -> 3L, 4L -> 5L)
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      pairsOf(Fixpoint.transitiveClosure(net)))
+  }
+}
