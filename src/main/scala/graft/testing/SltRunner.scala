@@ -49,6 +49,11 @@ object SltRunner {
   def run(spark: SparkSession, text: String, name: String): Outcome = {
     val lines = text.split("\n", -1)
     val tables = mutable.Map.empty[String, Table]
+    // view name → defining SELECT; re-created (in definition order) after
+    // any base-table change, because a Spark temp view captures the plan
+    // of the base temp view AT CREATION and would otherwise go stale.
+    val views = mutable.LinkedHashMap.empty[String, String]
+    var viewsStale = false
     var hashThreshold = 8
     var passed = 0
     val failed = Vector.newBuilder[String]
@@ -60,6 +65,13 @@ object SltRunner {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(t.rows.asJava, t.schema).createOrReplaceTempView(tn)
       t.dirty = false
+      viewsStale = true
+    }
+    def refreshViews(): Unit = {
+      if (viewsStale) views.foreach { case (vn, sel) =>
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $vn AS $sel")
+      }
+      viewsStale = false
     }
 
     while (i < lines.length) {
@@ -89,7 +101,9 @@ object SltRunner {
           }
           if (!skip) {
             try {
-              executeStatement(spark, tables, sql.toString.trim)
+              executeStatement(spark, tables, views, sql.toString.trim,
+                () => { tables.foreach { case (tn, t) => register(tn, t) }; refreshViews() },
+                () => { viewsStale = true })
               if (expectError) failed += s"$name: statement expected error: $sql"
               else passed += 1
             } catch {
@@ -122,6 +136,7 @@ object SltRunner {
             val exp = expected.result()
             try {
               tables.foreach { case (tn, t) => register(tn, t) }
+              refreshViews()
               val rows = spark.sql(sql.toString).collect().toSeq
               val got = SltHash.toLines(rows, fmt, order)
               val hashRe = "(\\d+) values hashing to ([0-9a-f]{32})".r
@@ -156,10 +171,19 @@ object SltRunner {
     """(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)""".r
   private val dropRe =
     """(?is)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val deleteRe =
+    """(?is)DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*""".r
+  private val createViewRe =
+    """(?is)CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*)""".r
+  private val dropViewRe =
+    """(?is)DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
 
   private def executeStatement(spark: SparkSession,
                                tables: mutable.Map[String, Table],
-                               sql: String): Unit = sql match {
+                               views: mutable.LinkedHashMap[String, String],
+                               sql: String,
+                               registerAll: () => Unit,
+                               markViewsStale: () => Unit): Unit = sql match {
     case createRe(name, colDefs) =>
       val fields = colDefs.split(",").map(_.trim).filter(_.nonEmpty).map { cd =>
         val toks = cd.split("\\s+")
@@ -200,10 +224,38 @@ object SltRunner {
       tables.remove(name.toLowerCase)
       spark.catalog.dropTempView(name)
 
+    // DELETE evaluates its predicate through Spark SQL (3VL: only rows
+    // where the predicate is TRUE are removed) and rewrites the in-memory
+    // table — the statement surface the SQLite `index/delete` family uses.
+    case deleteRe(name, where) =>
+      val t = tables.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(s"no such table $name"))
+      if (where == null) t.rows.clear()
+      else {
+        registerAll()
+        val keep = spark.sql(
+          s"SELECT * FROM ${name.toLowerCase} WHERE NOT($where) OR ($where) IS NULL")
+          .collect()
+        t.rows.clear()
+        t.rows ++= keep
+      }
+      t.dirty = true
+
+    case createViewRe(name, select) =>
+      views(name.toLowerCase) = select.trim.stripSuffix(";")
+      markViewsStale()
+
+    case dropViewRe(name) =>
+      views.remove(name.toLowerCase)
+      spark.catalog.dropTempView(name)
+
     case other =>
-      // anything else (CREATE INDEX, ANALYZE, ...) affects only physical
-      // layout in the original engines — a no-op for Spark temp views
-      if (!other.toUpperCase.startsWith("CREATE INDEX")) {
+      // anything else (CREATE [UNIQUE] INDEX, ANALYZE, REINDEX, ...)
+      // affects only physical layout in the original engines — a no-op
+      // for Spark temp views
+      val u = other.toUpperCase
+      if (!u.startsWith("CREATE INDEX") && !u.startsWith("CREATE UNIQUE INDEX") &&
+          !u.startsWith("ANALYZE") && !u.startsWith("REINDEX")) {
         throw new IllegalArgumentException(s"unsupported SLT statement: $other")
       }
   }

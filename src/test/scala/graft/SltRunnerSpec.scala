@@ -42,6 +42,9 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("aggregate.test: expression/DISTINCT/multi-key aggregate grammar") {
     check("aggregate.test", 640)
   }
+  test("index.test: index-family grammar (predicates, commute, deletes, views)") {
+    check("index.test", 800)
+  }
 
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)

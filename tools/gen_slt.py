@@ -427,10 +427,102 @@ def gen_aggregate():
     return f
 
 
+def t6_statements(f):
+    f.statement("CREATE TABLE t6(a INTEGER, b INTEGER, c INTEGER, d INTEGER, e INTEGER)")
+    f.statement("CREATE INDEX t6i1 ON t6(a)")
+    f.statement("CREATE INDEX t6i2 ON t6(b,c)")
+    f.statement("CREATE UNIQUE INDEX t6i3 ON t6(a,e)")
+    for i in range(48):
+        a = 100 + 3 * i
+        vals = [str(a)]
+        for _ in range(3):
+            vals.append(maybe_null(100 + rng.randrange(200), rng.randrange(11)))
+        vals.append(str(1000 + i))  # e unique, non-null
+        f.statement(f"INSERT INTO t6 VALUES({','.join(vals)})")
+
+
+def gen_index():
+    """Index-family grammar (the SQLite index/between, index/commute,
+    index/in, index/orderby, index/delete, index/view shapes): predicate
+    batteries re-run after CREATE INDEX (a planner no-op for Spark) and
+    after DELETE waves, commuted comparison forms, IN lists/subqueries,
+    multi-column ORDER BY, and queries through CREATE VIEW — including
+    after the base table changes underneath the view."""
+    f = File("index.test")
+    t6_statements(f)
+
+    preds = [
+        "b BETWEEN 150 AND 200", "b NOT BETWEEN 120 AND 220",
+        "b+c BETWEEN 250 AND 400", "c BETWEEN b-20 AND b+20",
+        "a BETWEEN 110 AND 150 AND b IS NOT NULL",
+        "b=c", "b<c", "b>=c", "b<>c",
+        "a%2=0", "a%3=1 AND c IS NOT NULL", "d IS NULL", "d IS NOT NULL",
+        "b IN (101,137,168,190,205,244)", "c NOT IN (111,140,170) AND c IS NOT NULL",
+        "a IN (SELECT a FROM t6 WHERE b>180)",
+        "e IN (SELECT e FROM t6 WHERE d IS NULL)",
+        "b>150 OR c<140", "b>150 AND c<240 AND d>=100",
+        "abs(b-c)<25", "case when b>c then 1 else 0 end=1",
+        "(a-100)%9 IN (0,2,5)", "b IS NULL OR b>230",
+    ]
+    projs = ["a", "a,b", "a,b,c", "count(*)", "a,b+c"]
+    fmts = {"a": "I", "a,b": "II", "a,b,c": "III", "count(*)": "I", "a,b+c": "II"}
+
+    def battery(tag):
+        for p in preds:
+            for proj in projs:
+                f.query(f"SELECT {proj} FROM t6 WHERE {p}", fmts[proj], "rowsort")
+        # ORDER BY over filtered scans (nosort pins full output order);
+        # NULL placement is explicit because the engines' ASC defaults
+        # differ (Spark NULLS FIRST, DuckDB NULLS LAST)
+        for p in preds[:12]:
+            for ob in ["a", "a DESC", "b NULLS FIRST,a",
+                       "b DESC NULLS LAST,a",
+                       "c NULLS LAST,b NULLS FIRST,a", "e DESC"]:
+                f.query(
+                    f"SELECT a,b,c FROM t6 WHERE {p} ORDER BY {ob},a,e",
+                    "III", "nosort")
+
+    battery("initial")
+
+    # commuted comparison forms must agree pairwise (index/commute shape)
+    commuted = [
+        ("a=127", "127=a"), ("b<c", "c>b"), ("b<=c", "c>=b"),
+        ("a>120 AND a<150", "150>a AND 120<a"),
+        ("b=168 OR 190=b", "168=b OR b=190"),
+        ("c BETWEEN 150 AND 200", "150<=c AND c<=200"),
+    ]
+    for l, r in commuted:
+        for q in (l, r):
+            f.query(f"SELECT a,b,c FROM t6 WHERE {q}", "III", "rowsort")
+
+    # view battery, re-queried after the table changes underneath
+    f.statement("CREATE VIEW v6 AS SELECT a, b, b+c AS s FROM t6 WHERE b IS NOT NULL")
+    def view_battery():
+        for p in ["s>300", "s BETWEEN 250 AND 380", "b IN (137,168,190)",
+                  "a%2=0 AND s IS NOT NULL", "s IS NULL"]:
+            f.query(f"SELECT a,s FROM v6 WHERE {p}", "II", "rowsort")
+            f.query(f"SELECT count(*) FROM v6 WHERE {p}", "I", "nosort")
+    view_battery()
+
+    # delete waves (index/delete shape): re-run the batteries on the
+    # shrunken table — NULL predicates must NOT delete (3VL)
+    for wave, cond in enumerate([
+        "a%5=0", "b<130", "c BETWEEN 140 AND 165 AND d IS NOT NULL"]):
+        f.statement(f"DELETE FROM t6 WHERE {cond}")
+        f.query("SELECT count(*) FROM t6", "I", "nosort")
+        battery(f"after-delete-{wave}")
+        view_battery()
+
+    f.statement("DROP VIEW v6")
+    f.statement("DELETE FROM t6")
+    f.query("SELECT count(*) FROM t6", "I", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
-              gen_select5, gen_aggregate):
+              gen_select5, gen_aggregate, gen_index):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
