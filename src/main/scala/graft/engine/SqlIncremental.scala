@@ -429,8 +429,20 @@ object SqlIncremental {
         graft.zset.ZSet.map(df)(childCols :+ gen: _*)
       }
 
-    case Distinct(child) => walk(child, sources).distinct
+    case Distinct(child) =>
+      compileRecursiveDistinct(child, sources)
+        .getOrElse(walk(child, sources).distinct)
     case Deduplicate(_, child) => walk(child, sources).distinct
+
+    // Reached only when recursion is NOT wrapped in DISTINCT (set
+    // semantics): UNION ALL recursion counts paths — a bag the closure
+    // circuit cannot maintain, and which diverges on cyclic graphs anyway.
+    case _: UnionLoop => throw new UnsupportedPlanException(
+      "recursive CTEs compile incrementally only as SELECT DISTINCT over " +
+        "a linear transitive-closure recursion (anchor ∪ SELECT r.c1, e.c2 " +
+        "FROM ref r JOIN edges e ON r.c2 = e.c1); UNION ALL bag semantics " +
+        "(path counting) has no incremental closure circuit — add DISTINCT " +
+        "or use the Incremental DSL directly")
 
     // Set ops follow the reference's circuits (visitMinus :492-519,
     // visitIntersect :809-853): EXCEPT = distinct(distinct(a) − distinct(b));
@@ -740,6 +752,129 @@ object SqlIncremental {
     * subqueries join on a constant key; correlated ones decorrelate via
     * `correlatedScalar`. Returns the augmented circuit (original `carried`
     * columns plus one `__sqN` per subquery) and the name map. */
+  /** Lower `SELECT DISTINCT ... FROM <recursive CTE>` to an incremental
+    * closure circuit when the recursion is the linear transitive-closure
+    * shape: anchor A(c1,c2) UNION ALL SELECT r.c1, e.cDst FROM ref r JOIN
+    * edges e ON r.c2 = e.cSrc. The set fixpoint of that recursion is
+    * A ∪ A∘E⁺ (E = π(cSrc,cDst) edges, E⁺ its transitive closure), so the
+    * circuit is anchor ∪ (anchor ⋈ ClosureInc(E)) under distinct — the
+    * closure node maintains E⁺ with delta-proportional insert steps.
+    * DISTINCT is required: it is what makes the SQL semantics the set
+    * fixpoint (Spark's native UNION ALL UnionLoop counts paths and would
+    * not even terminate on cycles; the set circuit terminates and matches
+    * DuckDB's UNION recursion). Returns None when `p` is not a recursion
+    * (callers fall back to plain distinct compilation); throws through
+    * walk's UnionLoop case with an explanation for unsupported recursive
+    * shapes. */
+  private def compileRecursiveDistinct(p: LogicalPlan,
+                                       sources: Map[String, String])
+      : Option[Inc] = {
+    // strip pure-rename layers, applying them back over the closure result
+    def go(pl: LogicalPlan, renames: List[Seq[NamedExpression]]): Option[Inc] =
+      pl match {
+        case SubqueryAlias(_, c) => go(c, renames)
+        case Project(projs, c)
+            if projs.forall {
+              case _: AttributeReference => true
+              case Alias(_: AttributeReference, _) => true
+              case _ => false
+            } => go(c, projs :: renames)
+        case ul: UnionLoop =>
+          compileUnionLoop(ul, sources).map { inc =>
+            renames.foldLeft(inc)((n, projs) =>
+              n.select(projs.map(toColumn): _*))
+          }
+        case _ => None
+      }
+    go(p, Nil)
+  }
+
+  /** Match one linear TC-shaped UnionLoop and build its closure circuit;
+    * None if the recursion has another shape (walk then raises the
+    * explanatory UnionLoop error). */
+  private def compileUnionLoop(ul: UnionLoop,
+                               sources: Map[String, String]): Option[Inc] = {
+    if (ul.anchor.output.length != 2) return None
+    // map a join side's output exprIds to UnionLoopRef column positions,
+    // tolerating rename layers; None if the side is not the bare ref
+    def refMap(pl: LogicalPlan): Option[Map[ExprId, Int]] = pl match {
+      case SubqueryAlias(_, c) => refMap(c)
+      case Project(projs, c) => refMap(c).flatMap { inner =>
+        val entries = projs.map {
+          case a: AttributeReference => inner.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(a: AttributeReference, _) =>
+            inner.get(a.exprId).map(al.exprId -> _)
+          case _ => None
+        }
+        if (entries.forall(_.isDefined)) Some(entries.flatten.toMap) else None
+      }
+      case r: UnionLoopRef if r.loopId == ul.id =>
+        Some(r.output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap)
+      case _ => None
+    }
+    def hasRef(pl: LogicalPlan): Boolean =
+      pl.exists { case r: UnionLoopRef => r.loopId == ul.id; case _ => false }
+
+    // recursion shape: Project([refC1, edgeAttr], Join(refSide, edgeSide))
+    def strip(pl: LogicalPlan): LogicalPlan = pl match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    strip(ul.recursion) match {
+      case Project(projs, j @ Join(l, r, _: InnerLike, Some(cond), _)) =>
+        val (refSide, edgeSide) =
+          if (hasRef(l) && !hasRef(r)) (l, r)
+          else if (hasRef(r) && !hasRef(l)) (r, l)
+          else return None
+        val rm = refMap(refSide).getOrElse(return None)
+        def refPos(e: Expression): Option[Int] = e match {
+          case a: AttributeReference => rm.get(a.exprId)
+          case _ => None
+        }
+        def edgeAttr(e: Expression): Option[Attribute] = e match {
+          case a: AttributeReference =>
+            edgeSide.output.find(_.exprId == a.exprId)
+          case _ => None
+        }
+        // single equi condition: ref.c2 = edge.cSrc (either written order)
+        val (joinEdge0, condOk) = cond match {
+          case EqualTo(x, y) =>
+            (refPos(x), edgeAttr(y), refPos(y), edgeAttr(x)) match {
+              case (Some(1), Some(e), _, _) => (Some(e), true)
+              case (_, _, Some(1), Some(e)) => (Some(e), true)
+              case _ => (None, false)
+            }
+          case _ => (None, false)
+        }
+        if (!condOk) return None
+        val joinEdge = joinEdge0.get
+        // projection: [ref.c1, edge.cDst] (aliases allowed)
+        def unalias(e: Expression): Expression = e match {
+          case Alias(c, _) => c
+          case other => other
+        }
+        if (projs.length != 2) return None
+        if (!refPos(unalias(projs.head)).contains(0)) return None
+        val projEdge = edgeAttr(unalias(projs(1))).getOrElse(return None)
+        if (joinEdge.name == projEdge.name &&
+            joinEdge.exprId != projEdge.exprId) return None // ambiguous by name
+        val eInc = walk(edgeSide, sources).select(
+          col(joinEdge.name).as("__cl_src"), col(projEdge.name).as("__cl_dst"))
+        val cInc = eInc.closure("__cl_src", "__cl_dst")
+        val aInc = walk(ul.anchor, sources)
+        val Seq(c1, c2) = ul.anchor.output.map(_.name)
+        if (c1 == c2 ||
+            Set(c1, c2).exists(n => n == "__cl_src" || n == "__cl_dst"))
+          return None
+        val extended = aInc
+          .select(col(c1), col(c2).as("__cl_src"))
+          .join(cInc, Seq("__cl_src"))
+          .select(col(c1), col("__cl_dst").as(c2))
+        Some(aInc.union(extended).distinct)
+      case _ => None
+    }
+  }
+
   private def attachScalars(node0: Inc, carried0: Seq[String],
                             scalars: Seq[ScalarSubquery],
                             sources: Map[String, String])

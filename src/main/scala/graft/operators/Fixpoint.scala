@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   * which UNION ALL recursion cannot express without a depth cap.
   *
   * Scale/shape notes:
-  *  - The driver-side `while` is over ITERATIONS (graph diameter), not
-  *    rows — each iteration is one distributed join + anti-join; this is
-  *    the same structure GraphX/Pregel use. Work per iteration is
-  *    O(|frontier| ⋈ |edges|), and the frontier only shrinks on real
-  *    workloads (semi-naive: only NEW facts re-enter the step).
+  *  - The driver-side `while` is over ITERATIONS, not rows — each
+  *    iteration is one distributed join + anti-join (the GraphX/Pregel
+  *    structure). The step receives BOTH the frontier and the accumulated
+  *    total, so closure-style callers can compose frontier×total — path
+  *    DOUBLING, which converges in O(log diameter) iterations instead of
+  *    O(diameter); on a 1000-hop chain that is 10 rounds, not 1000.
+  *  - Iteration latency is dominated by fixed per-job cost, not data, so
+  *    the loop sizes `spark.sql.shuffle.partitions` to the observed
+  *    frontier/total row counts (1 partition for small graphs, growing
+  *    toward the session setting for large ones) and plans non-adaptively
+  *    — AQE's per-stage blocking rounds are pure overhead on plans over
+  *    cached leaves whose sizes the loop already knows. Both settings are
+  *    restored on exit.
   *  - Every iteration's new-facts frame is persisted, materialized by the
   *    termination count, and re-anchored as a `LogicalRDD` leaf, so plan
   *    depth stays O(1) regardless of iteration count (without this the
@@ -32,10 +40,6 @@ import org.apache.spark.sql.functions._
   */
 object Fixpoint {
 
-  /** Least fixpoint of `X = distinct(base ∪ step(X))` computed
-    * semi-naively: only the previous iteration's NEW rows are fed to
-    * `step`. `step` must be monotone (it is only ever applied to row sets,
-    * never retracted). Rows are SET-semantics: duplicates are collapsed. */
   /** a \ b under set semantics, NULL-SAFE on every column (a NULL-bearing
     * row must equal itself or subtraction silently keeps it). */
   def setMinus(a: DataFrame, b: DataFrame): DataFrame = {
@@ -45,36 +49,63 @@ object Fixpoint {
     a.join(bb, cond, "left_anti")
   }
 
-  def semiNaive(base: DataFrame, step: DataFrame => DataFrame,
+  /** Least fixpoint of `X = distinct(base ∪ step(frontier, X))` computed
+    * semi-naively: `step` sees the previous iteration's NEW rows and the
+    * accumulated total (compose against the total for doubling). `step`
+    * must be monotone and must only derive facts that are valid
+    * compositions of its inputs; every (frontier, total) combination is
+    * eventually offered, so saturation implies closure. Rows are
+    * SET-semantics: duplicates are collapsed. */
+  def semiNaive(base: DataFrame,
+                step: (DataFrame, DataFrame) => DataFrame,
                 maxIters: Int = 10000): DataFrame = {
+    val spark = base.sparkSession
     val cols = base.columns.toSeq
     val chunks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def settle(df: DataFrame): (DataFrame, Long) = {
-      val p = df.persist()
-      val n = p.count()
-      chunks += p
-      (GraftSqlBridge.reanchor(p), n)
-    }
-    var (total, frontier) = {
-      val (t, _) = settle(base.dropDuplicates())
-      (t, t)
-    }
-    var iters = 0
-    var done = false
-    while (!done && iters < maxIters) {
-      val (fresh, n) =
-        settle(setMinus(step(frontier).dropDuplicates().select(cols.map(col): _*),
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def settle(df: DataFrame): (DataFrame, Long) = {
+        val p = df.persist()
+        val n = p.count()
+        chunks += p
+        (GraftSqlBridge.reanchor(p), n)
+      }
+      def sizeShuffle(rows: Long): Unit =
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(math.max(1L, rows / 250000L), sessionParts.toLong).toString)
+      sizeShuffle(0L)
+      var (total, frontier, totalRows) = {
+        val (t, n) = settle(base.dropDuplicates())
+        (t, t, n)
+      }
+      var iters = 0
+      var done = false
+      while (!done && iters < maxIters) {
+        sizeShuffle(totalRows)
+        val (fresh, n) = settle(setMinus(
+          step(frontier, total).dropDuplicates().select(cols.map(col): _*),
           total))
-      if (n == 0) done = true
-      else { total = total.unionAll(fresh); frontier = fresh; iters += 1 }
+        if (n == 0) done = true
+        else {
+          total = total.unionAll(fresh); frontier = fresh
+          totalRows += n; iters += 1
+        }
+      }
+      if (!done) throw new IllegalStateException(
+        s"fixpoint did not converge within $maxIters iterations")
+      sizeShuffle(totalRows)
+      val out = total.persist()
+      out.count()
+      val anchored = GraftSqlBridge.reanchor(out)
+      chunks.foreach(_.unpersist(false))
+      anchored
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
     }
-    if (!done) throw new IllegalStateException(
-      s"fixpoint did not converge within $maxIters iterations")
-    val out = total.persist()
-    out.count()
-    val anchored = GraftSqlBridge.reanchor(out)
-    chunks.foreach(_.unpersist(false))
-    anchored
   }
 
   /** Compose two binary relations: (a.src→a.dst) ∘ (b.src→b.dst) joined on
@@ -85,10 +116,13 @@ object Fixpoint {
       .select(col(src), col(dst))
 
   /** Set-semantics transitive closure of an edge relation (columns
-    * `src`, `dst`), cycle-safe. */
+    * `src`, `dst`), cycle-safe. Doubling composition (frontier×total both
+    * ways) converges in O(log diameter) iterations. */
   def transitiveClosure(edges: DataFrame,
                         src: String = "src", dst: String = "dst"): DataFrame = {
     val e = edges.select(col(src), col(dst))
-    semiNaive(e, frontier => compose(frontier, e, src, dst))
+    semiNaive(e, (frontier, total) =>
+      compose(frontier, total, src, dst)
+        .unionAll(compose(total, frontier, src, dst)))
   }
 }

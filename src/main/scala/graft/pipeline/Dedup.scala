@@ -221,8 +221,16 @@ object Dedup {
 
   def simhashNearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text",
-                            maxHamming: Int = 7): DataFrame = {
-    val sig = simhashSignatures(docs, idCol, textCol)
+                            maxHamming: Int = 7): DataFrame =
+    simhashPairsFromSignatures(
+      simhashSignatures(docs, idCol, textCol), idCol, maxHamming)
+
+  /** Banded pairing stage over precomputed signatures (column `sim`) —
+    * split out so callers that derive signature sets (e.g. replicating a
+    * corpus under shifted ids, where equal text ⇒ equal signature) don't
+    * recompute the token-vote aggregation. */
+  def simhashPairsFromSignatures(sig: DataFrame, idCol: String = "doc_id",
+                                 maxHamming: Int = 7): DataFrame = {
     val chunks = sig.select(col(idCol), col("sim"), posexplode(
       array((0 until 8).map(c =>
         shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)): _*))

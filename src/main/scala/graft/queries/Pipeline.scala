@@ -113,14 +113,18 @@ object Pipeline {
     // PipelineSpec's planted near-duplicates.
     "q77_near_dup_simhash" -> ((s, d) => {
       val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.unionAll(docs.select(
-        (col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
-      val norm = planted.select(col("doc_id"),
+      // signatures and normalized texts are deterministic functions of the
+      // text, so the shifted copy reuses them under new ids instead of
+      // recomputing the token-vote aggregation over a doubled corpus
+      def shifted(df: DataFrame) = df.unionAll(
+        df.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val sig = shifted(Dedup.simhashSignatures(docs, "doc_id", "text"))
+      val norm = shifted(docs.select(col("doc_id"),
         concat_ws(" ", filter(
           split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
           t => length(t) > 0)).as("__norm"))
-        .filter(length(col("__norm")) > 0)
-      Dedup.simhashNearDuplicates(planted, maxHamming = 7)
+        .filter(length(col("__norm")) > 0))
+      Dedup.simhashPairsFromSignatures(sig, maxHamming = 7)
         .join(norm.select(col("doc_id").as("id_a"), col("__norm").as("__na")),
           "id_a")
         .join(norm.select(col("doc_id").as("id_b"), col("__norm").as("__nb")),

@@ -75,6 +75,32 @@ object Recursive {
       Fixpoint.transitiveClosure(edges)
     }),
 
+    // The same standing-closure workload as q89 but compiled FROM SQL
+    // TEXT: SELECT DISTINCT over a WITH RECURSIVE reachability CTE lowers
+    // to anchor ∪ anchor∘ClosureInc(E) (SqlIncremental.compileUnionLoop),
+    // maintained through the same insert + retract waves.
+    "q86_incremental_sql_closure" -> ((s, d) => {
+      val sup = Tables.load(s, d, "supplier").select(col("s_suppkey"))
+      val chain = sup.filter(col("s_suppkey") % 20 =!= 19).select(
+        col("s_suppkey").as("src"), (col("s_suppkey") + 1).as("dst"))
+      val close = sup.filter(col("s_suppkey") % 20 === 19).select(
+        col("s_suppkey").as("src"), (col("s_suppkey") - 19).as("dst"))
+      chain.limit(0).createOrReplaceTempView("RE")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH RECURSIVE reach (src, dst) AS (
+             SELECT src, dst FROM RE
+             UNION ALL
+             SELECT r.src, e.dst FROM reach r JOIN RE e ON r.dst = e.src
+           ) SELECT DISTINCT src, dst FROM reach""",
+        Set("RE"))
+      val r = new Runner(s, circuit, Map("RE" -> chain.limit(0)))
+      r.step(Map("RE" -> ZSet.fromRows(chain)))
+      r.step(Map("RE" -> ZSet.fromRows(close)))
+      r.step(Map("RE" -> ZSet.negate(ZSet.fromRows(
+        close.filter(col("src") % 40 === 19)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Standing transitive-closure view through the incremental Runner:
     // chain edges arrive, then the cycle-closing edges (insert-only path —
     // new pairs via semi-naive over (I∪T)∘ΔE∘(I∪T), delta-proportional),
@@ -125,6 +151,20 @@ object Recursive {
                   CASE WHEN s_suppkey % 20 = 19 THEN s_suppkey - 19
                        ELSE s_suppkey + 1 END AS dst
            FROM supplier
+         ),
+         reach (src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+         )
+         SELECT src, dst FROM reach""",
+    "q86_incremental_sql_closure" ->
+      """WITH RECURSIVE e AS (
+           SELECT s_suppkey AS src, s_suppkey + 1 AS dst
+           FROM supplier WHERE s_suppkey % 20 <> 19
+           UNION ALL
+           SELECT s_suppkey AS src, s_suppkey - 19 AS dst
+           FROM supplier WHERE s_suppkey % 20 = 19 AND s_suppkey % 40 <> 19
          ),
          reach (src, dst) AS (
            SELECT src, dst FROM e

@@ -485,7 +485,9 @@ object Incremental {
           .unionAll(Fixpoint.compose(leftExt, tOld, src, dst))
           .dropDuplicates()
         val closureU =
-          Fixpoint.semiNaive(u, f => Fixpoint.compose(f, u, src, dst))
+          Fixpoint.semiNaive(u, (f, t) =>
+            Fixpoint.compose(f, t, src, dst)
+              .unionAll(Fixpoint.compose(t, f, src, dst)))
         ZSet.fromRows(Fixpoint.setMinus(closureU, tOld))
       } else {
         // Retractions can sever paths whose support is spread across the

@@ -72,7 +72,7 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val base = Seq(0L).toDF("n")
     intercept[IllegalStateException] {
-      Fixpoint.semiNaive(base, f => f.select((col("n") + 1).as("n")),
+      Fixpoint.semiNaive(base, (f, _) => f.select((col("n") + 1).as("n")),
         maxIters = 5)
     }
   }
@@ -130,6 +130,55 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.consolidate(d).count() === 0)
     assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
       Set(1L -> 2L, 2L -> 3L, 1L -> 3L))
+  }
+
+  test("SQL WITH RECURSIVE compiles to the incremental closure circuit") {
+    val base = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L)
+    base.limit(0).createOrReplaceTempView("CLE")
+    val circuit = graft.engine.SqlIncremental.compile(spark,
+      """WITH RECURSIVE reach (src, dst) AS (
+           SELECT src, dst FROM CLE
+           UNION ALL
+           SELECT r.src, e.dst FROM reach r JOIN CLE e ON r.dst = e.src
+         ) SELECT DISTINCT src, dst FROM reach""",
+      Set("CLE"))
+    val r = new Runner(spark, circuit, Map("CLE" -> base.limit(0)))
+    r.step(Map("CLE" -> ZSet.fromRows(base)))
+    r.step(Map("CLE" -> ZSet.fromRows(edges(4L -> 10L))))
+    r.step(Map("CLE" -> ZSet.negate(ZSet.fromRows(edges(2L -> 3L)))))
+    val net = edges(1L -> 2L, 3L -> 4L, 4L -> 10L, 10L -> 11L)
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      pairsOf(Fixpoint.transitiveClosure(net)))
+  }
+
+  test("SQL recursion with a seed anchor: anchor ∪ anchor∘E⁺") {
+    val base = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 6L)
+    base.limit(0).createOrReplaceTempView("CLE2")
+    val circuit = graft.engine.SqlIncremental.compile(spark,
+      """WITH RECURSIVE reach (src, dst) AS (
+           SELECT src, dst FROM CLE2 WHERE src = 1
+           UNION ALL
+           SELECT r.src, e.dst FROM reach r JOIN CLE2 e ON r.dst = e.src
+         ) SELECT DISTINCT src, dst FROM reach""",
+      Set("CLE2"))
+    val r = new Runner(spark, circuit, Map("CLE2" -> base.limit(0)))
+    r.step(Map("CLE2" -> ZSet.fromRows(base)))
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      Set(1L -> 2L, 1L -> 3L, 1L -> 4L))
+  }
+
+  test("UNION ALL recursion without DISTINCT is rejected with an explanation") {
+    edges(1L -> 2L).limit(0).createOrReplaceTempView("CLE3")
+    val e = intercept[graft.engine.SqlIncremental.UnsupportedPlanException] {
+      graft.engine.SqlIncremental.compile(spark,
+        """WITH RECURSIVE reach (src, dst) AS (
+             SELECT src, dst FROM CLE3
+             UNION ALL
+             SELECT r.src, e.dst FROM reach r JOIN CLE3 e ON r.dst = e.src
+           ) SELECT src, dst FROM reach""",
+        Set("CLE3"))
+    }
+    assert(e.getMessage.contains("DISTINCT"))
   }
 
   test("incremental closure: batch ≡ incremental after mixed waves") {
