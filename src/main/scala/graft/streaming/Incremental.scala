@@ -464,8 +464,10 @@ object Incremental {
     def kids: Seq[Inc] = Seq(child)
     override private[streaming] def valueDeps: Seq[Inc] = kids
     override private[streaming] def ownTrace: Boolean = true
+    /** Present edges of a Z-set: SET semantics means weight > 0 (an edge
+      * retracted below zero is absent, exactly as in ZSet.distinct). */
     private def rowsOf(z: DataFrame): DataFrame =
-      ZSet.consolidate(z).filter(col(ZSet.W) =!= 0L)
+      ZSet.consolidate(z).filter(col(ZSet.W) > 0L)
         .select(col(src), col(dst)).distinct()
     def batch(in: Inputs): DataFrame =
       ZSet.fromRows(
@@ -477,9 +479,21 @@ object Incremental {
         // segments of U = (I∪T)∘ΔE∘(I∪T) (T∘U ⊆ U and U∘T ⊆ U because T
         // is transitively closed), so the new pairs are the semi-naive
         // closure OVER U minus T — work scales with the delta and the
-        // affected neighborhood, never the closure size.
+        // affected neighborhood, never the closure size. ΔE is the NEWLY
+        // PRESENT edges: a positive delta on an edge that already existed
+        // (or that only lifts a net-negative weight toward zero) changes
+        // no presence and must contribute no pairs.
         val tOld = rowsOf(ctx.traceOf(this))
-        val dE = rowsOf(dChild)
+        val dE = {
+          // presence can only change for delta-touched edges, so restrict
+          // both sides to them (delta-proportional, never O(edge state))
+          val names = Seq(src, dst)
+          val touched = dChild.select(col(src), col(dst)).distinct()
+          Fixpoint.setMinus(
+            rowsOf(touchedOnly(
+              ZSet.plus(ctx.valueOf(child), dChild), touched, names)),
+            rowsOf(touchedOnly(ctx.valueOf(child), touched, names)))
+        }
         val leftExt = Fixpoint.compose(tOld, dE, src, dst).unionAll(dE)
         val u = leftExt
           .unionAll(Fixpoint.compose(leftExt, tOld, src, dst))

@@ -181,6 +181,40 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("DISTINCT"))
   }
 
+  test("incremental closure: presence semantics under over-retraction and re-insert") {
+    // retract an edge below zero, then insert it once: net weight 0 — the
+    // edge is NOT present and the insert step must not derive pairs from it
+    val e12 = edges(1L -> 2L)
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> e12.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(edges(2L -> 3L))))
+    r.step(Map("E" -> ZSet.negate(ZSet.fromRows(e12.unionAll(e12))))) // 1->2 at -2
+    r.step(Map("E" -> ZSet.fromRows(e12))) // 1->2 back to -1: still absent
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) === Set(2L -> 3L))
+    r.step(Map("E" -> ZSet.fromRows(e12.unionAll(e12)))) // net +1: present now
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      Set(1L -> 2L, 2L -> 3L, 1L -> 3L))
+  }
+
+  test("incremental closure: randomized weighted deltas ≡ batch recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val circuit = source("E").closure("src", "dst")
+      val r = new Runner(spark, circuit, Map("E" -> edges().limit(0)))
+      for (_ <- 1 to 4) {
+        val delta = Seq.fill(6 + rnd.nextInt(6)) {
+          (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong,
+            (rnd.nextInt(5) - 2).toLong) // weights -2..2, cycles allowed
+        }.filter(_._3 != 0L)
+        r.step(Map("E" -> delta.toDF("src", "dst", ZSet.W)))
+      }
+      val got = pairsOf(ZSet.toRows(ZSet.consolidate(r.output)))
+      val want = pairsOf(ZSet.toRows(ZSet.consolidate(r.recompute)))
+      assert(got === want, s"trial $trial diverged from batch")
+    }
+  }
+
   test("incremental closure: batch ≡ incremental after mixed waves") {
     val all = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L)
     val w1 = edges(1L -> 2L, 4L -> 5L)
