@@ -215,6 +215,25 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("recursive view through the Engine catalog (script → standing closure)") {
+    val e = new graft.engine.Engine(spark)
+    e.executeScript(
+      """CREATE TABLE EDGES (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        |CREATE VIEW REACH AS
+        |  WITH RECURSIVE reach (src, dst) AS (
+        |    SELECT src, dst FROM EDGES
+        |    UNION ALL
+        |    SELECT r.src, e.dst FROM reach r JOIN EDGES e ON r.dst = e.src
+        |  ) SELECT DISTINCT src, dst FROM reach""".stripMargin)
+    val r = e.incrementalRunner("REACH")
+    r.step(Map("EDGES" -> ZSet.fromRows(edges(1L -> 2L, 2L -> 3L))))
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      Set(1L -> 2L, 2L -> 3L, 1L -> 3L))
+    r.step(Map("EDGES" -> ZSet.negate(ZSet.fromRows(edges(1L -> 2L)))))
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      Set(2L -> 3L))
+  }
+
   test("incremental closure: batch ≡ incremental after mixed waves") {
     val all = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L)
     val w1 = edges(1L -> 2L, 4L -> 5L)

@@ -114,6 +114,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set(("c", 2L, 18L), ("d", 1L, 1L)))
   }
 
+  test("foreachBatch deployment of a standing RECURSIVE view (closure) with restart") {
+    import spark.implicits._
+    import graft.streaming.Incremental._
+    import graft.zset.ZSet
+    implicit val sqlCtx = spark.sqlContext
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").as[(Long, Long)].collect().toSet
+    val circuit = source("E").closure("src", "dst")
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_closure_ckpt_").toString
+
+    val r1 = new Runner(spark, circuit, Map("E" -> empty))
+    val mem1 = MemoryStream[(Long, Long, Long)]
+    val q1 = mem1.toDF().toDF("src", "dst", ZSet.W).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        r1.step(Map("E" -> batch))
+        r1.checkpoint(ckpt)
+      }.start()
+    try {
+      mem1.addData((1L, 2L, 1L), (2L, 3L, 1L)); q1.processAllAvailable()
+      mem1.addData((3L, 4L, 1L)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(pairs(ZSet.toRows(ZSet.consolidate(r1.output))) ===
+      Set(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 3L, 2L -> 4L, 1L -> 4L))
+
+    // restart: a new runner restores the closure trace and keeps
+    // maintaining through a retraction micro-batch
+    val r2 = new Runner(spark, circuit, Map("E" -> empty))
+    r2.restore(ckpt)
+    val mem2 = MemoryStream[(Long, Long, Long)]
+    val q2 = mem2.toDF().toDF("src", "dst", ZSet.W).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        r2.step(Map("E" -> batch)); ()
+      }.start()
+    try {
+      mem2.addData((2L, 3L, -1L)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(pairs(ZSet.toRows(ZSet.consolidate(r2.output))) ===
+      Set(1L -> 2L, 3L -> 4L))
+  }
+
   test("stream-stream inner join on key (bilinear op, append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
