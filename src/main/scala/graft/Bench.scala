@@ -44,7 +44,12 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // Queries are independent: drop whatever state this one cached
+      // (incremental Runner traces, fixpoint results) so later queries are
+      // measured against a clean executor, not this query's leftovers.
+      spark.catalog.clearCache()
+      (name, t, ok)
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")

@@ -858,14 +858,24 @@ object SqlIncremental {
         val projEdge = edgeAttr(unalias(projs(1))).getOrElse(return None)
         if (joinEdge.name == projEdge.name &&
             joinEdge.exprId != projEdge.exprId) return None // ambiguous by name
-        val eInc = walk(edgeSide, sources).select(
-          col(joinEdge.name).as("__cl_src"), col(projEdge.name).as("__cl_dst"))
-        val cInc = eInc.closure("__cl_src", "__cl_dst")
-        val aInc = walk(ul.anchor, sources)
         val Seq(c1, c2) = ul.anchor.output.map(_.name)
         if (c1 == c2 ||
             Set(c1, c2).exists(n => n == "__cl_src" || n == "__cl_dst"))
           return None
+        // Anchor ≡ edge relation (the plain TC query): A ∪ A∘E⁺ = E⁺, so
+        // the circuit is the closure node alone — no join, no outer
+        // distinct (closure output is already a set).
+        val edgeRel: LogicalPlan =
+          Project(Seq(joinEdge, projEdge), edgeSide)
+        if (edgeRel.canonicalized == ul.anchor.canonicalized) {
+          val eInc = walk(edgeSide, sources).select(
+            col(joinEdge.name).as(c1), col(projEdge.name).as(c2))
+          return Some(eInc.closure(c1, c2))
+        }
+        val eInc = walk(edgeSide, sources).select(
+          col(joinEdge.name).as("__cl_src"), col(projEdge.name).as("__cl_dst"))
+        val cInc = eInc.closure("__cl_src", "__cl_dst")
+        val aInc = walk(ul.anchor, sources)
         val extended = aInc
           .select(col(c1), col(c2).as("__cl_src"))
           .join(cInc, Seq("__cl_src"))
