@@ -795,6 +795,9 @@ object SqlIncremental {
   private def compileUnionLoop(ul: UnionLoop,
                                sources: Map[String, String]): Option[Inc] = {
     if (ul.anchor.output.length != 2) return None
+    // an explicit LIMIT or MAX RECURSION LEVEL bounds the native loop's
+    // OUTPUT — the unbounded set closure would silently differ
+    if (ul.limit.isDefined || ul.maxDepth.isDefined) return None
     // map a join side's output exprIds to UnionLoopRef column positions,
     // tolerating rename layers; None if the side is not the bare ref
     def refMap(pl: LogicalPlan): Option[Map[ExprId, Int]] = pl match {
