@@ -45,6 +45,9 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("index.test: index-family grammar (predicates, commute, deletes, views)") {
     check("index.test", 800)
   }
+  test("evidence.test: scalar/string/3VL/subquery function semantics") {
+    check("evidence.test", 100)
+  }
 
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)

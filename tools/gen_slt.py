@@ -519,10 +519,79 @@ def gen_index():
     return f
 
 
+def gen_evidence():
+    """Evidence-family grammar (the SQLite evidence/* shape): scalar
+    function semantics — COALESCE/NULLIF/CASE chains, string functions,
+    CAST, HAVING without GROUP BY, EXISTS/NOT EXISTS, quantified
+    subqueries — restricted to constructs with identical Spark/DuckDB
+    semantics."""
+    f = File("evidence.test")
+    t1_statements(f)
+    t2_statements(f)
+
+    scalar_exprs = [
+        ("coalesce(b, c, 0)", "I"), ("coalesce(d, e, b, -1)", "I"),
+        ("nullif(b, c)", "I"), ("nullif(a, 100)", "I"),
+        ("coalesce(nullif(b, c), -5)", "I"),
+        ("abs(b - c)", "I"), ("greatest(a, b, c)", "I"),
+        ("least(a, coalesce(b, 999), coalesce(c, 999))", "I"),
+        ("CASE WHEN b IS NULL THEN -1 WHEN b < 150 THEN 0 ELSE 1 END", "I"),
+        ("CASE b % 3 WHEN 0 THEN 'z' WHEN 1 THEN 'o' ELSE 'x' END", "T"),
+        ("CAST(b AS BIGINT) * 2", "I"), ("CAST(a % 7 AS STRING)", "T"),
+        ("b * 10 + c % 10", "I"),
+    ]
+    for e, fmt in scalar_exprs:
+        f.query(f"SELECT a, {e} FROM t1 ORDER BY a", f"I{fmt}", "nosort")
+        f.query(f"SELECT {e} FROM t1 WHERE b IS NOT NULL AND c IS NOT NULL",
+                fmt, "valuesort")
+        f.query(f"SELECT count({e}) FROM t1", "I", "nosort")
+
+    string_exprs = [
+        ("length(s)", "I"), ("upper(s)", "T"), ("lower(s)", "T"),
+        ("trim(s)", "T"), ("substr(s, 1, 3)", "T"), ("substr(s, 2)", "T"),
+        ("replace(s, 'a', '_')", "T"), ("s || '!'", "T"),
+        ("coalesce(nullif(s, ''), '(none)')", "T"),
+        ("CASE WHEN length(s) > 5 THEN 'long' ELSE 'short' END", "T"),
+    ]
+    for e, fmt in string_exprs:
+        f.query(f"SELECT i, {e} FROM t2 ORDER BY i", f"I{fmt}", "nosort")
+        f.query(f"SELECT count(*) FROM t2 WHERE {e} IS NOT NULL", "I", "nosort")
+
+    # HAVING without GROUP BY (global-aggregate predicate); identical in both
+    for h in ["count(*) > 10", "sum(a) > 3000", "min(a) = 100",
+              "max(coalesce(b, 0)) >= 200", "count(d) < count(*)"]:
+        f.query(f"SELECT count(*), min(a), max(a) FROM t1 HAVING {h}",
+                "III", "nosort")
+
+    # EXISTS / NOT EXISTS / quantified subqueries over t1×t3
+    t3_statements(f)
+    subs = [
+        "EXISTS (SELECT 1 FROM t3 WHERE t3.k = t1.a)",
+        "NOT EXISTS (SELECT 1 FROM t3 WHERE t3.k = t1.a)",
+        "EXISTS (SELECT 1 FROM t3 WHERE t3.k = t1.a AND t3.v > 250)",
+        "a IN (SELECT k FROM t3)",
+        "a NOT IN (SELECT k FROM t3)",
+        "b < (SELECT max(v) FROM t3)",
+        "coalesce(c, 0) < (SELECT avg(v) FROM t3)",
+    ]
+    for p in subs:
+        for proj in ["a", "a,b", "count(*)"]:
+            fmt = {"a": "I", "a,b": "II", "count(*)": "I"}[proj]
+            f.query(f"SELECT {proj} FROM t1 WHERE {p}", fmt, "rowsort")
+
+    # three-valued logic truth tables over data
+    for p in ["b = c", "b <> c", "b < c OR b > c", "NOT (b = c)",
+              "b = c OR d IS NULL", "(b = c) IS NULL"]:
+        f.query(f"SELECT count(*) FROM t1 WHERE {p}", "I", "nosort")
+        f.query(f"SELECT count(*) FROM t1 WHERE NOT ({p})", "I", "nosort")
+        f.query(f"SELECT count(*) FROM t1 WHERE ({p}) IS NULL", "I", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
-              gen_select5, gen_aggregate, gen_index):
+              gen_select5, gen_aggregate, gen_index, gen_evidence):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
