@@ -19,8 +19,13 @@ object ProfileQ {
     // GRAFT_PROFILE_CONF="k=v;k=v" applies experimental conf overrides on
     // top of the Bench shape (for isolating planner/AQE overheads).
     val overrides = sys.env.get("GRAFT_PROFILE_CONF").toSeq
-      .flatMap(_.split(';')).map(_.split('=')).collect {
-        case Array(k, v) => (k.trim, v.trim)
+      .flatMap(_.split(';')).filter(_.trim.nonEmpty).map { entry =>
+        // split on the FIRST '=' only: conf values may themselves contain
+        // '=' (e.g. -XX flags); a silent drop would invalidate a comparison.
+        entry.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => (k.trim, v.trim)
+          case _ => sys.error(s"GRAFT_PROFILE_CONF entry does not parse as k=v: '$entry'")
+        }
       }
     val spark = overrides.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")

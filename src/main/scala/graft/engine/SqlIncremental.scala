@@ -644,10 +644,9 @@ object SqlIncremental {
           if vs.forall(_.isInstanceOf[AttributeReference]) =>
         val probes = vs.map(_.asInstanceOf[AttributeReference])
         if (probes.exists(_.nullable) || lq.plan.output.exists(_.nullable))
-          throw new UnsupportedPlanException(
-            "NOT IN over nullable columns is not maintainable as an anti " +
-              "join (3-valued NULL semantics); declare the columns NOT NULL")
-        node = node.antiJoin(inColumns(lq, probes, sources), probes.map(_.name))
+          node = nullAwareNotInMulti(node, outerNames, probes, lq, sources)
+        else
+          node = node.antiJoin(inColumns(lq, probes, sources), probes.map(_.name))
       // comparisons against scalar subqueries (WHERE x > (SELECT AVG ...)):
       // join the subquery in as a __sqN column, compare, drop the helper
       case c if c.exists(_.isInstanceOf[ScalarSubquery]) => scalarConjs += c
@@ -682,6 +681,8 @@ object SqlIncremental {
     * (outer multiplicities preserved, match count irrelevant). */
   private def existsJoin(node: Inc, outerNames: Seq[String], ex: Exists,
                          sources: Map[String, String], negate: Boolean): Inc = {
+    if (!ex.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
+      return uncorrelatedExists(node, outerNames, ex, sources, negate)
     val (sub, keys, residOpt) = decorrelateExists(ex, sources)
     residOpt match {
       case None =>
@@ -694,12 +695,46 @@ object SqlIncremental {
     }
   }
 
+  /** Uncorrelated [NOT] EXISTS: its truth is global, so the circuit is a
+    * maintained COUNT(*) over the subquery attached to every outer row on
+    * a constant key, filtered on `> 0` (or `== 0` for NOT EXISTS). The
+    * count's Q(∅) seed row makes the empty→nonempty→empty transitions
+    * exact. Cost asymmetry at regime flips: see `nullAwareNotIn` — here
+    * the O(outer) re-emission is semantically REQUIRED (every row's
+    * verdict genuinely changes when existence flips). */
+  private def uncorrelatedExists(node: Inc, outerNames: Seq[String],
+                                 ex: Exists, sources: Map[String, String],
+                                 negate: Boolean): Inc = {
+    import org.apache.spark.sql.functions.count
+    val counts = walk(ex.plan, sources)
+      .select(lit(1).as("__ex1"))
+      .aggregateRowsGlobal(Seq(count(lit(1)).as("__excnt")), Seq("__excnt"))
+      .select(lit(1).as("__exone"), col("__excnt"))
+    node.select(outerNames.map(col) :+ lit(1).as("__exone"): _*)
+      .join(counts, Seq("__exone"))
+      .where(if (negate) col("__excnt") === 0 else col("__excnt") > 0)
+      .select(outerNames.map(col): _*)
+  }
+
   /** NULL-aware NOT IN circuit (3-valued semantics, the null-aware anti
     * join Spark itself plans for NOT IN): a row passes iff the subquery is
     * empty, OR the probe is non-NULL, the subquery contains no NULL, and
     * the probe misses every subquery value. The subquery's row/NULL counts
     * are a maintained global aggregate attached on a constant key, so the
-    * whole circuit is incremental. */
+    * whole circuit is incremental.
+    *
+    * Cost asymmetry (unlike the delta-proportional rest of the compiler):
+    * the counts row joins every outer row on a constant key, so a step
+    * that CHANGES the counts (any insert/retract in the subquery) retracts
+    * and re-inserts that one row and the bilinear join re-emits a delta
+    * proportional to the FULL outer state — O(outer) for that step.
+    * Steps touching only the outer side stay delta-proportional. This is
+    * inherent to the semantics at regime boundaries (empty↔non-empty or
+    * NULL-free↔NULL-bearing flips change every row's verdict); for
+    * non-flipping steps it is an over-approximation we accept for the
+    * simplicity of a uniform circuit. Same applies to
+    * `nullAwareNotInMulti`'s gate counts and `existsJoin`'s uncorrelated
+    * count gate. */
   private def nullAwareNotIn(node: Inc, outerNames: Seq[String],
                              v: AttributeReference, lq: ListQuery,
                              sources: Map[String, String]): Inc = {
@@ -726,6 +761,114 @@ object SqlIncremental {
       sub.where(col(subName).isNotNull).select(col(subName).as(v.name)),
       Seq(v.name))
     passEmpty.union(misses).select(outerNames.map(col): _*)
+  }
+
+  /** Multi-column NULL-aware NOT IN: `(a, b) NOT IN (SELECT x, y …)` with
+    * nullable columns on either side, under exact SQL 3VL semantics — an
+    * outer row passes iff EVERY subquery row differs definitely, i.e. has
+    * some column where both sides are non-NULL and unequal.
+    *
+    * Decomposition into incremental equi-circuits: partition each side by
+    * its exact NULL-pattern over the nullable columns. For an outer row of
+    * pattern P (NULL exactly on P) and a subquery row of pattern Q, the
+    * mutually non-NULL columns are `names − (P∪Q)`; the subquery row
+    * "maybe-matches" (blocks) iff the two agree on all of them. So:
+    *  - a subquery row NULL on every column OUTSIDE P blocks every
+    *    pattern-P outer row regardless of values → one maintained global
+    *    count per distinct `required = names − P` set, attached on a
+    *    constant key, gating the whole branch (this also subsumes the
+    *    empty-subquery case: all gates 0 + empty anti joins → all pass);
+    *  - every other pattern class Q blocks via a plain equi ANTI JOIN on
+    *    `names − (P∪Q)` (both sides provably non-NULL there).
+    * The verdict of a probe row depends ONLY on its probe tuple, so the
+    * whole decision runs in DISTINCT-TUPLE space: project the outer to its
+    * distinct probe tuples (a small set-semantics relation), compute the
+    * per-pattern gates and semi joins THERE (all pattern-pair semi joins
+    * are siblings over the tuple set — shallow, not a chained anti-join
+    * pipeline), subtract blocked tuples, and finally one NULL-SAFE semi
+    * join carries the passing tuples back to the outer rows, restoring
+    * multiplicities. This keeps per-step incremental work proportional to
+    * touched tuples (a subquery count flip re-emits O(distinct tuples),
+    * not O(outer rows)), and keeps the circuit's wave depth constant in
+    * the pattern count. Pattern count is exponential in the NULLABLE
+    * column count only — guarded at 3 per side (8 patterns); beyond that
+    * declare columns NOT NULL. */
+  private def nullAwareNotInMulti(node: Inc, outerNames: Seq[String],
+                                  probes: Seq[AttributeReference],
+                                  lq: ListQuery,
+                                  sources: Map[String, String]): Inc = {
+    import org.apache.spark.sql.functions.{count, when}
+    val names = probes.map(_.name)
+    val nullableProbe = probes.filter(_.nullable).map(_.name)
+    val nullableSub = lq.plan.output.zip(names)
+      .collect { case (o, n) if o.nullable => n }
+    if (math.max(nullableProbe.size, nullableSub.size) > 3)
+      throw new UnsupportedPlanException(
+        s"NOT IN over ${math.max(nullableProbe.size, nullableSub.size)} " +
+          "nullable columns needs 2^k NULL-pattern classes; declare some " +
+          "columns NOT NULL (supported: ≤3 nullable per side)")
+    def subsets(xs: List[String]): List[Set[String]] = xs match {
+      case Nil => List(Set.empty)
+      case h :: t => val ts = subsets(t); ts ++ ts.map(_ + h)
+    }
+    val subAll = inColumns(lq, probes, sources)
+    val pPatterns = subsets(nullableProbe.toList)
+    val qPatterns = subsets(nullableSub.toList)
+    // one gate count per distinct `required` set some outer pattern needs
+    val requiredSets = pPatterns.map(p => names.toSet -- p)
+      .filter(_.subsetOf(nullableSub.toSet)).distinct
+    val gateName: Map[Set[String], String] =
+      requiredSets.zipWithIndex.map { case (r, i) => r -> s"__nag$i" }.toMap
+    val counts: Option[Inc] =
+      if (requiredSets.isEmpty) None
+      else Some {
+        val aggs = requiredSets.map { req =>
+          count(when(req.map(c => col(c).isNull).reduceOption(_ && _)
+            .getOrElse(lit(true)), lit(1))).as(gateName(req))
+        }
+        subAll.aggregateRowsGlobal(aggs, requiredSets.map(gateName))
+          .select(lit(1).as("__naone") +:
+            requiredSets.map(r => col(gateName(r))): _*)
+      }
+    // distinct probe tuples (weight-1 set relation; NULLs are values here)
+    val probeTuples = node.select(names.map(col): _*).distinct
+    val tagged: Inc = counts.fold(probeTuples) { c =>
+      probeTuples.select(names.map(col) :+ lit(1).as("__naone"): _*)
+        .join(c, Seq("__naone"))
+    }
+    // share each (pattern class, key set) distinct projection across P
+    val classNodes = scala.collection.mutable
+      .Map.empty[(Set[String], Seq[String]), Inc]
+    def subClass(qSet: Set[String], keys: Seq[String]): Inc =
+      classNodes.getOrElseUpdate((qSet, keys), {
+        val classCond = nullableSub.map { n =>
+          if (qSet(n)) col(n).isNull else col(n).isNotNull
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        subAll.where(classCond).select(keys.map(col): _*).distinct
+      })
+    val passBranches = pPatterns.map { pSet =>
+      val patternCond = names.map { n =>
+        if (pSet(n)) col(n).isNull
+        else if (nullableProbe.contains(n)) col(n).isNotNull
+        else lit(true)
+      }.reduce(_ && _)
+      var base = tagged.where(patternCond)
+      val required = names.toSet -- pSet
+      if (required.subsetOf(nullableSub.toSet))
+        base = base.where(col(gateName(required)) === 0)
+      base = base.select(names.map(col): _*)
+      // blocked tuples: union of sibling semi joins (set-normalized —
+      // a tuple blocked by several classes must subtract exactly once)
+      val semis = qPatterns.flatMap { qSet =>
+        val keys = names.filterNot(n => pSet(n) || qSet(n))
+        if (keys.isEmpty) None // covered by the gate count
+        else Some(base.join(subClass(qSet, keys), keys))
+      }
+      if (semis.isEmpty) base
+      else base.minus(semis.reduce(_ union _).distinct)
+    }
+    val passTuples = passBranches.reduce(_ union _)
+    node.joinNullSafe(passTuples, names).select(outerNames.map(col): _*)
   }
 
   /** IN-list subquery → circuit producing the single column renamed to the
@@ -1014,8 +1157,8 @@ object SqlIncremental {
     }
     if (pairs.isEmpty) throw new UnsupportedPlanException(
       if (resid.isEmpty)
-        "uncorrelated EXISTS is not maintainable as a join (its truth is " +
-          "global, not per-row); correlate it or restate as a join"
+        "EXISTS correlation is not a recognizable filter conjunct " +
+          "(uncorrelated EXISTS routes through the global count gate)"
       else
         "EXISTS correlation needs at least one equality conjunct to key " +
           s"the semi join (pure-inequality correlation would make the " +
@@ -1092,7 +1235,20 @@ object SqlIncremental {
     * against the circuit's delta/state DataFrames instead of the original
     * analyzed plan's exprIds. */
   private def toColumn(e: Expression): Column = {
-    val cleaned = e.transform {
+    // Inline Catalyst `With` common-subexpression wrappers (NULLIF & co.
+    // analyze to With(CommonExpressionDef…)): once attributes are replaced
+    // with unresolved ones below, With.withNewChildrenInternal calls
+    // dataType on the unresolved def and throws. Duplicating the def
+    // expression is semantically identical (codegen re-CSEs it).
+    val inlined = e.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs(r.id)
+        }
+    }
+    val cleaned = inlined.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
     GraftSqlBridge.column(cleaned match {

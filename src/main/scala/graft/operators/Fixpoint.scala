@@ -58,15 +58,28 @@ object Fixpoint {
     * SET-semantics: duplicates are collapsed. */
   def semiNaive(base: DataFrame,
                 step: (DataFrame, DataFrame) => DataFrame,
-                maxIters: Int = 10000): DataFrame = {
+                maxIters: Int = 10000): DataFrame =
+    semiNaiveOwned(base, step, maxIters)._1
+
+  /** As `semiNaive`, but also hands back the PERSISTED frame backing the
+    * result so the caller can `unpersist` it once the result is consumed
+    * (materialized downstream) — standing callers (the incremental closure
+    * operator) would otherwise leak one cache entry per maintenance step.
+    * Unpersisting is always safe for correctness: the anchored frame's RDD
+    * lineage recomputes dropped blocks. */
+  def semiNaiveOwned(base: DataFrame,
+                     step: (DataFrame, DataFrame) => DataFrame,
+                     maxIters: Int = 10000): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     val cols = base.columns.toSeq
     val chunks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // AQE-off + frontier-sized shuffle partitions are scoped to THIS thread
+    // via a cloned SQLConf (see GraftSqlBridge.withScopedConf) — concurrent
+    // queries on the same session (parallel Runner waves, streaming
+    // micro-batches) keep their own settings.
+    GraftSqlBridge.withScopedConf(spark,
+        Map("spark.sql.adaptive.enabled" -> "false")) { conf =>
       def settle(df: DataFrame): (DataFrame, Long) = {
         val p = df.persist()
         val n = p.count()
@@ -74,7 +87,7 @@ object Fixpoint {
         (GraftSqlBridge.reanchor(p), n)
       }
       def sizeShuffle(rows: Long): Unit =
-        spark.conf.set("spark.sql.shuffle.partitions",
+        conf.setConfString("spark.sql.shuffle.partitions",
           math.min(math.max(1L, rows / 250000L), sessionParts.toLong).toString)
       sizeShuffle(0L)
       var (total, frontier, totalRows) = {
@@ -101,10 +114,7 @@ object Fixpoint {
       out.count()
       val anchored = GraftSqlBridge.reanchor(out)
       chunks.foreach(_.unpersist(false))
-      anchored
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      (anchored, out)
     }
   }
 
@@ -119,9 +129,15 @@ object Fixpoint {
     * `src`, `dst`), cycle-safe. Doubling composition (frontier×total both
     * ways) converges in O(log diameter) iterations. */
   def transitiveClosure(edges: DataFrame,
-                        src: String = "src", dst: String = "dst"): DataFrame = {
+                        src: String = "src", dst: String = "dst"): DataFrame =
+    transitiveClosureOwned(edges, src, dst)._1
+
+  /** As `transitiveClosure`, but hands back the persisted backing frame for
+    * caller-side release (see `semiNaiveOwned`). */
+  def transitiveClosureOwned(edges: DataFrame, src: String = "src",
+                             dst: String = "dst"): (DataFrame, DataFrame) = {
     val e = edges.select(col(src), col(dst))
-    semiNaive(e, (frontier, total) =>
+    semiNaiveOwned(e, (frontier, total) =>
       compose(frontier, total, src, dst)
         .unionAll(compose(total, frontier, src, dst)))
   }

@@ -157,6 +157,65 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Multi-column NULL-aware NOT IN (3VL) compiled from SQL: nullable
+    // probe AND subquery columns, maintained through insert + retraction
+    // waves — the retraction removes every NULL-x subquery row, flipping
+    // one gate regime so previously-UNKNOWN outer rows re-enter.
+    "q100_incremental_notin_null" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_partkey"), col("l_quantity"))
+      val su = Tables.load(s, d, "supplier").select(col("s_suppkey"))
+      li.limit(0).createOrReplaceTempView("LN")
+      su.limit(0).createOrReplaceTempView("SN")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH ot AS (SELECT l_orderkey, l_linenumber,
+                              NULLIF(l_suppkey % 13, 5) AS a,
+                              NULLIF(l_partkey % 11, 7) AS b
+                       FROM LN),
+                it AS (SELECT NULLIF(s_suppkey % 13, 5) AS x,
+                              NULLIF(s_suppkey % 11, 3) AS y
+                       FROM SN)
+           SELECT l_orderkey, l_linenumber, a, b FROM ot
+           WHERE (a, b) NOT IN (SELECT x, y FROM it)""",
+        Set("LN", "SN"))
+      val r = new Runner(s, circuit,
+        Map("LN" -> li.limit(0), "SN" -> su.limit(0)))
+      r.step(Map("LN" -> ZSet.fromRows(li.filter(col("l_quantity") < 30)),
+        "SN" -> ZSet.fromRows(su)))
+      r.step(Map("LN" -> ZSet.fromRows(
+        li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40))))
+      r.step(Map("LN" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") < 10))),
+        "SN" -> ZSet.negate(ZSet.fromRows(
+          su.filter(col("s_suppkey") % 13 === 5)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // Uncorrelated EXISTS standing view: existence is a maintained global
+    // count gate; the waves flip it empty→non-empty and then shrink (but
+    // keep) the witness set.
+    "q101_incremental_exists_uncorr" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val su = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"))
+      li.limit(0).createOrReplaceTempView("LE")
+      su.limit(0).createOrReplaceTempView("SE")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM LE
+           WHERE l_quantity < 20
+             AND EXISTS (SELECT 1 FROM SE WHERE s_acctbal > 5000)""",
+        Set("LE", "SE"))
+      val r = new Runner(s, circuit,
+        Map("LE" -> li.limit(0), "SE" -> su.limit(0)))
+      r.step(Map("LE" -> ZSet.fromRows(li))) // gate closed: no witnesses yet
+      r.step(Map("SE" -> ZSet.fromRows(su.filter(col("s_acctbal") > 5000))))
+      r.step(Map("SE" -> ZSet.negate(ZSet.fromRows(su.filter(
+        col("s_acctbal") > 5000 && col("s_suppkey") % 2 === 1)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -206,6 +265,27 @@ object IncrementalQ {
                 CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE l_quantity >= 10
          GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q100_incremental_notin_null" ->
+      """WITH ot AS (SELECT l_orderkey, l_linenumber,
+                            NULLIF(l_suppkey % 13, 5) AS a,
+                            NULLIF(l_partkey % 11, 7) AS b
+                     FROM lineitem
+                     WHERE l_quantity >= 10 AND l_quantity < 40),
+              it AS (SELECT NULLIF(s_suppkey % 13, 5) AS x,
+                            NULLIF(s_suppkey % 11, 3) AS y
+                     FROM supplier WHERE s_suppkey % 13 <> 5)
+         -- DuckDB has no row-value IN subquery; 3VL NOT IN ≡ "no subquery
+         -- row maybe-matches" (every row differs definitely on some column)
+         SELECT l_orderkey, l_linenumber, a, b FROM ot
+         WHERE NOT EXISTS (
+           SELECT 1 FROM it
+           WHERE (it.x = ot.a OR it.x IS NULL OR ot.a IS NULL)
+             AND (it.y = ot.b OR it.y IS NULL OR ot.b IS NULL))""",
+    "q101_incremental_exists_uncorr" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity < 20
+           AND EXISTS (SELECT 1 FROM supplier
+                       WHERE s_acctbal > 5000 AND s_suppkey % 2 = 0)""",
     "q87_incremental_cte_scalar" ->
       """WITH t AS (SELECT l_suppkey, CAST(SUM(l_quantity) AS DOUBLE) AS total
                     FROM lineitem WHERE l_quantity >= 10 GROUP BY l_suppkey)

@@ -230,6 +230,9 @@ object Pipeline {
                                  i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))
                      END AS s
               FROM toks
+              -- zero-token docs produce no MinHash signature on the engine
+              -- side (nothing to hash), so exclude them here symmetrically
+              WHERE len(t) > 0
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

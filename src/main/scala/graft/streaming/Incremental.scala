@@ -65,6 +65,15 @@ object Incremental {
       stepDeltas: Inputs,
       trace: Long => Option[DataFrame]) {
     private val memo = mutable.LongMap.empty[DataFrame]
+    private val deferred = mutable.ArrayBuffer.empty[DataFrame]
+    /** Register a persisted helper frame (e.g. an eager fixpoint's backing
+      * cache) for release once this step's waves are all materialized —
+      * the Runner unpersists them at end of step. Safe: every consumer is
+      * by then an anchored cache entry whose RDD lineage can recompute. */
+    private[streaming] def releaseAfterStep(df: DataFrame): Unit = deferred += df
+    private[streaming] def drainDeferred(): Seq[DataFrame] = {
+      val r = deferred.toSeq; deferred.clear(); r
+    }
     private[streaming] def inputValue(name: String): DataFrame = pre(name)
     private[streaming] def inputDelta(name: String): DataFrame = stepDeltas(name)
     private[streaming] def deltaOf(n: Inc): DataFrame =
@@ -498,18 +507,22 @@ object Incremental {
         val u = leftExt
           .unionAll(Fixpoint.compose(leftExt, tOld, src, dst))
           .dropDuplicates()
-        val closureU =
-          Fixpoint.semiNaive(u, (f, t) =>
+        val (closureU, owned) =
+          Fixpoint.semiNaiveOwned(u, (f, t) =>
             Fixpoint.compose(f, t, src, dst)
               .unionAll(Fixpoint.compose(t, f, src, dst)))
+        ctx.releaseAfterStep(owned)
         ZSet.fromRows(Fixpoint.setMinus(closureU, tOld))
       } else {
         // Retractions can sever paths whose support is spread across the
         // whole closure: re-derive over the net edge set and diff against
         // the own trace.
         val newEdges = rowsOf(ZSet.plus(ctx.valueOf(child), dChild))
+        val (closure, owned) =
+          Fixpoint.transitiveClosureOwned(newEdges, src, dst)
+        ctx.releaseAfterStep(owned)
         ZSet.minus(
-          ZSet.fromRows(Fixpoint.transitiveClosure(newEdges, src, dst)),
+          ZSet.fromRows(closure),
           ZSet.consolidate(ctx.traceOf(this)))
       }
     }
@@ -865,6 +878,10 @@ object Incremental {
         accSize(k) = accSize.getOrElse(k, 0L) + cachedSizeBytes(d)
         setState(k, st)
       }
+
+      // Helper caches registered by eager operators (fixpoint chunks) are
+      // no longer needed once every wave is materialized.
+      ctx.drainDeferred().foreach(_.unpersist(false))
 
       // One reference on this step's deltas is held for the caller and
       // released at the next step.

@@ -32,6 +32,21 @@ object GraftSqlBridge {
         isStreaming = false))
   }
 
+  /** Run `f` under a THREAD-LOCAL clone of the session's SQLConf with
+    * `overrides` applied. Catalyst rules and physical planning read
+    * `SQLConf.get` (thread-local-aware), and a Dataset's analysis /
+    * optimization / job submission all happen on the calling thread, so
+    * per-operator conf experiments (AQE off, sized shuffle partitions)
+    * scoped this way never leak to concurrent queries on the same session
+    * — unlike `spark.conf.set`, which mutates session-global state. `f`
+    * receives the clone so iterative callers can re-tune it mid-loop. */
+  def withScopedConf[T](spark: SparkSession, overrides: Map[String, String])
+                       (f: internal.SQLConf => T): T = {
+    val cloned = spark.asInstanceOf[classic.SparkSession].sessionState.conf.clone()
+    overrides.foreach { case (k, v) => cloned.setConfString(k, v) }
+    internal.SQLConf.withExistingConf(cloned)(f(cloned))
+  }
+
   /** Register a session-scoped SQL function whose body is composed from
     * Column expressions (stays fully codegen'd — this is NOT a UDF). */
   def registerSqlFunction(spark: SparkSession, name: String,

@@ -678,6 +678,91 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
   }
 
+  test("multi-column NOT IN over nullable columns takes the 3VL pattern circuit") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE MOT (p BIGINT NULL, q BIGINT NULL, tag VARCHAR NOT NULL);
+        |CREATE TABLE MIT (x BIGINT NULL, y BIGINT NULL);
+        |CREATE VIEW MNN AS SELECT tag FROM MOT
+        |  WHERE (p, q) NOT IN (SELECT x, y FROM MIT)""".stripMargin)
+    val ot = StructType(Seq(StructField("p", LongType),
+      StructField("q", LongType), StructField("tag", StringType)))
+    val it = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val r = e.incrementalRunner("MNN")
+    def passed: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
+      .collect().map(_.getString(0)).toSet
+    // empty subquery: everything passes, NULL probes included
+    r.step(Map("MOT" -> z(ot,
+      Seq(1L, 1L, "a", 1L),    // exact match later
+      Seq(1L, 2L, "b", 1L),    // differs on q from (1,1); vs (2,NULL) differs on p
+      Seq(null, 2L, "c", 1L),  // NULL p
+      Seq(3L, null, "d", 1L),  // NULL q
+      Seq(null, null, "e", 1L) // both NULL
+    )))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("a", "b", "c", "d", "e"))
+    // (1,1): kills a (exact); e (all-UNKNOWN); others differ definitely
+    r.step(Map("MIT" -> z(it, Seq(1L, 1L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("b", "c", "d"))
+    // (2,NULL): kills c (p UNKNOWN, q=2 vs NULL UNKNOWN)? c is (NULL,2):
+    // p: NULL vs 2 → UNKNOWN, q: 2 vs NULL → UNKNOWN → blocked. b=(1,2):
+    // p 1≠2 definite → survives. d=(3,NULL): p 3≠2 definite → survives.
+    r.step(Map("MIT" -> z(it, Seq(2L, null, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("b", "d"))
+    // (NULL,9): q 2≠9 and NULL≠9... d=(3,NULL): p UNKNOWN, q UNKNOWN →
+    // blocked; b=(1,2): q 2≠9 definite → survives
+    r.step(Map("MIT" -> z(it, Seq(null, 9L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("b"))
+    // retract (2,NULL) and (NULL,9): back to b, c, d
+    r.step(Map("MIT" -> z(it, Seq(2L, null, -1L), Seq(null, 9L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("b", "c", "d"))
+    // Spark SQL (itself null-aware for NOT IN) agrees on the net state
+    import spark.implicits._
+    Seq((Option(1L), Option(1L), "a"), (Some(1L), Some(2L), "b"),
+      (Option.empty[Long], Some(2L), "c"), (Some(3L), Option.empty[Long], "d"),
+      (Option.empty[Long], Option.empty[Long], "e"))
+      .toDF("p", "q", "tag").createOrReplaceTempView("MOT_F")
+    Seq((Option(1L), Option(1L))).toDF("x", "y").createOrReplaceTempView("MIT_F")
+    val want = spark.sql(
+      "SELECT tag FROM MOT_F WHERE (p, q) NOT IN (SELECT x, y FROM MIT_F)")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+  }
+
+  test("uncorrelated EXISTS gates on a maintained global count (empty→nonempty→empty)") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE XT (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE WT (w BIGINT NOT NULL);
+        |CREATE VIEW XV AS SELECT k, v FROM XT
+        |  WHERE EXISTS (SELECT 1 FROM WT WHERE w > 5);
+        |CREATE VIEW NXV AS SELECT k, v FROM XT
+        |  WHERE NOT EXISTS (SELECT 1 FROM WT WHERE w > 5)""".stripMargin)
+    val xt = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val wt = StructType(Seq(StructField("w", LongType)))
+    val r = e.incrementalRunner("XV")
+    val rn = e.incrementalRunner("NXV")
+    def out(rr: Runner): Set[String] = ZSet.toRows(ZSet.consolidate(rr.output))
+      .collect().map(_.getString(0)).toSet
+    val s1 = Map("XT" -> z(xt, Seq("a", 1L, 1L), Seq("b", 2L, 1L)),
+      "WT" -> z(wt, Seq(3L, 1L))) // witness below threshold: still empty
+    val s2 = Map("WT" -> z(wt, Seq(7L, 1L)))  // gate opens
+    val s3 = Map("WT" -> z(wt, Seq(7L, -1L))) // gate closes again
+    Seq(s1, s2, s3).foreach { st => r.step(st); rn.step(st) }
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(canon(ZSet.consolidate(rn.output)) === canon(rn.recompute))
+    assert(out(r) === Set.empty[String])
+    assert(out(rn) === Set("a", "b"))
+    // reopen: both flip
+    r.step(Map("WT" -> z(wt, Seq(9L, 1L))))
+    rn.step(Map("WT" -> z(wt, Seq(9L, 1L))))
+    assert(out(r) === Set("a", "b"))
+    assert(out(rn) === Set.empty[String])
+  }
+
   test("correlated EXISTS with an inequality residual (reference correlatedAggregate shape)") {
     val e = new Engine(spark)
     e.executeScript(
