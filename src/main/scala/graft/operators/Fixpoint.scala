@@ -81,7 +81,9 @@ object Fixpoint {
     GraftSqlBridge.withScopedConf(spark,
         Map("spark.sql.adaptive.enabled" -> "false")) { conf =>
       def settle(df: DataFrame): (DataFrame, Long) = {
-        val p = df.persist()
+        // MEMORY_AND_DISK explicitly: evicted iteration chunks must fall
+        // back to disk, not recompute a k-deep lineage.
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = p.count()
         chunks += p
         (GraftSqlBridge.reanchor(p), n)
@@ -110,7 +112,8 @@ object Fixpoint {
       if (!done) throw new IllegalStateException(
         s"fixpoint did not converge within $maxIters iterations")
       sizeShuffle(totalRows)
-      val out = total.persist()
+      val out = total.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       val anchored = GraftSqlBridge.reanchor(out)
       chunks.foreach(_.unpersist(false))

@@ -183,10 +183,12 @@ object IncrementalQ {
         Map("LN" -> li.limit(0), "SN" -> su.limit(0)))
       r.step(Map("LN" -> ZSet.fromRows(li.filter(col("l_quantity") < 30)),
         "SN" -> ZSet.fromRows(su)))
-      r.step(Map("LN" -> ZSet.fromRows(
-        li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40))))
-      r.step(Map("LN" -> ZSet.negate(ZSet.fromRows(
-        li.filter(col("l_quantity") < 10))),
+      // one combined wave: inserts + retractions on both sides (the
+      // fine-grained per-regime stepping lives in SqlIncrementalSpec)
+      r.step(Map("LN" -> ZSet.plus(
+        ZSet.fromRows(
+          li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40)),
+        ZSet.negate(ZSet.fromRows(li.filter(col("l_quantity") < 10)))),
         "SN" -> ZSet.negate(ZSet.fromRows(
           su.filter(col("s_suppkey") % 13 === 5)))))
       ZSet.toRows(ZSet.consolidate(r.output))
