@@ -236,9 +236,13 @@ object Incremental {
       * so they are exactly the semi-naive closure of
       * U = (I ∪ T)∘ΔE∘(I ∪ T) (old-closure segments absorbed around each
       * new edge) minus T — no recomputation of the old closure. Steps with
-      * retractions re-derive the closure over the net edge set and emit
-      * the diff against the own trace (the honest general fallback; a
-      * DRed/support-count variant is the known refinement). */
+      * retractions run DELETE-AND-REDERIVE (DRed, Gupta/Mumick/
+      * Subrahmanian '93): over-delete the pairs with SOME derivation
+      * through a removed edge (one shot — the old trace is already
+      * closed, so D = (I∪T)∘ΔE⁻∘(I∪T)), then re-derive survivors from a
+      * base of still-present over-deleted edges bracketed by unaffected
+      * closure segments — fixpoint frames sized by the severed
+      * neighborhood, never the closure. */
     def closure(src: String, dst: String): Inc = ClosureInc(this, src, dst)
 
     /** Incremental SEMI join: rows of this side with ≥1 match in `other` —
@@ -464,10 +468,34 @@ object Incremental {
   }
 
   /** Incremental transitive closure (see the `closure` combinator's doc).
-    * The fixpoint loop runs EAGERLY inside deltaEval (persist + count per
+    * The fixpoint loops run EAGERLY inside deltaEval (persist + count per
     * iteration — iteration results are re-anchored leaves), so the frame
     * this returns is a shallow union over already-computed chunks; the
-    * Runner's wave materialization of it is one cheap cache pass. */
+    * Runner's wave materialization of it is one cheap cache pass.
+    *
+    * Retraction steps use DRed (delete-and-rederive). Soundness rests on
+    * these facts about the old trace T (transitively closed) and the
+    * over-delete set D = pairs with SOME old path through a removed edge:
+    *  1. D = (I∪T)∘ΔE⁻∘(I∪T) needs NO fixpoint — segments between removed
+    *     edges are themselves old-closure pairs, so one bracketing
+    *     composition covers paths through any number of removed edges;
+    *  2. every pair of K = T − D survives (ALL its derivations avoid
+    *     removed edges), and the rederivable part of D is the fixpoint
+    *     R = D ∩ ((K∪R)∘(K∪R) ∪ S) seeded by the still-present
+    *     over-deleted edges S = D ∩ E_new (added edges are never in
+    *     D ⊆ T, so S needs no added-edge handling). NOTE K is NOT closed
+    *     under composition — D over-approximates, so two kept segments
+    *     can compose into an over-deleted pair — which is exactly why
+    *     K∘K-shaped rederivations must be included;
+    *  3. every composition in R has its left factor starting in π_src(D)
+    *     and its right factor ending in π_dst(D), so K participates only
+    *     through K_L = K⋉(src∈π_src(D)) and K_R = K⋉(dst∈π_dst(D)) —
+    *     fixpoint frames scale with the AFFECTED NEIGHBORHOOD (severed
+    *     pairs + kept closure rows touching their endpoints), never |T|.
+    * Then closure(E_new − added) = K ∪ R; added edges extend it via the
+    * insert construction. A pair both severed and re-added in the same
+    * step nets to weight 0 in the emitted delta — present throughout,
+    * exactly right. */
   private[streaming] final case class ClosureInc(child: Inc, src: String,
                                                  dst: String) extends Inc {
     def kids: Seq[Inc] = Seq(child)
@@ -481,51 +509,110 @@ object Incremental {
     def batch(in: Inputs): DataFrame =
       ZSet.fromRows(
         Fixpoint.transitiveClosure(rowsOf(child.batch(in)), src, dst))
+    /** Materialize an intermediate: persisted (deferred-released via ctx),
+      * counted, re-anchored so downstream plans see a flat leaf; the count
+      * also drives the broadcast decision in [[hinted]]. */
+    private def settle(ctx: StepCtx, df: DataFrame): (DataFrame, Long) = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = p.count()
+      ctx.releaseAfterStep(p)
+      (org.apache.spark.sql.GraftSqlBridge.reanchor(p), n)
+    }
+    /** Broadcast-hint a settled frame we KNOW is small (re-anchored leaves
+      * have no stats, so the planner can't see it itself). 1M two-column
+      * rows ≈ tens of MB — safely inside driver/executor budgets. */
+    private def hinted(df: DataFrame, n: Long): DataFrame =
+      if (n <= 1000000L) broadcast(df) else df
+    private def doubling: (DataFrame, DataFrame) => DataFrame =
+      (f, t) => Fixpoint.compose(f, t, src, dst)
+        .unionAll(Fixpoint.compose(t, f, src, dst))
     private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      val names = Seq(src, dst)
       val dChild = ctx.deltaOf(child)
-      if (dChild.filter(col(ZSet.W) < 0).isEmpty) {
-        // Insert-only: every genuinely new closure pair decomposes into
-        // segments of U = (I∪T)∘ΔE∘(I∪T) (T∘U ⊆ U and U∘T ⊆ U because T
-        // is transitively closed), so the new pairs are the semi-naive
-        // closure OVER U minus T — work scales with the delta and the
-        // affected neighborhood, never the closure size. ΔE is the NEWLY
-        // PRESENT edges: a positive delta on an edge that already existed
-        // (or that only lifts a net-negative weight toward zero) changes
-        // no presence and must contribute no pairs.
-        val tOld = rowsOf(ctx.traceOf(this))
-        val dE = {
-          // presence can only change for delta-touched edges, so restrict
-          // both sides to them (delta-proportional, never O(edge state))
-          val names = Seq(src, dst)
-          val touched = dChild.select(col(src), col(dst)).distinct()
-          Fixpoint.setMinus(
-            rowsOf(touchedOnly(
-              ZSet.plus(ctx.valueOf(child), dChild), touched, names)),
-            rowsOf(touchedOnly(ctx.valueOf(child), touched, names)))
+      val touched = dChild.select(col(src), col(dst)).distinct()
+      val newVal = ZSet.plus(ctx.valueOf(child), dChild)
+      // Presence can only change for delta-touched edges, so restrict both
+      // sides to them (delta-proportional, never O(edge state)). ΔE⁺/ΔE⁻
+      // are PRESENCE changes: weight-only moves (3→1, or a lift toward
+      // zero that stays ≤0) contribute nothing.
+      val eOld = rowsOf(touchedOnly(ctx.valueOf(child), touched, names))
+      val eNew = rowsOf(touchedOnly(newVal, touched, names))
+      val addedE = Fixpoint.setMinus(eNew, eOld)
+      val tOld = rowsOf(ctx.traceOf(this))
+      val (tMid, deleted) =
+        if (dChild.filter(col(ZSet.W) < 0).isEmpty) (tOld, None)
+        else {
+          val removedE = Fixpoint.setMinus(eOld, eNew)
+          if (removedE.isEmpty) (tOld, None)
+          else {
+            // Over-delete: one bracketing composition, no fixpoint (doc ¶1).
+            val l = Fixpoint.compose(tOld, removedE, src, dst)
+              .unionAll(removedE)
+            val (d, nD) = settle(ctx,
+              l.unionAll(Fixpoint.compose(l, tOld, src, dst))
+                .dropDuplicates())
+            val dH = hinted(d, nD)
+            ClosureInc.lastOverDeleted = nD
+            // K = T − D survives untouched; S = still-present over-deleted
+            // edges (restricting the edge integral BY D keeps the
+            // consolidate delta-local; the semi-join scan is map-side
+            // under the broadcast hint).
+            val k = Fixpoint.setMinus(tOld, dH)
+            val (s, nS) = settle(ctx, rowsOf(touchedOnly(newVal, dH, names)))
+            val sH = hinted(s, nS)
+            // K's only useful rows start at an affected src / end at an
+            // affected dst (doc ¶3) — settle the two restrictions once so
+            // the fixpoint never rescans the full kept closure.
+            val dSrc = broadcast(d.select(col(src)).distinct().toDF("__n"))
+            val dDst = broadcast(d.select(col(dst)).distinct().toDF("__n"))
+            val (kL, nKL) = settle(ctx,
+              k.join(dSrc, col(src) <=> col("__n"), "left_semi"))
+            val (kR, nKR) = settle(ctx,
+              k.join(dDst, col(dst) <=> col("__n"), "left_semi"))
+            val kLH = hinted(kL, nKL)
+            val kRH = hinted(kR, nKR)
+            val inD: DataFrame => DataFrame = x => touchedOnly(x, dH, names)
+            // Base: surviving edges + pairs splitting into two kept
+            // segments; the step closes over frontier∘total both ways plus
+            // frontier bracketed by kept segments — everything restricted
+            // to D, so frames stay neighborhood-sized.
+            val b = sH.unionAll(inD(Fixpoint.compose(kLH, kRH, src, dst)))
+            val bc: DataFrame => DataFrame =
+              if (nD <= 1000000L) broadcast else identity[DataFrame]
+            val (r, owned) = Fixpoint.semiNaiveOwned(b, (f, t) => {
+              val fb = bc(f)
+              inD(Fixpoint.compose(fb, t, src, dst)
+                .unionAll(Fixpoint.compose(t, fb, src, dst))
+                .unionAll(Fixpoint.compose(kLH, fb, src, dst))
+                .unionAll(Fixpoint.compose(fb, kRH, src, dst)))
+            })
+            ctx.releaseAfterStep(owned)
+            ClosureInc.lastRederived = r.count()
+            (k.unionAll(r), Some(Fixpoint.setMinus(dH, r)))
+          }
         }
-        val leftExt = Fixpoint.compose(tOld, dE, src, dst).unionAll(dE)
-        val u = leftExt
-          .unionAll(Fixpoint.compose(leftExt, tOld, src, dst))
-          .dropDuplicates()
-        val (closureU, owned) =
-          Fixpoint.semiNaiveOwned(u, (f, t) =>
-            Fixpoint.compose(f, t, src, dst)
-              .unionAll(Fixpoint.compose(t, f, src, dst)))
-        ctx.releaseAfterStep(owned)
-        ZSet.fromRows(Fixpoint.setMinus(closureU, tOld))
-      } else {
-        // Retractions can sever paths whose support is spread across the
-        // whole closure: re-derive over the net edge set and diff against
-        // the own trace.
-        val newEdges = rowsOf(ZSet.plus(ctx.valueOf(child), dChild))
-        val (closure, owned) =
-          Fixpoint.transitiveClosureOwned(newEdges, src, dst)
-        ctx.releaseAfterStep(owned)
-        ZSet.minus(
-          ZSet.fromRows(closure),
-          ZSet.consolidate(ctx.traceOf(this)))
+      // Inserts extend tMid — when addedE is empty every frame below is
+      // empty and the fixpoint settles in one count.
+      val leftExt = Fixpoint.compose(tMid, addedE, src, dst).unionAll(addedE)
+      val u = leftExt
+        .unionAll(Fixpoint.compose(leftExt, tMid, src, dst))
+        .dropDuplicates()
+      val (closureU, owned) = Fixpoint.semiNaiveOwned(u, doubling)
+      ctx.releaseAfterStep(owned)
+      val pos = ZSet.fromRows(Fixpoint.setMinus(closureU, tMid))
+      deleted match {
+        case None => pos
+        case Some(del) => ZSet.plus(ZSet.negate(ZSet.fromRows(del)), pos)
       }
     }
+  }
+
+  private[graft] object ClosureInc {
+    /** Last retraction step's DRed sizes (per-JVM observability for specs
+      * and GRAFT_STEP_DEBUG sessions): candidates over-deleted, pairs
+      * rederived. −1 = no retraction step has run. */
+    @volatile private[graft] var lastOverDeleted: Long = -1L
+    @volatile private[graft] var lastRederived: Long = -1L
   }
 
   // ---- shared helpers -----------------------------------------------------
@@ -608,6 +695,12 @@ object Incremental {
       seen.values.toSeq
     }
     private val nodeKey: Map[Long, Int] = nodes.map(_.id).zipWithIndex.toMap
+
+    /** Distinct circuit nodes / stateful (trace-owning) nodes this Runner
+      * maintains — observability for structural-CSE assertions: two views
+      * compiled together over the same subtree must NOT double these. */
+    def nodeCount: Int = nodes.size
+    def statefulNodeCount: Int = nodes.count(_.ownTrace)
 
     /** Source tables reachable below each node — a step that feeds no
       * source of a subtree cannot change that subtree's output (its delta
@@ -772,7 +865,10 @@ object Incremental {
           pending.getOrElse(k, 0) >= consolidateEvery ||
             accSize.getOrElse(k, 0L) > math.max(baseSize.getOrElse(k, 0L), 1L)
         }.map { k =>
-          val c = ZSet.consolidate(stateByKey(k)).persist()
+          // MEMORY_AND_DISK explicitly: compacted state under heap pressure
+          // must degrade to disk reads, never to full-lineage recompute.
+          val c = ZSet.consolidate(stateByKey(k))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           setState(k, c)
           k -> c
         }.toMap
@@ -792,7 +888,8 @@ object Incremental {
         val fresh = dfs.distinct
           .filterNot(anchorOf.containsKey).filterNot(anchors.contains)
         if (fresh.nonEmpty || extras.nonEmpty) {
-          fresh.foreach(_.persist())
+          fresh.foreach(_.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           materialize(fresh ++ extras)
           fresh.foreach { df =>
             val a = org.apache.spark.sql.GraftSqlBridge.reanchor(df)

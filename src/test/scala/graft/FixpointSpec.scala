@@ -121,6 +121,68 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(1L -> 2L, 3L -> 4L))
   }
 
+  test("incremental closure: DRed rederives over-deleted pairs via kept segments") {
+    // Diamond with a tail: 1→2→4→5 and 1→3→4. Retracting 1→2 over-deletes
+    // D = {(1,2),(1,4),(1,5)}, but (1,4) and (1,5) survive via the kept
+    // segments (1,3)∘(3,4)[∘(4,5)] — the K∘K-shaped rederivation that a
+    // naive "alternating S paths" scheme misses (K is NOT closed under
+    // composition precisely because D over-approximates).
+    val base = edges(1L -> 2L, 2L -> 4L, 1L -> 3L, 3L -> 4L, 4L -> 5L)
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> base.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(base)))
+    val d = r.step(Map("E" -> ZSet.negate(ZSet.fromRows(edges(1L -> 2L)))))
+    import spark.implicits._
+    val retracted = ZSet.consolidate(d).filter(col(ZSet.W) === -1L)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+    assert(retracted === Set(1L -> 2L)) // (1,4),(1,5) must NOT retract
+    assert(ClosureInc.lastOverDeleted === 3L)
+    assert(ClosureInc.lastRederived === 2L)
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      pairsOf(Fixpoint.transitiveClosure(
+        edges(2L -> 4L, 1L -> 3L, 3L -> 4L, 4L -> 5L))))
+  }
+
+  test("incremental closure: retraction work scales with the severed neighborhood") {
+    // A large unrelated component (chain of 40 ⇒ 780 closure pairs) plus a
+    // tiny 4-node chain. Retracting the tiny chain's middle edge must
+    // over-delete exactly the 4 pairs routed through it — DRed never
+    // touches the big component's closure (the r4 fallback re-derived all
+    // 780+ pairs from scratch here).
+    val big = edges((1L to 39L).map(i => i -> (i + 1)): _*)
+    val small = edges(100L -> 101L, 101L -> 102L, 102L -> 103L)
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> big.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(big.unionAll(small))))
+    val d = r.step(Map("E" -> ZSet.negate(ZSet.fromRows(edges(101L -> 102L)))))
+    import spark.implicits._
+    val retracted = ZSet.consolidate(d).filter(col(ZSet.W) === -1L)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+    assert(retracted === Set(101L -> 102L, 100L -> 102L,
+      101L -> 103L, 100L -> 103L))
+    assert(ClosureInc.lastOverDeleted === 4L) // |{100,101}×{102,103}|, not 780
+    assert(ClosureInc.lastRederived === 0L)
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      pairsOf(Fixpoint.transitiveClosure(
+        big.unionAll(edges(100L -> 101L, 102L -> 103L)))))
+  }
+
+  test("incremental closure: mixed retract+insert in one step (DRed then extend)") {
+    // Cut 2→3 and add 2→30→3 in the SAME delta: severed pairs must be
+    // rescued through the new hub, so the net output delta only adds the
+    // hub pairs — everything through 2..3 stays present end to end.
+    val base = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val circuit = source("E").closure("src", "dst")
+    val r = new Runner(spark, circuit, Map("E" -> base.limit(0)))
+    r.step(Map("E" -> ZSet.fromRows(base)))
+    r.step(Map("E" -> ZSet.plus(
+      ZSet.negate(ZSet.fromRows(edges(2L -> 3L))),
+      ZSet.fromRows(edges(2L -> 30L, 30L -> 3L)))))
+    assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
+      pairsOf(Fixpoint.transitiveClosure(
+        edges(1L -> 2L, 2L -> 30L, 30L -> 3L, 3L -> 4L))))
+  }
+
   test("incremental closure: re-inserted duplicate edge adds no pairs") {
     val base = edges(1L -> 2L, 2L -> 3L)
     val circuit = source("E").closure("src", "dst")
