@@ -89,13 +89,19 @@ final class Engine(val spark: SparkSession) {
 
   /** A SHARED step driver maintaining several views at once over one set
     * of input integrals — the reference's multi-view circuits (a circuit
-    * catalog registers many output handles; MultiViewTests). Each step
-    * feeds every view's circuit from the same integrated inputs, and any
-    * common traced operators are advanced once. */
-  def incrementalRunner(names: Seq[String]): graft.streaming.Incremental.Runner =
+    * catalog registers many output handles; MultiViewTests). The views are
+    * compiled TOGETHER with structural CSE (SqlIncremental.compileAll):
+    * sub-circuits that analyze to the same canonical Catalyst plan — a
+    * shared CTE, the same aggregate, the same join subtree, even spelled
+    * differently — become one `Inc` instance, so the Runner keeps ONE
+    * trace per distinct computation and advances it once per step. */
+  def incrementalRunner(names: Seq[String]): graft.streaming.Incremental.Runner = {
+    names.foreach(n => require(viewSql.contains(n), s"unknown view $n"))
     new graft.streaming.Incremental.Runner(spark,
-      names.map(n => n -> incrementalCircuit(n)),
+      SqlIncremental.compileAll(spark, names.map(n => n -> viewSql(n)),
+        tables.keys.toSet),
       tables.keys.map(t => t -> emptyFor(t)).toMap)
+  }
 
   /** Materialize a view to parquet — the sink operator
     * (DBSPSinkOperator.java:32: every CREATE VIEW is an output handle).

@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.plans.{FullOuter, InnerLike, LeftAnti, Left
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.GraftSqlBridge
 
+import scala.collection.mutable
+
 /** SQL → incremental circuit translator: the step that makes `CREATE VIEW`
   * text incrementally maintainable, mirroring the reference's pipeline
   * (Calcite RelNode → DBSP circuit, CalciteToDBSPCompiler.java:72, then
@@ -67,6 +69,29 @@ object SqlIncremental {
     walk(inlineCtes(analyzed), byLower)
   }
 
+  /** Compile several views into circuits that SHARE structurally identical
+    * sub-circuits — the reference's one-circuit-many-output-handles model
+    * (MultiViewTests): two views over the same CTE/aggregate/join subtree
+    * get the SAME `Inc` instance for it, so the multi-sink Runner keeps ONE
+    * trace and advances it once per step. Equivalence is Catalyst's own:
+    * sub-plans are memoized by `LogicalPlan.canonicalized` (normalized
+    * exprIds — exactly the `sameResult` relation), so textual differences
+    * that analyze to the same plan still share. Source scans are resolved
+    * before the memo: canonicalization strips `SubqueryAlias`, and two
+    * empty sources with identical schemas would otherwise collide. */
+  def compileAll(spark: SparkSession, views: Seq[(String, String)],
+                 sources: Set[String]): Seq[(String, Inc)] = {
+    memo.set(mutable.HashMap.empty)
+    try views.map { case (n, sql) => n -> compile(spark, sql, sources) }
+    finally memo.remove()
+  }
+
+  /** Cross-view structural-CSE memo, active only inside [[compileAll]]
+    * (thread-local: concurrent compilations on other threads are
+    * unaffected; `null` = disabled). */
+  private val memo =
+    new ThreadLocal[mutable.HashMap[LogicalPlan, Inc]]
+
   /** Inline every WITH ... CTE before compilation (the optimizer's
     * InlineCTE does the same; re-anchoring is by name, so the ref/def
     * exprId mismatch is immaterial). Must traverse INTO subquery
@@ -91,7 +116,17 @@ object SqlIncremental {
     cur
   }
 
-  private def walk(plan: LogicalPlan, sources: Map[String, String]): Inc = plan match {
+  private def walk(plan: LogicalPlan, sources: Map[String, String]): Inc =
+    plan match {
+      case SubqueryAlias(id, _) if sources.contains(id.name.toLowerCase) =>
+        Incremental.source(sources(id.name.toLowerCase))
+      case _ =>
+        val m = memo.get
+        if (m == null) walkImpl(plan, sources)
+        else m.getOrElseUpdate(plan.canonicalized, walkImpl(plan, sources))
+    }
+
+  private def walkImpl(plan: LogicalPlan, sources: Map[String, String]): Inc = plan match {
     case SubqueryAlias(id, child) if sources.contains(id.name.toLowerCase) =>
       Incremental.source(sources(id.name.toLowerCase))
     case SubqueryAlias(_, child) => walk(child, sources)
@@ -768,107 +803,103 @@ object SqlIncremental {
     * outer row passes iff EVERY subquery row differs definitely, i.e. has
     * some column where both sides are non-NULL and unequal.
     *
-    * Decomposition into incremental equi-circuits: partition each side by
-    * its exact NULL-pattern over the nullable columns. For an outer row of
-    * pattern P (NULL exactly on P) and a subquery row of pattern Q, the
-    * mutually non-NULL columns are `names − (P∪Q)`; the subquery row
-    * "maybe-matches" (blocks) iff the two agree on all of them. So:
-    *  - a subquery row NULL on every column OUTSIDE P blocks every
-    *    pattern-P outer row regardless of values → one maintained global
-    *    count per distinct `required = names − P` set, attached on a
-    *    constant key, gating the whole branch (this also subsumes the
-    *    empty-subquery case: all gates 0 + empty anti joins → all pass);
-    *  - every other pattern class Q blocks via a plain equi ANTI JOIN on
-    *    `names − (P∪Q)` (both sides provably non-NULL there).
+    * MASK-EXPANSION circuit (one bilinear join, constant node count): for
+    * an outer row NULL exactly on column set P and a subquery row NULL
+    * exactly on Q, the pair "maybe-matches" (blocks the outer row) iff the
+    * two agree on every column of `names − (P∪Q)` — the columns where both
+    * are non-NULL. Each side EXPLODES each row into one key row per
+    * candidate mask M with P ⊆ M ⊆ P ∪ otherSideNullable (≤ 2^3 = 8 rows,
+    * weight-preserving linear flatMap), carrying (M, the row with columns
+    * in M nulled out, its own NULL-pattern bits). A single NULL-SAFE
+    * bilinear join on (M, masked columns) then matches exactly the pairs
+    * agreeing outside M, and a linear residual filter P∪Q = M keeps each
+    * maybe-matching pair exactly once (M is forced to the pair's true
+    * joint pattern). All-NULL subquery rows and the empty-subquery case
+    * need no separate gate: they fall out of the M = all-nullable bucket /
+    * the empty build side.
+    *
     * The verdict of a probe row depends ONLY on its probe tuple, so the
-    * whole decision runs in DISTINCT-TUPLE space: project the outer to its
-    * distinct probe tuples (a small set-semantics relation), compute the
-    * per-pattern gates and semi joins THERE (all pattern-pair semi joins
-    * are siblings over the tuple set — shallow, not a chained anti-join
-    * pipeline), subtract blocked tuples, and finally one NULL-SAFE semi
-    * join carries the passing tuples back to the outer rows, restoring
-    * multiplicities. This keeps per-step incremental work proportional to
-    * touched tuples (a subquery count flip re-emits O(distinct tuples),
-    * not O(outer rows)), and keeps the circuit's wave depth constant in
-    * the pattern count. Pattern count is exponential in the NULLABLE
-    * column count only — guarded at 3 per side (8 patterns); beyond that
-    * declare columns NOT NULL. */
+    * decision runs in DISTINCT-TUPLE space: blocked tuples are
+    * set-normalized and subtracted from the distinct probe tuples, and one
+    * NULL-SAFE semi join carries the passing tuples back to the outer
+    * rows, restoring multiplicities. Per-step work is delta-proportional
+    * on BOTH sides (a subquery delta joins only its masked-key buckets —
+    * no global gate flip re-emitting all tuples), and the circuit has a
+    * constant 4 stateful nodes (tuple distinct, block join, blocked
+    * distinct, carry join) regardless of pattern count. Mask fan-out is
+    * exponential in the NULLABLE column count only — guarded at 3 per
+    * side; beyond that declare columns NOT NULL. */
   private def nullAwareNotInMulti(node: Inc, outerNames: Seq[String],
                                   probes: Seq[AttributeReference],
                                   lq: ListQuery,
                                   sources: Map[String, String]): Inc = {
-    import org.apache.spark.sql.functions.{count, when}
+    import org.apache.spark.sql.functions.{array, explode, struct, when, filter => afilter}
     val names = probes.map(_.name)
-    val nullableProbe = probes.filter(_.nullable).map(_.name)
+    val nullableProbe = probes.filter(_.nullable).map(_.name).toSet
     val nullableSub = lq.plan.output.zip(names)
-      .collect { case (o, n) if o.nullable => n }
+      .collect { case (o, n) if o.nullable => n }.toSet
     if (math.max(nullableProbe.size, nullableSub.size) > 3)
       throw new UnsupportedPlanException(
         s"NOT IN over ${math.max(nullableProbe.size, nullableSub.size)} " +
-          "nullable columns needs 2^k NULL-pattern classes; declare some " +
-          "columns NOT NULL (supported: ≤3 nullable per side)")
+          "nullable columns needs 2^k NULL-pattern mask fan-out; declare " +
+          "some columns NOT NULL (supported: ≤3 nullable per side)")
     def subsets(xs: List[String]): List[Set[String]] = xs match {
       case Nil => List(Set.empty)
       case h :: t => val ts = subsets(t); ts ++ ts.map(_ + h)
     }
+    val maskable = names.filter(n => nullableProbe(n) || nullableSub(n))
+    val bit: Map[String, Int] =
+      maskable.zipWithIndex.map { case (n, i) => n -> (1 << i) }.toMap
+    def maskOf(s: Set[String]): Int = s.foldLeft(0)(_ | bit(_))
+    val masks = subsets(maskable.toList)
+    val keyName: Map[String, String] =
+      names.zipWithIndex.map { case (n, i) => n -> s"__nk$i" }.toMap
     val subAll = inColumns(lq, probes, sources)
-    val pPatterns = subsets(nullableProbe.toList)
-    val qPatterns = subsets(nullableSub.toList)
-    // one gate count per distinct `required` set some outer pattern needs
-    val requiredSets = pPatterns.map(p => names.toSet -- p)
-      .filter(_.subsetOf(nullableSub.toSet)).distinct
-    val gateName: Map[Set[String], String] =
-      requiredSets.zipWithIndex.map { case (r, i) => r -> s"__nag$i" }.toMap
-    val counts: Option[Inc] =
-      if (requiredSets.isEmpty) None
-      else Some {
-        val aggs = requiredSets.map { req =>
-          count(when(req.map(c => col(c).isNull).reduceOption(_ && _)
-            .getOrElse(lit(true)), lit(1))).as(gateName(req))
-        }
-        subAll.aggregateRowsGlobal(aggs, requiredSets.map(gateName))
-          .select(lit(1).as("__naone") +:
-            requiredSets.map(r => col(gateName(r))): _*)
+
+    /** Row's own NULL pattern as mask bits (0 for non-nullable columns). */
+    def bitsOf(nullableSelf: Set[String]): Column =
+      maskable.filter(nullableSelf)
+        .map(n => when(col(n).isNull, lit(bit(n))).otherwise(lit(0)))
+        .reduceOption(_ + _).getOrElse(lit(0))
+
+    /** Weight-preserving linear explode of each row into its valid masks:
+      * M is valid iff P ⊆ M (columns outside M are non-NULL) and
+      * M ⊆ P ∪ nullableOther (columns of M outside the other side's
+      * nullable set must be NULL here). `keep` rides original columns
+      * through (the probe side keeps its tuple for the subtract). */
+    def expand(inc: Inc, types: Seq[org.apache.spark.sql.types.DataType],
+               nullableSelf: Set[String], nullableOther: Set[String],
+               bitsName: String, keep: Seq[String]): Inc = inc.linear { df =>
+      val structs = masks.map { m =>
+        val valid = (
+          maskable.filterNot(m).filter(nullableSelf).map(col(_).isNotNull) ++
+            m.toSeq.filterNot(nullableOther).map(col(_).isNull)
+          ).reduceOption(_ && _).getOrElse(lit(true))
+        val fields = lit(maskOf(m)).as("__mask") +:
+          names.zip(types).map { case (n, t) =>
+            (if (m(n)) lit(null).cast(t) else col(n)).as(keyName(n))
+          } :+ bitsOf(nullableSelf).as(bitsName)
+        when(valid, struct(fields: _*))
       }
+      val e = graft.zset.ZSet.map(df)(keep.map(col) :+
+        explode(afilter(array(structs: _*), _.isNotNull)).as("__ex"): _*)
+      graft.zset.ZSet.map(e)(keep.map(col) ++
+        (("__mask" +: names.map(keyName)) :+ bitsName)
+          .map(f => col(s"__ex.$f").as(f)): _*)
+    }
+
     // distinct probe tuples (weight-1 set relation; NULLs are values here)
     val probeTuples = node.select(names.map(col): _*).distinct
-    val tagged: Inc = counts.fold(probeTuples) { c =>
-      probeTuples.select(names.map(col) :+ lit(1).as("__naone"): _*)
-        .join(c, Seq("__naone"))
-    }
-    // share each (pattern class, key set) distinct projection across P
-    val classNodes = scala.collection.mutable
-      .Map.empty[(Set[String], Seq[String]), Inc]
-    def subClass(qSet: Set[String], keys: Seq[String]): Inc =
-      classNodes.getOrElseUpdate((qSet, keys), {
-        val classCond = nullableSub.map { n =>
-          if (qSet(n)) col(n).isNull else col(n).isNotNull
-        }.reduceOption(_ && _).getOrElse(lit(true))
-        subAll.where(classCond).select(keys.map(col): _*).distinct
-      })
-    val passBranches = pPatterns.map { pSet =>
-      val patternCond = names.map { n =>
-        if (pSet(n)) col(n).isNull
-        else if (nullableProbe.contains(n)) col(n).isNotNull
-        else lit(true)
-      }.reduce(_ && _)
-      var base = tagged.where(patternCond)
-      val required = names.toSet -- pSet
-      if (required.subsetOf(nullableSub.toSet))
-        base = base.where(col(gateName(required)) === 0)
-      base = base.select(names.map(col): _*)
-      // blocked tuples: union of sibling semi joins (set-normalized —
-      // a tuple blocked by several classes must subtract exactly once)
-      val semis = qPatterns.flatMap { qSet =>
-        val keys = names.filterNot(n => pSet(n) || qSet(n))
-        if (keys.isEmpty) None // covered by the gate count
-        else Some(base.join(subClass(qSet, keys), keys))
-      }
-      if (semis.isEmpty) base
-      else base.minus(semis.reduce(_ union _).distinct)
-    }
-    val passTuples = passBranches.reduce(_ union _)
-    node.joinNullSafe(passTuples, names).select(outerNames.map(col): _*)
+    val probeExp = expand(probeTuples, probes.map(_.dataType),
+      nullableProbe, nullableSub, "__pbits", keep = names)
+    val subExp = expand(subAll, lq.plan.output.map(_.dataType),
+      nullableSub, nullableProbe, "__qbits", keep = Nil)
+    val blocked = probeExp
+      .joinNullSafe(subExp, "__mask" +: names.map(keyName))
+      .where(col("__pbits").bitwiseOR(col("__qbits")) === col("__mask"))
+      .select(names.map(col): _*)
+    val pass = probeTuples.minus(blocked.distinct)
+    node.joinNullSafe(pass, names).select(outerNames.map(col): _*)
   }
 
   /** IN-list subquery → circuit producing the single column renamed to the

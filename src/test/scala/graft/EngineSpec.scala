@@ -84,6 +84,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.view("COUNTS").collect()(0).getLong(0) === 3L)
   }
 
+  test("structural CSE: two views over the same aggregate share ONE trace") {
+    import org.apache.spark.sql.functions.col
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE CS(k VARCHAR NOT NULL, v INT NOT NULL);
+        |CREATE VIEW TOTALS AS SELECT k, SUM(v) AS s FROM CS GROUP BY k;
+        |CREATE VIEW BIGTOTALS AS SELECT k, s FROM
+        |  (SELECT k, SUM(v) AS s FROM CS GROUP BY k) t WHERE s > 10""".stripMargin)
+    // Separately compiled, the two views each carry their own copy of the
+    // grouped-SUM operator; compiled together (compileAll), the canonical
+    // Catalyst plans of the two aggregate subtrees are equal, so the
+    // Runner must hold exactly ONE stateful node — one trace, advanced
+    // once per step — and node identity (not just structure) proves it.
+    val r = e.incrementalRunner(Seq("TOTALS", "BIGTOTALS"))
+    assert(r.statefulNodeCount === 1)
+    import graft.zset.ZSet
+    import spark.implicits._
+    r.stepAll(Map("CS" -> ZSet.fromRows(
+      Seq(("a", 5), ("a", 7), ("b", 3)).toDF("k", "v"))))
+    r.stepAll(Map("CS" -> ZSet.fromRows(Seq(("b", 20)).toDF("k", "v"))))
+    val totals = ZSet.toRows(ZSet.consolidate(r.output("TOTALS")))
+      .select(col("k"), col("s")).as[(String, Long)].collect().toSet
+    val big = ZSet.toRows(ZSet.consolidate(r.output("BIGTOTALS")))
+      .select(col("k"), col("s")).as[(String, Long)].collect().toSet
+    assert(totals === Set(("a", 12L), ("b", 23L)))
+    assert(big === Set(("a", 12L), ("b", 23L)))
+  }
+
   test("views over views") {
     val e = new Engine(spark)
     e.executeScript(
