@@ -37,13 +37,19 @@ final class Engine(val spark: SparkSession) {
   /** view name → SQL text, in declaration order. */
   private val viewSql = mutable.LinkedHashMap.empty[String, String]
 
-  /** Execute a whole script (statements separated by ';'). */
+  /** Execute a whole script (statements separated by ';'; `--` line and
+    * `/* */` block comments allowed anywhere outside string literals). */
   def executeScript(script: String): Unit =
     splitStatements(script).foreach(executeStatement)
 
   /** Execute one statement: CREATE TABLE | CREATE VIEW | INSERT INTO. */
   def executeStatement(stmt0: String): Unit = {
-    val stmt = stmt0.trim.stripSuffix(";").trim
+    val stmt = splitStatements(stmt0) match {
+      case Seq() => return
+      case Seq(one) => one.trim
+      case more => throw new IllegalArgumentException(
+        s"executeStatement got ${more.size} statements; use executeScript")
+    }
     if (stmt.isEmpty) return
     val upper = stmt.toUpperCase
     if (upper.startsWith("CREATE TABLE")) createTable(stmt)
@@ -216,15 +222,33 @@ final class Engine(val spark: SparkSession) {
   private def emptyFor(name: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tables(name))
 
-  /** Split a script on ';' outside single-quoted strings. */
+  /** Split a script on ';' outside single-quoted strings, stripping `--`
+    * line comments and `/* */` block comments (also only outside strings —
+    * a literal containing `--` or `;` passes through untouched; a doubled
+    * `''` escape toggles out and back in, which preserves it verbatim). */
   private def splitStatements(script: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inStr = false
-    script.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case ';' if !inStr => out += cur.toString(); cur.clear()
-      case c => cur += c
+    var i = 0
+    val n = script.length
+    while (i < n) {
+      val c = script.charAt(i)
+      if (inStr) {
+        cur += c; if (c == '\'') inStr = false; i += 1
+      } else if (c == '\'') {
+        cur += c; inStr = true; i += 1
+      } else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') {
+        while (i < n && script.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n &&
+          !(script.charAt(i) == '*' && script.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+        cur += ' ' // comments are separators, not glue
+      } else if (c == ';') {
+        out += cur.toString(); cur.clear(); i += 1
+      } else { cur += c; i += 1 }
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString()
     out.toSeq.filter(_.trim.nonEmpty)

@@ -198,9 +198,6 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket on 8×8-bit chunks — by pigeonhole, a
-    * pair within Hamming ≤ 7 of a 64-bit signature must agree on ≥1 chunk —
-    * then verify with bit_count. Same bucketed shape as MinHash — no O(n²). */
   /** Distributed SimHash signatures: explode tokens, hash once, 64 bit-vote
     * sums as grouped aggregates (map-side partial), then pack the sign bits.
     * Same scaling rationale as `minhashSignatures`. */
@@ -228,22 +225,64 @@ object Dedup {
   /** Banded pairing stage over precomputed signatures (column `sim`) —
     * split out so callers that derive signature sets (e.g. replicating a
     * corpus under shifted ids, where equal text ⇒ equal signature) don't
-    * recompute the token-vote aggregation. */
+    * recompute the token-vote aggregation.
+    *
+    * Bucketing is 8×8-bit chunks: by pigeonhole, a pair within Hamming ≤ 7
+    * must agree on ≥1 chunk. An 8-bit key space is only 256 buckets per
+    * chunk table, so bucket population grows LINEARLY with the corpus and
+    * an uncapped self-join would enumerate O(n²/2048) pairs; `maxBucket`
+    * drops oversized buckets via the same broadcast anti-join as
+    * `candidatePairs` (the dropped-bucket list is ≤ 8×256 entries — always
+    * broadcastable). Unlike MinHash's 64-bit band keys, an oversized chunk
+    * bucket here is NOT necessarily degenerate input — it is the expected
+    * state once n ≳ 256·maxBucket — so capping trades recall for bounded
+    * work; at corpus scale prefer [[simhashPairsHamming3]], whose 16-bit
+    * keys keep buckets collision-bounded 256× longer. */
   def simhashPairsFromSignatures(sig: DataFrame, idCol: String = "doc_id",
-                                 maxHamming: Int = 7): DataFrame = {
+                                 maxHamming: Int = 7,
+                                 maxBucket: Int = 10000): DataFrame = {
     val chunks = sig.select(col(idCol), col("sim"), posexplode(
       array((0 until 8).map(c =>
         shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)): _*))
       .as(Seq("chunk_id", "chunk_key")))
-    val a = chunks.select(col("chunk_id"), col("chunk_key"),
+    pairsFromBuckets(chunks, "chunk_id", "chunk_key", idCol, maxBucket)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash pairing for the tighter Hamming ≤ 3 radius, built for corpus
+    * scale: 4 disjoint 16-bit fields (pigeonhole: 3 flipped bits across 4
+    * fields leave ≥1 field exact), giving 65,536 buckets per field table —
+    * collision-bounded until n ≈ 256M docs per partition-key domain, with
+    * the same capped self-join as a backstop. The radius is the standard
+    * near-dup setting for 64-bit SimHash (Manku et al., WWW'07 use k=3). */
+  def simhashPairsHamming3(sig: DataFrame, idCol: String = "doc_id",
+                           maxBucket: Int = 10000): DataFrame = {
+    val fields = sig.select(col(idCol), col("sim"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      .as(Seq("field_id", "field_key")))
+    pairsFromBuckets(fields, "field_id", "field_key", idCol, maxBucket)
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Shared capped bucket self-join: drop buckets over `maxBucket` (tiny
+    * list — broadcast anti-join), pair within survivors, verify Hamming. */
+  private def pairsFromBuckets(buckets: DataFrame, bandCol: String,
+                               keyCol: String, idCol: String,
+                               maxBucket: Int): DataFrame = {
+    val big = buckets.groupBy(col(bandCol), col(keyCol))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(col(bandCol), col(keyCol))
+    val sized = buckets.join(broadcast(big), Seq(bandCol, keyCol), "left_anti")
+    val a = sized.select(col(bandCol), col(keyCol),
       col(idCol).as("id_a"), col("sim").as("sim_a"))
-    val b = chunks.select(col("chunk_id"), col("chunk_key"),
+    val b = sized.select(col(bandCol), col(keyCol),
       col(idCol).as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk_id", "chunk_key"))
+    a.join(b, Seq(bandCol, keyCol))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sim_a"), col("sim_b")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

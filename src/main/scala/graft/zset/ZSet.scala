@@ -45,11 +45,21 @@ object ZSet {
   def fromRows(df: DataFrame): DataFrame = df.withColumn(W, lit(1L))
 
   /** Expand a (consolidated, positive) Z-set back into a plain multiset:
-    * each row repeated `weight` times. */
-  def toRows(df: DataFrame): DataFrame =
+    * each row repeated `weight` times. Expansion is CHUNKED: a single
+    * `sequence(1, w)` materializes a w-element array in one task, so a
+    * consolidated weight of 10⁹ would allocate 8 GB in one go — instead an
+    * outer explode emits one row per ≤10⁶-element chunk (the outer array is
+    * ≤ w/10⁶ entries) and the inner explode expands a bounded array per
+    * chunk, keeping peak allocation ≤ 8 MB regardless of weight. */
+  def toRows(df: DataFrame): DataFrame = {
+    val C = 1000000L
     df.filter(col(W) > 0)
-      .withColumn("__rep", explode(sequence(lit(1L), col(W))))
+      .withColumn("__chunk", explode(sequence(lit(0L),
+        expr(s"($W - 1L) div ${C}L"))))
+      .withColumn("__rep", explode(sequence(lit(1L),
+        least(lit(C), col(W) - col("__chunk") * C))))
       .select(dataCols(df): _*)
+  }
 
   /** Negate all weights (DBSPNegateOperator). */
   def negate(z: DataFrame): DataFrame = z.withColumn(W, -col(W))

@@ -41,4 +41,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted
     assert(gotDet === again)
   }
+
+  test("ZSet.toRows expands a weight-10⁷ row chunked (bounded allocation)") {
+    import graft.zset.ZSet
+    // One consolidated row with weight 10,000,000: the old single
+    // sequence(1, w) materialized the whole array in one task; the chunked
+    // expansion caps per-task arrays at 10⁶ entries, so this completes in
+    // normal executor memory and still yields exactly w rows.
+    val z = Seq(("x", 10000000L)).toDF("v", ZSet.W)
+    assert(ZSet.toRows(z).count() === 10000000L)
+    // small weights keep exact multiset semantics (chunk math edge cases:
+    // w = 1, w = chunk size, w = chunk size + 1)
+    val small = Seq(("a", 1L), ("b", 3L)).toDF("v", ZSet.W)
+    assert(ZSet.toRows(small).groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 1L, "b" -> 3L))
+    val edge = Seq(("c", 1000000L), ("d", 1000001L)).toDF("v", ZSet.W)
+    assert(ZSet.toRows(edge).groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("c" -> 1000000L, "d" -> 1000001L))
+  }
 }

@@ -80,6 +80,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash bucket cap bounds a degenerate all-identical corpus") {
+    // 10k identical signatures land in ONE bucket of every chunk table:
+    // uncapped, the self-join would enumerate ~50M pairs × 8 chunks; the
+    // cap drops those buckets so the job completes with zero pairs (exact
+    // dedup is the operator for byte-identical docs).
+    val degenerate = (0 until 10000).map(i => (i.toLong, 0x5A5A5A5A5A5AL))
+      .toDF("doc_id", "sim")
+    assert(Dedup.simhashPairsFromSignatures(degenerate, maxBucket = 100)
+      .count() === 0L)
+    // the cap must not eat legitimate small buckets: a planted near-pair
+    // (hamming 2) still surfaces among scattered signatures
+    val scattered = (0 until 200).map(i =>
+      (i.toLong, i.toLong * 0x9E3779B97F4A7C15L)) :+ (900L, 0x5A5AL) :+ (901L, 0x5A59L)
+    val pairs = Dedup.simhashPairsFromSignatures(
+      scattered.toDF("doc_id", "sim"), maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((900L, 901L)))
+  }
+
+  test("simhash 4×16-bit banding: hamming ≤ 3 pairs found, key space wide") {
+    // 0x5A5A vs 0x5A59: bits differ only in the low 16-bit field — the
+    // other three fields agree, so the pair must bucket together; an
+    // unrelated signature shares no field.
+    val sigs = Seq((1L, 0x123456789ABCL), (2L, 0x123456789ABCL ^ 0x7L),
+      (3L, -1L)).toDF("doc_id", "sim")
+    val pairs = Dedup.simhashPairsHamming3(sigs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // all-identical degenerate corpus is likewise capped
+    val degenerate = (0 until 10000).map(i => (i.toLong, 42L)).toDF("doc_id", "sim")
+    assert(Dedup.simhashPairsHamming3(degenerate, maxBucket = 100).count() === 0L)
+  }
+
   private def syntheticVectors(n: Int, dim: Int): DataFrame = {
     // deterministic pseudo-random unit-ish vectors in a few clusters
     val rows = (0 until n).map { i =>

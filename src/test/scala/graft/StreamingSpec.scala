@@ -134,13 +134,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.start()
     try {
       mem1.addData((1L, 2L, 1L), (2L, 3L, 1L)); q1.processAllAvailable()
-      mem1.addData((3L, 4L, 1L)); q1.processAllAvailable()
+      mem1.addData((3L, 4L, 1L), (1L, 5L, 1L), (5L, 3L, 1L)); q1.processAllAvailable()
     } finally q1.stop()
     assert(pairs(ZSet.toRows(ZSet.consolidate(r1.output))) ===
-      Set(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 3L, 2L -> 4L, 1L -> 4L))
+      Set(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 3L, 2L -> 4L, 1L -> 4L,
+        1L -> 5L, 5L -> 3L, 5L -> 4L))
 
     // restart: a new runner restores the closure trace and keeps
-    // maintaining through a retraction micro-batch
+    // maintaining through a retraction micro-batch. Cutting 2→3 exercises
+    // DRed AGAINST THE RESTORED STATE: (1,3) and (1,4) are over-deleted
+    // but must be rederived through the alternate 1→5→3 path, proving the
+    // kept/over-deleted split works from checkpoint tables, not only from
+    // in-session traces.
     val r2 = new Runner(spark, circuit, Map("E" -> empty))
     r2.restore(ckpt)
     val mem2 = MemoryStream[(Long, Long, Long)]
@@ -151,8 +156,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       mem2.addData((2L, 3L, -1L)); q2.processAllAvailable()
     } finally q2.stop()
+    import graft.streaming.Incremental.ClosureInc
+    assert(ClosureInc.lastOverDeleted === 4L) // (1,3),(1,4),(2,3),(2,4)
+    assert(ClosureInc.lastRederived === 2L) // (1,3),(1,4) via 1→5→3
     assert(pairs(ZSet.toRows(ZSet.consolidate(r2.output))) ===
-      Set(1L -> 2L, 3L -> 4L))
+      Set(1L -> 2L, 3L -> 4L, 1L -> 5L, 5L -> 3L, 5L -> 4L,
+        1L -> 3L, 1L -> 4L))
   }
 
   test("stream-stream inner join on key (bilinear op, append mode)") {
