@@ -81,11 +81,39 @@ object Bench {
     val diag = results.map { case (k, _, _, d) => "\"" + k + "\":" + d }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val nOk = results.count(_._3)
     val total = results.filter(_._3).map(_._2).sum
-    println(
+    val envJson = env.runJson(canaries.toSeq)
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"n_ok":${results.count(_._3)},"n":${results.size},""" +
-      s""""bench_env":${env.runJson(canaries.toSeq)},"diag":$diag,"sf":"$sfDir"}""")
+      s""""failed":$failed,"n_ok":$nOk,"n":${results.size},""" +
+      s""""bench_env":$envJson,"diag":$diag,"sf":"$sfDir"}"""
+    // Full per-query times + diagnostics survive as a file (the stdout
+    // consumer downstream keeps only a short tail of the output).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    // The LAST stdout line must be a complete JSON object that fits in a
+    // ~2000-char output tail alongside sbt's closing "[success]" line, or
+    // the consumer cannot parse it (the full line above is ~8 KB). Slowest
+    // queries are listed until the size budget runs out; the fast remainder
+    // is summarized in "omitted" and fully recorded in bench_detail.json.
+    val sb = new StringBuilder
+    var omittedN = 0
+    var omittedSec = 0.0
+    results.sortBy(-_._2).foreach { case (k, v, ok, _) =>
+      val ent = "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1")
+      if (sb.length + ent.length + 1 <= 1400) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(ent)
+      } else { omittedN += 1; if (ok) omittedSec += v }
+    }
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{$sb},""" +
+      f""""omitted":{"n":$omittedN,"sec":$omittedSec%.2f},"failed":$failed,""" +
+      f""""n_ok":$nOk,"n":${results.size},"env":$envJson,""" +
+      f""""detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -244,7 +244,11 @@ final class Engine(val spark: SparkSession) {
         i += 2
         while (i + 1 < n &&
           !(script.charAt(i) == '*' && script.charAt(i + 1) == '/')) i += 1
-        i = math.min(n, i + 2)
+        // Swallowing an unterminated comment would silently drop every
+        // statement after the typo — fail loudly instead.
+        if (i + 1 >= n) throw new IllegalArgumentException(
+          "unterminated /* block comment in script")
+        i += 2
         cur += ' ' // comments are separators, not glue
       } else if (c == ';') {
         out += cur.toString(); cur.clear(); i += 1

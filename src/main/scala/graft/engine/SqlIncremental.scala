@@ -40,9 +40,10 @@ import scala.collection.mutable
   * (presentation-only), WITH ... CTEs (inlined, including refs inside
   * subquery expressions), scalar subqueries in select lists and filter
   * predicates (uncorrelated: constant-key join; correlated: decorrelated
-  * grouped join with the aggregate-over-empty default), and subquery
-  * aliases / nested views. Genuinely unsupported shapes — unconditioned
-  * cross joins, LIMIT without ORDER BY, uncorrelated EXISTS,
+  * grouped join with the aggregate-over-empty default), uncorrelated
+  * EXISTS (a global COUNT(*) trace on a constant key gating the outer
+  * relation), and subquery aliases / nested views. Genuinely unsupported
+  * shapes — unconditioned cross joins, LIMIT without ORDER BY,
   * pure-inequality EXISTS correlation (unbounded delta product),
   * non-aggregate scalar subqueries — throw `UnsupportedPlanException`
   * with an explanation; the fallback is the manual `Incremental` DSL.
@@ -75,10 +76,15 @@ object SqlIncremental {
     * get the SAME `Inc` instance for it, so the multi-sink Runner keeps ONE
     * trace and advances it once per step. Equivalence is Catalyst's own:
     * sub-plans are memoized by `LogicalPlan.canonicalized` (normalized
-    * exprIds — exactly the `sameResult` relation), so textual differences
-    * that analyze to the same plan still share. Source scans are resolved
-    * before the memo: canonicalization strips `SubqueryAlias`, and two
-    * empty sources with identical schemas would otherwise collide. */
+    * exprIds — exactly the `sameResult` relation) PLUS the output column
+    * names, so textual differences that analyze to the same plan still
+    * share. The name component matters: canonicalization erases alias
+    * names (`SELECT a AS x` and `SELECT a AS y` canonicalize equal), and
+    * an Inc's downstream operators address its columns by name — a
+    * name-blind memo would hand view 2 a circuit carrying view 1's
+    * aliases. Source scans are resolved before the memo: canonicalization
+    * strips `SubqueryAlias`, and two empty sources with identical schemas
+    * would otherwise collide. */
   def compileAll(spark: SparkSession, views: Seq[(String, String)],
                  sources: Set[String]): Seq[(String, Inc)] = {
     memo.set(mutable.HashMap.empty)
@@ -90,7 +96,7 @@ object SqlIncremental {
     * (thread-local: concurrent compilations on other threads are
     * unaffected; `null` = disabled). */
   private val memo =
-    new ThreadLocal[mutable.HashMap[LogicalPlan, Inc]]
+    new ThreadLocal[mutable.HashMap[(LogicalPlan, Seq[String]), Inc]]
 
   /** Inline every WITH ... CTE before compilation (the optimizer's
     * InlineCTE does the same; re-anchoring is by name, so the ref/def
@@ -123,7 +129,9 @@ object SqlIncremental {
       case _ =>
         val m = memo.get
         if (m == null) walkImpl(plan, sources)
-        else m.getOrElseUpdate(plan.canonicalized, walkImpl(plan, sources))
+        else m.getOrElseUpdate(
+          (plan.canonicalized, plan.output.map(_.name)),
+          walkImpl(plan, sources))
     }
 
   private def walkImpl(plan: LogicalPlan, sources: Map[String, String]): Inc = plan match {

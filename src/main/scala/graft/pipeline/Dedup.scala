@@ -24,6 +24,40 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Oversized-bucket list for the capped pair self-joins. "No silent
+    * caps": the cap trades recall for bounded pair-enumeration work, so
+    * when it fires the dropped-bucket count is LOGGED instead of silently
+    * shrinking the result. The list is needed for the broadcast anti-join
+    * anyway and is tiny by construction, so persisting it and counting it
+    * eagerly adds no shuffle the lazy plan wouldn't have run. Callers
+    * disable the cap with `maxBucket = Int.MaxValue` (oracle-compared
+    * correctness paths do — they must match an exact-enumeration oracle at
+    * any scale, so a cap there would be a silent divergence). */
+  private def oversizedBuckets(buckets: DataFrame, keyCols: Seq[String],
+                               maxBucket: Int, what: String): DataFrame = {
+    val big = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(keyCols.map(col): _*)
+      .persist()
+    val n = big.count()
+    if (n > 0) log.warn(
+      s"$what: dropping $n buckets larger than $maxBucket docs from pair " +
+        "enumeration (recall reduced for those keys)")
+    big
+  }
+
+  /** Anti-join `buckets` against its own oversized keys (no-op when the
+    * cap is disabled). */
+  private def dropOversized(buckets: DataFrame, keyCols: Seq[String],
+                            maxBucket: Int, what: String): DataFrame =
+    if (maxBucket == Int.MaxValue) buckets
+    else buckets.join(
+      broadcast(oversizedBuckets(buckets, keyCols, maxBucket, what)),
+      keyCols, "left_anti")
+
   // ---- exact dedup -----------------------------------------------------
 
   /** Groups of byte-identical texts: content key → canonical (min) id +
@@ -138,11 +172,8 @@ object Dedup {
     // unlike a count window). The oversized-bucket list — degenerate
     // boilerplate keys only — is tiny at any corpus size, so it
     // broadcasts; the complement (all small buckets) would not.
-    val bigBuckets = bandsDf.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
-      .select(col("band_id"), col("band_key"))
-    val sized = bandsDf.join(broadcast(bigBuckets), Seq("band_id", "band_key"), "left_anti")
+    val sized = dropOversized(bandsDf, Seq("band_id", "band_key"),
+      maxBucket, "candidatePairs")
     val a = sized.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
     val b = sized.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
     a.join(b, Seq("band_id", "band_key"))
@@ -168,9 +199,11 @@ object Dedup {
     * threshold. No O(n²) stage: explode → bucket-join → verify candidates. */
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", n: Int = 3, k: Int = 64,
-                     bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                     bands: Int = 16, threshold: Double = 0.7,
+                     maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, n, k)
-    val pairs = candidatePairs(lshBands(sig, idCol, "sig", bands, k / bands), idCol)
+    val pairs = candidatePairs(
+      lshBands(sig, idCol, "sig", bands, k / bands), idCol, maxBucket)
     verifyJaccard(pairs, docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
   }
@@ -218,9 +251,10 @@ object Dedup {
 
   def simhashNearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text",
-                            maxHamming: Int = 7): DataFrame =
+                            maxHamming: Int = 7,
+                            maxBucket: Int = 10000): DataFrame =
     simhashPairsFromSignatures(
-      simhashSignatures(docs, idCol, textCol), idCol, maxHamming)
+      simhashSignatures(docs, idCol, textCol), idCol, maxHamming, maxBucket)
 
   /** Banded pairing stage over precomputed signatures (column `sim`) —
     * split out so callers that derive signature sets (e.g. replicating a
@@ -270,11 +304,8 @@ object Dedup {
   private def pairsFromBuckets(buckets: DataFrame, bandCol: String,
                                keyCol: String, idCol: String,
                                maxBucket: Int): DataFrame = {
-    val big = buckets.groupBy(col(bandCol), col(keyCol))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
-      .select(col(bandCol), col(keyCol))
-    val sized = buckets.join(broadcast(big), Seq(bandCol, keyCol), "left_anti")
+    val sized = dropOversized(buckets, Seq(bandCol, keyCol),
+      maxBucket, "pairsFromBuckets")
     val a = sized.select(col(bandCol), col(keyCol),
       col(idCol).as("id_a"), col("sim").as("sim_a"))
     val b = sized.select(col(bandCol), col(keyCol),

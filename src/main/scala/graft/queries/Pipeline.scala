@@ -97,7 +97,10 @@ object Pipeline {
     // Jaccard). The full LSH path — signatures, banding, candidate join,
     // verification — sits under the value oracle.
     "q76_near_dup_minhash" -> ((s, d) =>
-      Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.9)),
+      // cap disabled: this result is compared against an exact-enumeration
+      // oracle, so a fired bucket cap would be a silent divergence
+      Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.9,
+        maxBucket = Int.MaxValue)),
 
     // SimHash COMPLETENESS under the value oracle: a shifted copy of the
     // corpus plants one identical-text pair per document. Equal token
@@ -124,7 +127,8 @@ object Pipeline {
           split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
           t => length(t) > 0)).as("__norm"))
         .filter(length(col("__norm")) > 0))
-      Dedup.simhashPairsFromSignatures(sig, maxHamming = 7)
+      Dedup.simhashPairsFromSignatures(sig, maxHamming = 7,
+        maxBucket = Int.MaxValue) // exact oracle — cap must not fire
         .join(norm.select(col("doc_id").as("id_a"), col("__norm").as("__na")),
           "id_a")
         .join(norm.select(col("doc_id").as("id_b"), col("__norm").as("__nb")),

@@ -112,6 +112,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big === Set(("a", 12L), ("b", 23L)))
   }
 
+  test("structural CSE memo does NOT merge plans differing only in aliases") {
+    import org.apache.spark.sql.functions.col
+    // Catalyst canonicalization erases alias names, so `SUM(v) AS s1` and
+    // `SUM(v) AS s2` canonicalize equal. A name-blind memo would hand the
+    // second view the first view's circuit (wrong column names downstream);
+    // the memo keys on (canonicalized, output names) to keep them apart.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE CA(k VARCHAR NOT NULL, v INT NOT NULL);
+        |CREATE VIEW AL1 AS SELECT k, SUM(v) AS s1 FROM CA GROUP BY k;
+        |CREATE VIEW AL2 AS SELECT k, s2 + 1 AS t FROM
+        |  (SELECT k, SUM(v) AS s2 FROM CA GROUP BY k) i""".stripMargin)
+    val r = e.incrementalRunner(Seq("AL1", "AL2"))
+    import graft.zset.ZSet
+    import spark.implicits._
+    r.stepAll(Map("CA" -> ZSet.fromRows(
+      Seq(("a", 5), ("a", 7), ("b", 3)).toDF("k", "v"))))
+    val a1 = ZSet.toRows(ZSet.consolidate(r.output("AL1")))
+    val a2 = ZSet.toRows(ZSet.consolidate(r.output("AL2")))
+    assert(a1.columns.toSeq === Seq("k", "s1"))
+    assert(a2.columns.toSeq === Seq("k", "t"))
+    assert(a1.select(col("k"), col("s1")).as[(String, Long)].collect().toSet
+      === Set(("a", 12L), ("b", 3L)))
+    assert(a2.select(col("k"), col("t")).as[(String, Long)].collect().toSet
+      === Set(("a", 13L), ("b", 4L)))
+  }
+
   test("views over views") {
     val e = new Engine(spark)
     e.executeScript(
@@ -154,5 +181,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       """CREATE TABLE SQ(s VARCHAR NOT NULL);
         |INSERT INTO SQ VALUES ('a;b'), ('c')""".stripMargin)
     assert(e.table("SQ").collect().map(_.getString(0)).toSet === Set("a;b", "c"))
+  }
+
+  test("unterminated block comment fails loudly, terminated ones are fine") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE BC(x INT NOT NULL); /* mid-script
+        |comment; with a semicolon */ INSERT INTO BC VALUES (7)""".stripMargin)
+    assert(e.table("BC").collect().map(_.getInt(0)).toSeq === Seq(7))
+    val ex = intercept[IllegalArgumentException] {
+      e.executeScript("CREATE TABLE BC2(x INT NOT NULL); /* oops")
+    }
+    assert(ex.getMessage.contains("unterminated"))
   }
 }
