@@ -10,10 +10,11 @@ import org.scalatest.BeforeAndAfterAll
   * (sqllogictest/Main.java, run-tests.sh:7-18). The three select files
   * mirror the SQLite select1–select5 + aggregate grammar families
   * (expressions × WHERE × ORDER BY, aggregates/GROUP BY, joins/set-ops/
-  * subqueries/strings, compound set-op chains, join+group grammars) with
-  * expected results computed by DuckDB at generation time
-  * (tools/gen_slt.py) — >5000 queries total, every one verified by literal
-  * values or the SLT MD5 scheme. */
+  * subqueries/strings, compound set-op chains, join+group grammars,
+  * correlated subqueries, deep expression nesting) with expected results
+  * computed by DuckDB at generation time (tools/gen_slt.py) — >9000
+  * queries total, every one verified by literal values or the SLT MD5
+  * scheme. */
 class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -48,6 +49,9 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("evidence.test: scalar/string/3VL/subquery function semantics") {
     check("evidence.test", 100)
   }
+
+  test("select6.test: correlated-subquery grammar") { check("select6.test", 870) }
+  test("select7.test: deep-expression-nesting grammar") { check("select7.test", 2070) }
 
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)

@@ -588,10 +588,213 @@ def gen_evidence():
     return f
 
 
+def gen_select6():
+    """Correlated-subquery grammar (the select6/select7 family shape):
+    correlated scalar subqueries in select lists and WHERE (equality AND
+    non-equality correlation, the COUNT-over-empty "COUNT bug" shape
+    included), correlated [NOT] EXISTS, and [NOT] IN with a correlated
+    inner predicate — all shapes verified supported by Spark's
+    DecorrelateInnerQuery. Expected values come from DuckDB, so the
+    decorrelation rewrite itself is what's under test."""
+    f = File("select6.test")
+    t1_statements(f)
+    t3_statements(f)
+    t5_statements(f)
+
+    # (correlation predicate, inner table) pairs; `a`/`b` are outer t1 cols.
+    corrs3 = ["k = a", "k < a", "k <= a", "k > a", "k >= a",
+              "k = a AND v > 250", "k BETWEEN a - 10 AND a + 10",
+              "k <= a + 5 AND v % 2 = 0", "k = a AND v > b",
+              "k < a AND v < b + 150"]
+    corrs5 = ["k = a", "k < a AND g = 2", "k >= a AND g < 3",
+              "k = a AND v > b", "k BETWEEN a - 6 AND a + 6 AND g <> 1"]
+    aggs = ["max(v)", "min(v)", "count(*)", "sum(v)", "count(v)"]
+    outer_wheres = ["", "a > 150", "b IS NOT NULL", "a % 2 = 0"]
+
+    # scalar subquery in the select list (NULL over empty for max/min/sum,
+    # 0 for count — the COUNT-bug shape a naive join rewrite gets wrong)
+    for tbl, corrs in [("t3", corrs3), ("t5", corrs5)]:
+        for agg in aggs:
+            for c in corrs:
+                for w in outer_wheres:
+                    wsql = f" WHERE {w}" if w else ""
+                    f.query(
+                        f"SELECT a, (SELECT {agg} FROM {tbl} WHERE {c}) "
+                        f"FROM t1{wsql} ORDER BY a", "II", "nosort")
+
+    # scalar subquery used inside an outer expression
+    for agg in aggs[:3]:
+        for c in corrs3[:6]:
+            f.query(
+                f"SELECT a, b + coalesce((SELECT {agg} FROM t3 WHERE {c}), 0) "
+                f"FROM t1 ORDER BY a", "II", "nosort")
+            f.query(
+                f"SELECT a, CASE WHEN (SELECT {agg} FROM t3 WHERE {c}) IS NULL "
+                f"THEN -1 ELSE 1 END FROM t1 ORDER BY a", "II", "nosort")
+
+    # scalar subquery in WHERE comparisons
+    cmps = ["b < (SUB)", "b >= (SUB)", "coalesce(b, 0) + 100 > (SUB)",
+            "(SUB) > 250", "(SUB) IS NULL", "(SUB) BETWEEN 200 AND 290"]
+    for agg in aggs:
+        for c in corrs3:
+            sub = f"(SELECT {agg} FROM t3 WHERE {c})"
+            for cmp in cmps:
+                f.query(
+                    f"SELECT a FROM t1 WHERE {cmp.replace('(SUB)', sub)} "
+                    f"ORDER BY a", "I", "nosort")
+
+    # correlated [NOT] EXISTS
+    for neg in ["", "NOT "]:
+        for tbl, corrs in [("t3", corrs3), ("t5", corrs5)]:
+            for c in corrs:
+                for w in outer_wheres:
+                    extra = f" AND {w}" if w else ""
+                    f.query(
+                        f"SELECT a FROM t1 WHERE {neg}EXISTS "
+                        f"(SELECT 1 FROM {tbl} WHERE {c}){extra} ORDER BY a",
+                        "I", "nosort")
+
+    # [NOT] IN with a correlated inner predicate (3VL NOT IN included: the
+    # inner select can produce NULLs via nullif)
+    in_shapes = [
+        ("a", "SELECT k FROM t3 WHERE v > b"),
+        ("a", "SELECT k FROM t3 WHERE v < b + 160"),
+        ("b", "SELECT v - 100 FROM t3 WHERE k <= a"),
+        ("a", "SELECT k FROM t5 WHERE g = a % 6"),
+        ("a", "SELECT nullif(k, 107) FROM t3 WHERE v > b"),
+        ("coalesce(b, 0)", "SELECT v - 150 FROM t3 WHERE k >= a"),
+    ]
+    for probe, inner in in_shapes:
+        for neg in ["IN", "NOT IN"]:
+            for w in outer_wheres:
+                extra = f" AND {w}" if w else ""
+                f.query(
+                    f"SELECT a FROM t1 WHERE {probe} {neg} ({inner}){extra} "
+                    f"ORDER BY a", "I", "nosort")
+
+    # correlated scalar under an outer aggregate
+    for agg in aggs[:4]:
+        for c in corrs3[:8]:
+            f.query(
+                f"SELECT sum(coalesce((SELECT {agg} FROM t3 WHERE {c}), 0)) "
+                f"FROM t1", "I", "nosort")
+            f.query(
+                f"SELECT count(*) FROM t1 WHERE "
+                f"(SELECT {agg} FROM t3 WHERE {c}) IS NOT NULL", "I", "nosort")
+
+    # late mutation, then re-run a slice (state visibility)
+    f.statement("INSERT INTO t3 VALUES(130,260)")
+    f.statement("INSERT INTO t1(a,b,c,d,e) VALUES(413,170,150,NULL,140)")
+    for agg in aggs[:3]:
+        for c in corrs3[:4]:
+            f.query(
+                f"SELECT a, (SELECT {agg} FROM t3 WHERE {c}) FROM t1 "
+                f"ORDER BY a", "II", "nosort")
+    return f
+
+
+def gen_select7():
+    """Deep-expression-nesting grammar: randomly generated integer
+    expression trees (depth ≤ 4) over nullable columns — nested CASE,
+    coalesce/nullif, least/greatest, abs, bounded literal multipliers (no
+    col*col, so no int32 overflow divergence) — in select lists, WHERE
+    predicates, and under aggregates. Division is excluded (float in both
+    engines but rounding-sensitive); %% only over abs() with a literal."""
+    f = File("select7.test")
+    t1_statements(f)
+
+    cols = ["a", "b", "c", "d", "e"]
+
+    def leaf():
+        r = rng.randrange(7)
+        if r < 5:
+            return cols[rng.randrange(5)]
+        return str(rng.randrange(1, 200))
+
+    def cond(depth):
+        r = rng.randrange(8)
+        e1, e2 = expr(depth - 1), expr(depth - 1)
+        if r == 0:
+            return f"{cols[rng.randrange(5)]} IS NULL"
+        if r == 1:
+            return f"{cols[rng.randrange(5)]} IS NOT NULL"
+        if r == 2 and depth > 1:
+            return f"({cond(depth - 1)} AND {cond(depth - 1)})"
+        if r == 3 and depth > 1:
+            return f"({cond(depth - 1)} OR {cond(depth - 1)})"
+        op = ["<", "<=", ">", ">=", "=", "<>"][rng.randrange(6)]
+        return f"{e1} {op} {e2}"
+
+    def expr(depth):
+        if depth <= 0:
+            return leaf()
+        r = rng.randrange(10)
+        e1, e2 = expr(depth - 1), expr(depth - 1)
+        if r == 0:
+            return f"({e1} + {e2})"
+        if r == 1:
+            return f"({e1} - {e2})"
+        if r == 2:
+            return f"{rng.randrange(2, 4)} * {e1}"
+        if r == 3:
+            return f"abs({e1} - {e2})"
+        if r == 4:
+            return f"least({e1}, {e2})"
+        if r == 5:
+            return f"greatest({e1}, {e2})"
+        if r == 6:
+            return f"coalesce({e1}, {e2})"
+        if r == 7:
+            return f"nullif({e1}, {e2})"
+        if r == 8:
+            return f"(abs({e1}) % {rng.randrange(2, 10)})"
+        return f"CASE WHEN {cond(depth - 1)} THEN {e1} ELSE {e2} END"
+
+    # single nested expression, plain / filtered / ordered
+    for i in range(760):
+        e = expr(2 + i % 3)
+        if i % 3 == 0:
+            f.query(f"SELECT {e} FROM t1 ORDER BY a", "I", "nosort")
+        elif i % 3 == 1:
+            f.query(f"SELECT {e} FROM t1 WHERE {cond(2)} ORDER BY a",
+                    "I", "nosort")
+        else:
+            f.query(f"SELECT {e} FROM t1", "I", "valuesort")
+
+    # expression pairs
+    for i in range(300):
+        f.query(f"SELECT {expr(2)}, {expr(3)} FROM t1 ORDER BY a",
+                "II", "nosort")
+
+    # nested boolean WHERE over a simple projection (the predicate is the
+    # test subject; the select list keeps expected values small)
+    for i in range(420):
+        f.query(f"SELECT a FROM t1 WHERE {cond(3)} ORDER BY a", "I", "nosort")
+
+    # nested expressions under aggregates and GROUP BY keys
+    for i in range(320):
+        e = expr(2 + i % 2)
+        agg = ["sum", "min", "max", "count"][i % 4]
+        f.query(f"SELECT {agg}({e}) FROM t1", "I", "nosort")
+    for i in range(160):
+        key = f"abs({expr(1)}) % 4"
+        f.query(
+            f"SELECT {key}, sum({expr(2)}) FROM t1 GROUP BY {key}",
+            "II", "rowsort")
+
+    # nested expressions in ORDER BY with LIMIT-free deterministic order
+    for i in range(120):
+        f.query(
+            f"SELECT a, {expr(2)} FROM t1 ORDER BY {expr(1)} NULLS FIRST, a",
+            "II", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
-              gen_select5, gen_aggregate, gen_index, gen_evidence):
+              gen_select5, gen_aggregate, gen_index, gen_evidence,
+              gen_select6, gen_select7):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
