@@ -218,6 +218,30 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Incremental windowed aggregate compiled from SQL: whole-partition
+    // SUM/COUNT OVER maintained through insert + retraction waves — only
+    // delta-touched partitions re-evaluate (Inc.windowAggregate), and the
+    // final state must equal the window over the net rows.
+    "q103_incremental_window" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      li.limit(0).createOrReplaceTempView("LW")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT l_orderkey, l_linenumber, l_quantity,
+                  SUM(CAST(l_quantity AS BIGINT))
+                    OVER (PARTITION BY l_orderkey) AS part_sum,
+                  COUNT(*) OVER (PARTITION BY l_orderkey) AS part_n
+           FROM LW""",
+        Set("LW"))
+      val r = new Runner(s, circuit, Map("LW" -> li.limit(0)))
+      r.step(Map("LW" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("LW" -> ZSet.plus(
+        ZSet.fromRows(
+          li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40)),
+        ZSet.negate(ZSet.fromRows(li.filter(col("l_quantity") < 10))))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -288,6 +312,15 @@ object IncrementalQ {
          WHERE l_quantity < 20
            AND EXISTS (SELECT 1 FROM supplier
                        WHERE s_acctbal > 5000 AND s_suppkey % 2 = 0)""",
+    "q103_incremental_window" ->
+      """WITH fin AS (SELECT l_orderkey, l_linenumber, l_quantity
+                      FROM lineitem
+                      WHERE l_quantity >= 10 AND l_quantity < 40)
+         SELECT l_orderkey, l_linenumber, l_quantity,
+                CAST(SUM(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_orderkey) AS BIGINT) AS part_sum,
+                COUNT(*) OVER (PARTITION BY l_orderkey) AS part_n
+         FROM fin""",
     "q87_incremental_cte_scalar" ->
       """WITH t AS (SELECT l_suppkey, CAST(SUM(l_quantity) AS DOUBLE) AS total
                     FROM lineitem WHERE l_quantity >= 10 GROUP BY l_suppkey)

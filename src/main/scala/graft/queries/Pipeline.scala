@@ -137,6 +137,30 @@ object Pipeline {
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
+    // The CORPUS-SCALE simhash banding (4×16-bit fields, pigeonhole-
+    // complete for Hamming ≤ 3, 65,536 buckets per field table) under the
+    // same planted-pair exact oracle as q77: identical-text pairs are
+    // hamming 0, so every field agrees and the wider-key pipeline must
+    // surface them end to end.
+    "q102_simhash_h3" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      def shifted(df: DataFrame) = df.unionAll(
+        df.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val sig = shifted(Dedup.simhashSignatures(docs, "doc_id", "text"))
+      val norm = shifted(docs.select(col("doc_id"),
+        concat_ws(" ", filter(
+          split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("__norm"))
+        .filter(length(col("__norm")) > 0))
+      Dedup.simhashPairsHamming3(sig, maxBucket = Int.MaxValue)
+        .join(norm.select(col("doc_id").as("id_a"), col("__norm").as("__na")),
+          "id_a")
+        .join(norm.select(col("doc_id").as("id_b"), col("__norm").as("__nb")),
+          "id_b")
+        .filter(col("__na") === col("__nb"))
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+
     // Fingerprint collision invariant, driver-visible: the 64-bit
     // fingerprint is a pure function of the normalized text, so its
     // distinct count must equal the distinct normalized-text count
@@ -247,6 +271,23 @@ object Pipeline {
     // simhash completeness: planted identical-text pairs (hamming 0) are
     // exactly the equal-normalized-text pairs of corpus ∪ shifted copy
     "q77_near_dup_simhash" ->
+      raw"""WITH p AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+            ), n AS (
+              SELECT doc_id,
+                     array_to_string(list_filter(
+                       string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                       t -> length(t) > 0), ' ') AS norm
+              FROM p
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
+            WHERE length(a.norm) > 0""",
+    // q102 surfaces the same planted equal-text pairs through the
+    // 4×16-bit banding — identical exact oracle
+    "q102_simhash_h3" ->
       raw"""WITH p AS (
               SELECT doc_id, text FROM documents
               UNION ALL SELECT doc_id + 1000000, text FROM documents
