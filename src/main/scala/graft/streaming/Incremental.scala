@@ -518,6 +518,24 @@ object Incremental {
       ctx.releaseAfterStep(p)
       (org.apache.spark.sql.GraftSqlBridge.reanchor(p), n)
     }
+    /** Settle several INDEPENDENT frames with ONE Spark job: persist each,
+      * then materialize all caches through a single unioned count (the
+      * retraction wave is job-floor-bound at small deltas, so collapsing
+      * three sequential count barriers into one action matters more than
+      * any per-row cost). */
+    private def settleMany(ctx: StepCtx,
+                           dfs: Seq[DataFrame]): Seq[(DataFrame, Long)] = {
+      val ps = dfs.map(_.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val counts = ps.zipWithIndex.map { case (p, i) =>
+          p.groupBy().count().select(lit(i).as("__i"), col("count"))
+        }.reduce(_ unionAll _).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      ps.zipWithIndex.map { case (p, i) =>
+        ctx.releaseAfterStep(p)
+        (org.apache.spark.sql.GraftSqlBridge.reanchor(p), counts(i))
+      }
+    }
     /** Broadcast-hint a settled frame we KNOW is small (re-anchored leaves
       * have no stats, so the planner can't see it itself). 1M two-column
       * rows ≈ tens of MB — safely inside driver/executor budgets. */
@@ -538,18 +556,27 @@ object Incremental {
       val eOld = rowsOf(touchedOnly(ctx.valueOf(child), touched, names))
       val eNew = rowsOf(touchedOnly(newVal, touched, names))
       val addedE = Fixpoint.setMinus(eNew, eOld)
-      val tOld = rowsOf(ctx.traceOf(this))
+      // The trace's present-pairs view (a consolidate + distinct over the
+      // FULL closure) appears in every bracketing composition, in K, and
+      // in the insert extension — as a lazy plan it would re-shuffle the
+      // whole trace once per referencing job subtree. Settle it once per
+      // step; the broadcast-hinted alias serves the compose joins (inner,
+      // build-side = this), while setMinus keeps the unhinted frame (the
+      // left side of a left-anti can't be the build side).
+      val (tOldS, nTOld) = settle(ctx, rowsOf(ctx.traceOf(this)))
+      val tOld = tOldS
+      val tOldH = hinted(tOldS, nTOld)
       val (tMid, deleted) =
-        if (dChild.filter(col(ZSet.W) < 0).isEmpty) (tOld, None)
+        if (dChild.filter(col(ZSet.W) < 0).isEmpty) (tOldH, None)
         else {
           val removedE = Fixpoint.setMinus(eOld, eNew)
-          if (removedE.isEmpty) (tOld, None)
+          if (removedE.isEmpty) (tOldH, None)
           else {
             // Over-delete: one bracketing composition, no fixpoint (doc ¶1).
-            val l = Fixpoint.compose(tOld, removedE, src, dst)
+            val l = Fixpoint.compose(tOldH, removedE, src, dst)
               .unionAll(removedE)
             val (d, nD) = settle(ctx,
-              l.unionAll(Fixpoint.compose(l, tOld, src, dst))
+              l.unionAll(Fixpoint.compose(l, tOldH, src, dst))
                 .dropDuplicates())
             val dH = hinted(d, nD)
             ClosureInc.lastOverDeleted = nD
@@ -558,17 +585,17 @@ object Incremental {
             // consolidate delta-local; the semi-join scan is map-side
             // under the broadcast hint).
             val k = Fixpoint.setMinus(tOld, dH)
-            val (s, nS) = settle(ctx, rowsOf(touchedOnly(newVal, dH, names)))
-            val sH = hinted(s, nS)
             // K's only useful rows start at an affected src / end at an
             // affected dst (doc ¶3) — settle the two restrictions once so
-            // the fixpoint never rescans the full kept closure.
+            // the fixpoint never rescans the full kept closure. S and the
+            // two K restrictions are independent, so they share one job.
             val dSrc = broadcast(d.select(col(src)).distinct().toDF("__n"))
             val dDst = broadcast(d.select(col(dst)).distinct().toDF("__n"))
-            val (kL, nKL) = settle(ctx,
-              k.join(dSrc, col(src) <=> col("__n"), "left_semi"))
-            val (kR, nKR) = settle(ctx,
-              k.join(dDst, col(dst) <=> col("__n"), "left_semi"))
+            val Seq((s, nS), (kL, nKL), (kR, nKR)) = settleMany(ctx, Seq(
+              rowsOf(touchedOnly(newVal, dH, names)),
+              k.join(dSrc, col(src) <=> col("__n"), "left_semi"),
+              k.join(dDst, col(dst) <=> col("__n"), "left_semi")))
+            val sH = hinted(s, nS)
             val kLH = hinted(kL, nKL)
             val kRH = hinted(kR, nKR)
             val inD: DataFrame => DataFrame = x => touchedOnly(x, dH, names)
