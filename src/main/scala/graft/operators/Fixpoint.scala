@@ -40,6 +40,77 @@ import org.apache.spark.sql.functions._
   */
 object Fixpoint {
 
+  /** Driver-side SMALL-REGIME kernel. Iterative fixpoints at test/delta
+    * scale are bound by fixed per-job cost (~0.3-0.7 s × O(log diameter)
+    * iterations — measured, see PROGRESS), not by data; below a size bound
+    * the whole reduction is cheaper on one core than as a job cascade.
+    * This is the same decision Spark itself makes when it collects a small
+    * join side to the driver for broadcast (autoBroadcastJoinThreshold),
+    * applied to recursion. The distributed semi-naive loop remains the
+    * ONLY path above the bound — `semiNaive` returns None the moment the
+    * working set outgrows the cap and callers resume distributed, so the
+    * bound limits MEMORY, never the answer. */
+  private[graft] object Local {
+    type Rel = Set[(Any, Any)]
+
+    /** Inner-join composition with SQL `=` key semantics: NULL keys never
+      * match (mirrors the distributed `compose`'s equi-join). */
+    def compose(a: Rel, b: Rel): Rel = {
+      val ix = new scala.collection.mutable.HashMap[Any, List[Any]]()
+      b.foreach { case (s, d) => if (s != null) ix(s) = d :: ix.getOrElse(s, Nil) }
+      val out = Set.newBuilder[(Any, Any)]
+      a.foreach { case (s, m) =>
+        if (m != null) ix.getOrElse(m, Nil).foreach(d => out += ((s, d)))
+      }
+      out.result()
+    }
+
+    /** Semi-naive least fixpoint of `X = base ∪ step(frontier, X)`; None
+      * when the total outgrows `cap` (caller falls back to the distributed
+      * loop). Scala value equality matches the distributed loop's
+      * NULL-SAFE row equality. */
+    def semiNaive(base: Rel, step: (Rel, Rel) => Rel,
+                  cap: Long): Option[Rel] = {
+      var total = base
+      var frontier = base
+      while (frontier.nonEmpty) {
+        if (total.size > cap) return None
+        val fresh = step(frontier, total) diff total
+        total = total union fresh
+        frontier = fresh
+      }
+      Some(total)
+    }
+
+    /** Set-semantics transitive closure (doubling step). */
+    def closure(edges: Rel, cap: Long): Option[Rel] =
+      semiNaive(edges,
+        (f, t) => compose(f, t) union compose(t, f), cap)
+
+    /** Collected pair view of a 2-column DataFrame. */
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Rel =
+      rows.iterator.map(r => (r.get(0), r.get(1))).toSet
+
+    /** Pair set back to a DataFrame under the given 2-column schema (a
+      * LocalRelation — broadcast-free to join against, O(1) to anchor). */
+    def toDF(spark: org.apache.spark.sql.SparkSession, rel: Rel,
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(rel.toSeq.map { case (a, b) =>
+          org.apache.spark.sql.Row(a, b)
+        }: _*)
+      spark.createDataFrame(rows, schema)
+    }
+
+    /** Row cap derived from the session's local-regime byte bound (pairs
+      * of two 8-byte-ish values + set overhead ≈ 32 B each). */
+    def capRows(spark: org.apache.spark.sql.SparkSession): Long =
+      maxBytes(spark) / 32L
+
+    def maxBytes(spark: org.apache.spark.sql.SparkSession): Long =
+      spark.conf.get("graft.closure.localMaxBytes", (64L << 20).toString).toLong
+  }
+
   /** a \ b under set semantics, NULL-SAFE on every column (a NULL-bearing
     * row must equal itself or subtraction silently keeps it). */
   def setMinus(a: DataFrame, b: DataFrame): DataFrame = {
@@ -69,7 +140,9 @@ object Fixpoint {
     * lineage recomputes dropped blocks. */
   def semiNaiveOwned(base: DataFrame,
                      step: (DataFrame, DataFrame) => DataFrame,
-                     maxIters: Int = 10000): (DataFrame, DataFrame) = {
+                     maxIters: Int = 10000,
+                     localStep: Option[(Local.Rel, Local.Rel) => Local.Rel] = None)
+      : (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     val cols = base.columns.toSeq
     val chunks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -91,18 +164,47 @@ object Fixpoint {
       def sizeShuffle(rows: Long): Unit =
         conf.setConfString("spark.sql.shuffle.partitions",
           math.min(math.max(1L, rows / 250000L), sessionParts.toLong).toString)
+      val debug = sys.env.contains("GRAFT_STEP_DEBUG")
       sizeShuffle(0L)
       var (total, frontier, totalRows) = {
+        val t0 = System.nanoTime()
         val (t, n) = settle(base.dropDuplicates())
+        if (debug) println(
+          f"FIXITER base  rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         (t, t, n)
       }
+      // Small regime: the base is already settled (size known, cached) —
+      // run the whole fixpoint as one driver kernel when it and a
+      // conservative 2× growth margin fit the local bound. Falls through
+      // to the distributed loop untouched when the kernel overflows.
+      val localResult: Option[Local.Rel] =
+        if (localStep.isDefined && cols.size == 2 &&
+            totalRows <= Local.capRows(spark) / 2) {
+          val t0 = System.nanoTime()
+          val r = Local.semiNaive(Local.pairs(total.collect()),
+            localStep.get, Local.capRows(spark))
+          if (debug) r match {
+            case Some(res) => println(
+              f"FIXITER local rows=${res.size}%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            case None => println("FIXITER local-overflow -> distributed")
+          }
+          r
+        } else None
+      if (localResult.isDefined) {
+        val out = Local.toDF(spark, localResult.get, base.schema)
+        chunks.foreach(_.unpersist(false))
+        (out, out)
+      } else {
       var iters = 0
       var done = false
       while (!done && iters < maxIters) {
         sizeShuffle(totalRows)
+        val t0 = System.nanoTime()
         val (fresh, n) = settle(setMinus(
           step(frontier, total).dropDuplicates().select(cols.map(col): _*),
           total))
+        if (debug) println(
+          f"FIXITER it=$iters%-3d rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         if (n == 0) done = true
         else {
           total = total.unionAll(fresh); frontier = fresh
@@ -118,6 +220,7 @@ object Fixpoint {
       val anchored = GraftSqlBridge.reanchor(out)
       chunks.foreach(_.unpersist(false))
       (anchored, out)
+      }
     }
   }
 
@@ -142,6 +245,8 @@ object Fixpoint {
     val e = edges.select(col(src), col(dst))
     semiNaiveOwned(e, (frontier, total) =>
       compose(frontier, total, src, dst)
-        .unionAll(compose(total, frontier, src, dst)))
+        .unionAll(compose(total, frontier, src, dst)),
+      localStep =
+        Some((f, t) => Local.compose(f, t) union Local.compose(t, f)))
   }
 }

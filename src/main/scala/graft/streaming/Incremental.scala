@@ -57,13 +57,28 @@ object Incremental {
 
   type Inputs = Map[String, DataFrame] // name → Z-set (weighted)
 
+  /** Overflow-saturating add for byte estimates. */
+  private[streaming] def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0L) Long.MaxValue else s
+  }
+
   /** Per-step evaluation context: pre-step input integrals, the step's
     * input deltas, the Runner's stored traces, and a per-node delta memo so
     * shared sub-circuits contribute one computation per step. */
   final class StepCtx private[streaming] (
       pre: Inputs,
       stepDeltas: Inputs,
-      trace: Long => Option[DataFrame]) {
+      trace: Long => Option[DataFrame],
+      traceBytesOf: Long => Long = _ => Long.MaxValue,
+      childBytesOf: Inc => Long = _ => Long.MaxValue) {
+    /** Conservative byte estimate of a node's stored trace (the Runner's
+      * size bookkeeping; Long.MaxValue when unknown) — drives small-regime
+      * decisions (ClosureInc's driver kernel). */
+    private[streaming] def traceBytes(id: Long): Long = traceBytesOf(id)
+    /** Conservative byte estimate of the integrals + this step's deltas of
+      * every source below `n`. */
+    private[streaming] def childBytes(n: Inc): Long = childBytesOf(n)
     private val memo = mutable.LongMap.empty[DataFrame]
     private val deferred = mutable.ArrayBuffer.empty[DataFrame]
     /** Register a persisted helper frame (e.g. an eager fixpoint's backing
@@ -544,9 +559,78 @@ object Incremental {
     private def doubling: (DataFrame, DataFrame) => DataFrame =
       (f, t) => Fixpoint.compose(f, t, src, dst)
         .unionAll(Fixpoint.compose(t, f, src, dst))
+    private def cphase[A](label: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_STEP_DEBUG")) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"CLOSUREPHASE $label%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
     private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
-      val names = Seq(src, dst)
       val dChild = ctx.deltaOf(child)
+      // Small regime (the broadcast-threshold decision, see Fixpoint.Local):
+      // when the trace + child integral + delta provably fit the local
+      // bound, maintenance is ONE collect job + a driver kernel instead of
+      // the ~15-job distributed DRed cascade. The byte estimates come from
+      // the Runner's state bookkeeping — Long.MaxValue (= never local)
+      // when unknown.
+      val bound = Fixpoint.Local.maxBytes(dChild.sparkSession)
+      val est = Incremental.satAdd(ctx.traceBytes(id), ctx.childBytes(child))
+      val viaKernel = if (est <= bound) localDelta(ctx, dChild) else None
+      viaKernel.getOrElse(distributedDelta(ctx, dChild))
+    }
+
+    /** Small-regime maintenance: one Spark job collects the consolidated
+      * trace, child integral, and delta; the new closure is recomputed on
+      * the driver and diffed against the old trace — below the byte bound
+      * a full local recompute is strictly cheaper than ANY job cascade,
+      * delta-proportional or not. Returns None (falling back to the
+      * distributed DRed path) if the collected state or the closure
+      * outgrows the local cap, so the bound limits driver memory, never
+      * the answer. */
+    private def localDelta(ctx: StepCtx, dChild: DataFrame): Option[DataFrame] = {
+      import graft.operators.Fixpoint.Local
+      val spark = dChild.sparkSession
+      val cap = Local.capRows(spark)
+      val pair = Seq(col(src), col(dst))
+      def tagged(tag: Int, z: DataFrame): DataFrame =
+        ZSet.consolidate(z.select(pair :+ col(ZSet.W): _*))
+          .select(lit(tag).as("__tag") +: pair :+ col(ZSet.W): _*)
+      val rows = cphase("local-gather")(
+        tagged(0, ctx.traceOf(this))
+          .unionAll(tagged(1, ctx.valueOf(child)))
+          .unionAll(tagged(2, dChild))
+          .collect())
+      if (rows.length > cap) None
+      else cphase("local-kernel") {
+        val tOldB = Set.newBuilder[(Any, Any)]
+        val eW = mutable.HashMap.empty[(Any, Any), Long]
+        rows.foreach { r =>
+          val k = (r.get(1), r.get(2))
+          if (r.getInt(0) == 0) { if (r.getLong(3) > 0L) tOldB += k }
+          else eW(k) = eW.getOrElse(k, 0L) + r.getLong(3)
+        }
+        val eNew: Local.Rel =
+          eW.iterator.collect { case (k, w) if w > 0L => k }.toSet
+        Local.closure(eNew, cap).map { cNew =>
+          val tOld = tOldB.result()
+          val outSchema = org.apache.spark.sql.types.StructType(
+            dChild.select(pair: _*).schema.fields :+
+              org.apache.spark.sql.types.StructField(ZSet.W,
+                org.apache.spark.sql.types.LongType, nullable = false))
+          val out: Seq[org.apache.spark.sql.Row] =
+            (cNew diff tOld).toSeq.map { case (a, b) =>
+              org.apache.spark.sql.Row(a, b, 1L) } ++
+            (tOld diff cNew).toSeq.map { case (a, b) =>
+              org.apache.spark.sql.Row(a, b, -1L) }
+          spark.createDataFrame(
+            java.util.Arrays.asList(out: _*), outSchema)
+        }
+      }
+    }
+
+    private def distributedDelta(ctx: StepCtx, dChild: DataFrame): DataFrame = {
+      val names = Seq(src, dst)
       val touched = dChild.select(col(src), col(dst)).distinct()
       val newVal = ZSet.plus(ctx.valueOf(child), dChild)
       // Presence can only change for delta-touched edges, so restrict both
@@ -563,21 +647,21 @@ object Incremental {
       // step; the broadcast-hinted alias serves the compose joins (inner,
       // build-side = this), while setMinus keeps the unhinted frame (the
       // left side of a left-anti can't be the build side).
-      val (tOldS, nTOld) = settle(ctx, rowsOf(ctx.traceOf(this)))
+      val (tOldS, nTOld) = cphase("settle-tOld")(settle(ctx, rowsOf(ctx.traceOf(this))))
       val tOld = tOldS
       val tOldH = hinted(tOldS, nTOld)
       val (tMid, deleted) =
-        if (dChild.filter(col(ZSet.W) < 0).isEmpty) (tOldH, None)
+        if (cphase("neg-probe")(dChild.filter(col(ZSet.W) < 0).isEmpty)) (tOldH, None)
         else {
           val removedE = Fixpoint.setMinus(eOld, eNew)
-          if (removedE.isEmpty) (tOldH, None)
+          if (cphase("removed-probe")(removedE.isEmpty)) (tOldH, None)
           else {
             // Over-delete: one bracketing composition, no fixpoint (doc ¶1).
             val l = Fixpoint.compose(tOldH, removedE, src, dst)
               .unionAll(removedE)
-            val (d, nD) = settle(ctx,
+            val (d, nD) = cphase("over-delete")(settle(ctx,
               l.unionAll(Fixpoint.compose(l, tOldH, src, dst))
-                .dropDuplicates())
+                .dropDuplicates()))
             val dH = hinted(d, nD)
             ClosureInc.lastOverDeleted = nD
             // K = T − D survives untouched; S = still-present over-deleted
@@ -591,10 +675,10 @@ object Incremental {
             // two K restrictions are independent, so they share one job.
             val dSrc = broadcast(d.select(col(src)).distinct().toDF("__n"))
             val dDst = broadcast(d.select(col(dst)).distinct().toDF("__n"))
-            val Seq((s, nS), (kL, nKL), (kR, nKR)) = settleMany(ctx, Seq(
+            val Seq((s, nS), (kL, nKL), (kR, nKR)) = cphase("settle-skLkR")(settleMany(ctx, Seq(
               rowsOf(touchedOnly(newVal, dH, names)),
               k.join(dSrc, col(src) <=> col("__n"), "left_semi"),
-              k.join(dDst, col(dst) <=> col("__n"), "left_semi")))
+              k.join(dDst, col(dst) <=> col("__n"), "left_semi"))))
             val sH = hinted(s, nS)
             val kLH = hinted(kL, nKL)
             val kRH = hinted(kR, nKR)
@@ -606,15 +690,15 @@ object Incremental {
             val b = sH.unionAll(inD(Fixpoint.compose(kLH, kRH, src, dst)))
             val bc: DataFrame => DataFrame =
               if (nD <= 1000000L) broadcast else identity[DataFrame]
-            val (r, owned) = Fixpoint.semiNaiveOwned(b, (f, t) => {
+            val (r, owned) = cphase("rederive-fix")(Fixpoint.semiNaiveOwned(b, (f, t) => {
               val fb = bc(f)
               inD(Fixpoint.compose(fb, t, src, dst)
                 .unionAll(Fixpoint.compose(t, fb, src, dst))
                 .unionAll(Fixpoint.compose(kLH, fb, src, dst))
                 .unionAll(Fixpoint.compose(fb, kRH, src, dst)))
-            })
+            }))
             ctx.releaseAfterStep(owned)
-            ClosureInc.lastRederived = r.count()
+            ClosureInc.lastRederived = cphase("rederive-count")(r.count())
             (k.unionAll(r), Some(Fixpoint.setMinus(dH, r)))
           }
         }
@@ -624,7 +708,7 @@ object Incremental {
       val u = leftExt
         .unionAll(Fixpoint.compose(leftExt, tMid, src, dst))
         .dropDuplicates()
-      val (closureU, owned) = Fixpoint.semiNaiveOwned(u, doubling)
+      val (closureU, owned) = cphase("insert-fix")(Fixpoint.semiNaiveOwned(u, doubling))
       ctx.releaseAfterStep(owned)
       val pos = ZSet.fromRows(Fixpoint.setMinus(closureU, tMid))
       deleted match {
@@ -833,11 +917,33 @@ object Incremental {
     /** Advances since each state's last compaction (lineage bound). */
     private val pending = mutable.Map.empty[String, Int]
 
+    /** Conservative byte estimate of a state's current value. Tracked
+      * bookkeeping when available (seeded 0 — every state starts empty);
+      * after a checkpoint/restore cleared it, the plan's stats (parquet
+      * reads — file-accurate). Long.MaxValue when neither can say. */
+    private def stateBytes(k: String): Long =
+      if (baseSize.contains(k) || accSize.contains(k))
+        satAdd(baseSize.getOrElse(k, 0L), accSize.getOrElse(k, 0L))
+      else {
+        val s = try stateByKey(k).queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case _: Throwable => BigInt(Long.MaxValue) }
+        if (s > Long.MaxValue) Long.MaxValue else s.toLong
+      }
+
     private def inKey(name: String) = s"in_$name"
     private def outKey(name: String) = s"out_$name"
     private def traceKey(id: Long) = s"trace_${nodeKey(id)}"
     private val idByTraceKey: Map[String, Long] =
       nodes.map(n => traceKey(n.id) -> n.id).toMap
+
+    // Every state starts EMPTY (traces seed with Q(∅), a zero-ish row at
+    // most): record 0 bytes so small-regime decisions see fresh states as
+    // small rather than unknown.
+    locally {
+      schemas.keys.foreach(n => baseSize(inKey(n)) = 0L)
+      tracedNodes.foreach(n => baseSize(traceKey(n.id)) = 0L)
+      outs.keys.foreach(n => baseSize(outKey(n)) = 0L)
+    }
 
     private def stateByKey(k: String): DataFrame =
       if (k.startsWith("in_")) integrated(k.stripPrefix("in_"))
@@ -940,7 +1046,16 @@ object Incremental {
         // out of the step's plans.
         n -> deltas.get(n).map(anchored).getOrElse(z.limit(0))
       }
-      val ctx = new StepCtx(integrated, full, id => traces.get(id))
+      // Cached sizes of this step's (just-materialized) input deltas — with
+      // the state bookkeeping these drive small-regime operator decisions.
+      val inputDeltaBytes: Map[String, Long] =
+        inputDeltas.map { case (nm, d) => nm -> cachedSizeBytes(d) }.toMap
+      val ctx = new StepCtx(integrated, full, id => traces.get(id),
+        id => stateBytes(traceKey(id)),
+        n => sourcesBelow(n.id).toSeq
+          .map(s => satAdd(stateBytes(inKey(s)),
+            inputDeltaBytes.getOrElse(s, 0L)))
+          .foldLeft(0L)(satAdd))
 
       // Settle the compactions now that they're materialized: re-anchor,
       // release every constituent they folded in, reset bookkeeping.

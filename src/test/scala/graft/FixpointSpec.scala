@@ -34,6 +34,12 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     df.select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
   }
+  /** Pin the DISTRIBUTED regime (local small-regime kernel off) — for
+    * tests that assert the distributed DRed machinery itself. */
+  private def forceDistributed[A](f: => A): A = {
+    spark.conf.set("graft.closure.localMaxBytes", "0")
+    try f finally spark.conf.unset("graft.closure.localMaxBytes")
+  }
 
   test("transitive closure of a chain") {
     val got = pairsOf(Fixpoint.transitiveClosure(edges(1L -> 2L, 2L -> 3L, 3L -> 4L)))
@@ -122,6 +128,7 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("incremental closure: DRed rederives over-deleted pairs via kept segments") {
+    forceDistributed {
     // Diamond with a tail: 1→2→4→5 and 1→3→4. Retracting 1→2 over-deletes
     // D = {(1,2),(1,4),(1,5)}, but (1,4) and (1,5) survive via the kept
     // segments (1,3)∘(3,4)[∘(4,5)] — the K∘K-shaped rederivation that a
@@ -141,9 +148,11 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
       pairsOf(Fixpoint.transitiveClosure(
         edges(2L -> 4L, 1L -> 3L, 3L -> 4L, 4L -> 5L))))
+    }
   }
 
   test("incremental closure: retraction work scales with the severed neighborhood") {
+    forceDistributed {
     // A large unrelated component (chain of 40 ⇒ 780 closure pairs) plus a
     // tiny 4-node chain. Retracting the tiny chain's middle edge must
     // over-delete exactly the 4 pairs routed through it — DRed never
@@ -165,6 +174,32 @@ class FixpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairsOf(ZSet.toRows(ZSet.consolidate(r.output))) ===
       pairsOf(Fixpoint.transitiveClosure(
         big.unionAll(edges(100L -> 101L, 102L -> 103L)))))
+    }
+  }
+
+  test("closure regimes agree: local kernel ≡ distributed DRed on the same steps") {
+    // The same insert → mixed retract+insert step sequence through both
+    // regimes (the small-regime driver kernel and the distributed DRed
+    // path) must produce identical final states AND identical consolidated
+    // step deltas.
+    def run(): (Set[(Long, Long)], Set[(Long, Long, Long)]) = {
+      val base = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 5L, 5L -> 3L)
+      val circuit = source("E").closure("src", "dst")
+      val r = new Runner(spark, circuit, Map("E" -> base.limit(0)))
+      r.step(Map("E" -> ZSet.fromRows(base)))
+      val d = r.step(Map("E" -> ZSet.plus(
+        ZSet.negate(ZSet.fromRows(edges(2L -> 3L))),
+        ZSet.fromRows(edges(4L -> 6L)))))
+      import spark.implicits._
+      val deltas = ZSet.consolidate(d)
+        .select(col("src"), col("dst"), col(ZSet.W))
+        .as[(Long, Long, Long)].collect().toSet
+      (pairsOf(ZSet.toRows(ZSet.consolidate(r.output))), deltas)
+    }
+    val (stateD, deltaD) = forceDistributed(run())
+    val (stateL, deltaL) = run() // default conf: small regime → kernel
+    assert(stateL === stateD)
+    assert(deltaL === deltaD)
   }
 
   test("incremental closure: mixed retract+insert in one step (DRed then extend)") {

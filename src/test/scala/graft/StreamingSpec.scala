@@ -149,13 +149,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = new Runner(spark, circuit, Map("E" -> empty))
     r2.restore(ckpt)
     val mem2 = MemoryStream[(Long, Long, Long)]
+    // Pin the distributed regime: this test asserts the DRed counters
+    // (the small-regime driver kernel would otherwise absorb the step).
+    // Set BEFORE start() — streaming clones the session conf at query start.
+    spark.conf.set("graft.closure.localMaxBytes", "0")
     val q2 = mem2.toDF().toDF("src", "dst", ZSet.W).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         r2.step(Map("E" -> batch)); ()
       }.start()
     try {
       mem2.addData((2L, 3L, -1L)); q2.processAllAvailable()
-    } finally q2.stop()
+    } finally {
+      q2.stop()
+      spark.conf.unset("graft.closure.localMaxBytes")
+    }
     import graft.streaming.Incremental.ClosureInc
     assert(ClosureInc.lastOverDeleted === 4L) // (1,3),(1,4),(2,3),(2,4)
     assert(ClosureInc.lastRederived === 2L) // (1,3),(1,4) via 1→5→3
