@@ -161,6 +161,45 @@ object Pipeline {
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
+    // Embedding-cosine near-dup COMPLETENESS under the value oracle: a
+    // shifted copy of the corpus plants one bit-identical twin per vector.
+    // Identical vectors project identically on every hyperplane, so their
+    // LSH signatures are equal and the bucketed pair stage MUST surface
+    // them; restricting the output to equal-embedding pairs makes the
+    // result engine-independent (DuckDB recomputes it by self-joining on
+    // the embedding array). The cos values ride through the oracle too —
+    // both engines fold the same double arithmetic sequentially.
+    // Realistic cosine-θ near-dups (distinct vectors) stay recall-spec'd
+    // in PipelineSpec (no portable oracle for hyperplane signs).
+    "q104_cosine_near_dup" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(
+        emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      val pairs = Similarity.cosineNearDuplicates(corpus,
+        threshold = 0.999999, maxBucket = Int.MaxValue) // exact oracle — cap must not fire
+      corpus.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+        .join(pairs, "id_a")
+        .join(corpus.select(col("vec_id").as("id_b"),
+          col("embedding").as("__vb")), "id_b")
+        .filter(col("__va") === col("__vb"))
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }),
+
+    // Exact word-3-gram Jaccard as its own oracle'd kernel, decoupled from
+    // LSH candidate generation (q76 covers that): score every adjacent-id
+    // document pair — a deterministic pair relation DuckDB reproduces —
+    // through shingleSets + array intersection/union arithmetic. Scale
+    // shape: one keyed self-join, no pair enumeration.
+    "q105_ngram_jaccard" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(1L)).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.verifyJaccard(pairs, docs, "doc_id", "text", n = 3)
+    }),
+
     // Fingerprint collision invariant, driver-visible: the 64-bit
     // fingerprint is a pure function of the normalized text, so its
     // distinct count must equal the distinct normalized-text count
@@ -302,6 +341,43 @@ object Pipeline {
                    CAST(0 AS INT) AS hamming
             FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
             WHERE length(a.norm) > 0""",
+    // planted bit-identical twins are exactly the equal-embedding pairs of
+    // corpus ∪ shifted copy; cos mirrors the engine's sequential fold
+    "q104_cosine_near_dup" -> {
+      val dotAB =
+        """list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+             pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)), (x, y) -> x + y)"""
+      val normA = """SQRT(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))"""
+      val normB = """SQRT(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))"""
+      s"""WITH c AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT CAST(vec_id AS BIGINT) + 1000000, embedding FROM embeddings
+          )
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ($dotAB) / ($normA * $normB) AS cos
+          FROM c a JOIN c b ON a.embedding = b.embedding AND a.vec_id < b.vec_id"""
+    },
+    // exact word-3-gram Jaccard over adjacent-id pairs (shingle CTE shape
+    // shared with q76's oracle; empty-token docs shingle to [''])
+    "q105_ngram_jaccard" ->
+      raw"""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 t -> length(t) > 0) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(range(len(t) - 2),
+                                 i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))
+                     END AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
     "q78_fingerprint_quality" ->
       raw"""SELECT COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_fp,
                    COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_norm,

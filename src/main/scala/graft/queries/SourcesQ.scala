@@ -25,18 +25,43 @@ object SourcesQ {
       path
     })
 
+  private val jsonFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def jsonFixture(s: SparkSession, d: String): String =
+    jsonFixtures.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_json_supplier_").toString
+      Sources.writeJsonl(Tables.load(s, d, "supplier"), path)
+      path
+    })
+
   val defs: Map[String, QFn] = Map(
     "q80_csv_source" -> ((s, d) => {
       val schema = Tables.load(s, d, "supplier").schema
       Sources.readCsv(s, csvFixture(s, d), schema)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sum_key"))
+    }),
+
+    // NDJSON round-trip: write real supplier rows as JSON lines, read them
+    // back under the declared schema, aggregate — the oracle aggregates the
+    // original parquet, so a hash match certifies the JSON reader
+    // end-to-end (types, strings, nulls).
+    "q81_json_source" -> ((s, d) => {
+      val schema = Tables.load(s, d, "supplier").schema
+      Sources.readJsonl(s, jsonFixture(s, d), schema)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sum_key"),
+          min(col("s_name")).as("min_name"))
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q80_csv_source" ->
       """SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+         FROM supplier GROUP BY s_nationkey""",
+    "q81_json_source" ->
+      """SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+                MIN(s_name) AS min_name
          FROM supplier GROUP BY s_nationkey"""
   )
 }

@@ -27,6 +27,22 @@ object Sources {
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
       .csv(path)
 
+  /** NDJSON (JSON-lines) read with explicit schema — like the CSV path,
+    * the type contract is declared, never inferred (inference would scan
+    * twice and guess NULL-only columns wrong). Each file splits per line,
+    * so a directory of .jsonl shards parallelizes like any text source. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+      .json(path)
+
+  /** Write a DataFrame as an NDJSON fixture (round-trip tests / ingest). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+      .json(path)
+
   /** JDBC table read (read_db analogue). `partitionOn` splits the scan
     * into `numPartitions` range slices so executors read in parallel —
     * without it a JDBC scan is a single-task bottleneck at any scale. */
