@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Native Structured Streaming surface — the Spark-managed-state
+  * counterpart to the Z-set Runner (Incremental.scala).
+  *
+  * The reference deploys its circuits as long-running processes fed record
+  * streams (SURVEY §3: the pipeline/ ingestion drivers); on Spark the same
+  * deployments come in two shapes:
+  *
+  *  - the incremental Runner inside `foreachBatch` (exact Z-set deltas,
+  *    retractions, recursive views — StreamingSpec's deployment tests);
+  *  - NATIVE streaming operators, where Spark manages the state store:
+  *    watermarked windowed aggregates (state is bounded by the watermark —
+  *    late rows beyond it are dropped and finalized windows are evicted,
+  *    which is what makes a 100 TB/day stream's state O(window × keys)
+  *    instead of O(history)), and arbitrary per-key state via
+  *    `mapGroupsWithState` (the reference's custom stateful operators).
+  *
+  * Everything here is a pure *transform*: callers plug a `readStream`
+  * source in and a `writeStream` sink out, so the same code serves batch
+  * DataFrames in tests and streaming DataFrames in deployment (the
+  * transforms use only operations legal in both modes).
+  */
+object Streams {
+
+  /** Watermarked tumbling (or sliding, when `slide` is set) window
+    * aggregate: per (window, key) row count and value sum.
+    *
+    * Scale notes: the state store holds only windows the watermark has not
+    * passed; the aggregation shuffles once on (window, key) with map-side
+    * partial aggregation — the same plan shape as the batch groupBy. */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valCol: String, windowDur: String,
+                  slide: Option[String] = None,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None    => window(col(tsCol), windowDur)
+    }
+    events.withWatermark(tsCol, watermark)
+      .groupBy(win.as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("total"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("n"), col("total"))
+  }
+
+  /** Per-key running totals via `mapGroupsWithState` — the minimal shape
+    * of a custom stateful operator (the reference's aggregate operators
+    * keep exactly this: a per-key accumulator advanced by each delta).
+    * Emits the post-batch state of every key seen in the batch. */
+  final case class Running(n: Long, total: Long)
+  def runningTotals(events: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
+    implicit val stEnc: Encoder[Running] = Encoders.product[Running]
+    implicit val outEnc: Encoder[(String, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[Running, (String, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Running]) =>
+          val (dn, dTotal) = rows.foldLeft((0L, 0L)) {
+            case ((a, b), (_, v)) => (a + 1L, b + v)
+          }
+          val prev = state.getOption.getOrElse(Running(0L, 0L))
+          val next = Running(prev.n + dn, prev.total + dTotal)
+          state.update(next)
+          (key, next.n, next.total)
+      }
+  }
+
+  /** Session windows with an inactivity gap via `flatMapGroupsWithState`:
+    * a key's events extend its open session; when the WATERMARK passes the
+    * session's end + gap (an event-time timeout — deterministic, unlike
+    * wall-clock timeouts), the session closes and EMITS one summary row
+    * (key, start_ms, end_ms, n). The reference has no session operator —
+    * this is the beyond-reference shape every training-data event pipeline
+    * ends up needing (user sessionization).
+    *
+    * State per key is O(1) (bounds, count); the timeout evicts closed
+    * sessions, so total state is O(active keys), bounded by the
+    * watermark exactly like the windowed aggregate's. */
+  final case class Session(start: Long, end: Long, n: Long)
+  def sessionize(events: Dataset[(String, java.sql.Timestamp)], gapMs: Long,
+                 watermarkDelay: String = "0 seconds")
+      : Dataset[(String, Long, Long, Long)] = {
+    implicit val stEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val outEnc: Encoder[(String, Long, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong)
+    events.withWatermark("_2", watermarkDelay)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Session, (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((key, s.start, s.end, s.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption
+              .getOrElse(Session(ts.min, ts.max, 0L))
+            val next = Session(math.min(prev.start, ts.min),
+              math.max(prev.end, ts.max), prev.n + ts.size)
+            state.update(next)
+            state.setTimeoutTimestamp(next.end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

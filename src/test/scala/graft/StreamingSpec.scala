@@ -171,6 +171,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         1L -> 3L, 1L -> 4L))
   }
 
+  test("watermarked windowed aggregate finalizes windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val agg = graft.streaming.Streams.windowedAgg(
+      mem.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "1 hour",
+      watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_agg").start()
+    try {
+      // window [00:00, 01:00) gets two rows for k=a, one for k=b
+      mem.addData(
+        (ts("2026-01-01 00:10:00"), "a", 1L),
+        (ts("2026-01-01 00:20:00"), "a", 2L),
+        (ts("2026-01-01 00:30:00"), "b", 5L))
+      q.processAllAvailable()
+      // nothing emitted yet: the watermark has not passed the window end
+      assert(spark.table("win_agg").count() === 0)
+      // advance event time far past 01:00 + 10min, then one more batch so
+      // the post-batch watermark finalizes the first window
+      mem.addData((ts("2026-01-01 03:00:00"), "a", 7L))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 03:30:00"), "b", 9L))
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(col("win_start").cast("string"), col("k"), col("n"), col("total"))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got === Set(
+        ("2026-01-01 00:00:00", "a", 2L, 3L),
+        ("2026-01-01 00:00:00", "b", 1L, 5L)))
+      // LATE row beyond the watermark is dropped, not re-aggregated
+      mem.addData((ts("2026-01-01 00:40:00"), "a", 100L))
+      q.processAllAvailable()
+      assert(spark.table("win_agg").count() === 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals advance per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = graft.streaming.Streams.runningTotals(mem.toDS())
+    val q = out.toDF("k", "n", "total").writeStream.outputMode("update")
+      .format("memory").queryName("run_tot").start()
+    try {
+      mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      mem.addData(("a", 4L))
+      q.processAllAvailable()
+      val got = spark.table("run_tot")
+        .as[(String, Long, Long)].collect().toSeq
+      // batch 1 snapshots, then a's advanced state in batch 2
+      assert(got.toSet === Set(("a", 2L, 3L), ("b", 1L, 10L), ("a", 3L, 7L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions at the event-time gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val out = graft.streaming.Streams.sessionize(mem.toDS(), gapMs = 5000L)
+    val q = out.toDF("k", "start_ms", "end_ms", "n").writeStream
+      .outputMode("append").format("memory").queryName("sess").start()
+    try {
+      mem.addData(("a", ts(1000L)), ("a", ts(2000L)))
+      q.processAllAvailable() // a's session open: [1000, 2000], n=2
+      assert(spark.table("sess").count() === 0)
+      mem.addData(("b", ts(100000L)))
+      q.processAllAvailable() // post-batch watermark → 100000
+      mem.addData(("b", ts(101000L)))
+      q.processAllAvailable() // a's timeout (2000+5000 < wm) fires → emit
+      val got = spark.table("sess").as[(String, Long, Long, Long)]
+        .collect().toSet
+      assert(got === Set(("a", 1000L, 2000L, 2L)))
+    } finally q.stop()
+  }
+
   test("stream-stream inner join on key (bilinear op, append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
