@@ -76,13 +76,14 @@ object SqlIncremental {
     * get the SAME `Inc` instance for it, so the multi-sink Runner keeps ONE
     * trace and advances it once per step. Equivalence is Catalyst's own:
     * sub-plans are memoized by `LogicalPlan.canonicalized` (normalized
-    * exprIds — exactly the `sameResult` relation) PLUS the output column
-    * names, so textual differences that analyze to the same plan still
-    * share. The name component matters: canonicalization erases alias
-    * names (`SELECT a AS x` and `SELECT a AS y` canonicalize equal), and
-    * an Inc's downstream operators address its columns by name — a
-    * name-blind memo would hand view 2 a circuit carrying view 1's
-    * aliases. Source scans are resolved before the memo: canonicalization
+    * exprIds — exactly the `sameResult` relation), so textual differences
+    * that analyze to the same plan still share. Output names are handled,
+    * not ignored: canonicalization erases alias names (`SELECT a AS x`
+    * and `SELECT a AS y` canonicalize equal) while an Inc's downstream
+    * operators address its columns by name, so a hit whose stored names
+    * differ shares the node through a linear rename projection (handing
+    * view 2 the stored circuit verbatim would leak view 1's aliases).
+    * Source scans are resolved before the memo: canonicalization
     * strips `SubqueryAlias`, and two empty sources with identical schemas
     * would otherwise collide. */
   def compileAll(spark: SparkSession, views: Seq[(String, String)],
@@ -94,9 +95,13 @@ object SqlIncremental {
 
   /** Cross-view structural-CSE memo, active only inside [[compileAll]]
     * (thread-local: concurrent compilations on other threads are
-    * unaffected; `null` = disabled). */
+    * unaffected; `null` = disabled). Keyed by the canonicalized plan with
+    * the OUTPUT NAMES stored alongside: canonicalization erases aliases,
+    * so a name-blind hit would hand view 2 a circuit carrying view 1's
+    * column names. A hit whose names differ still SHARES the node (and
+    * its trace) through a linear rename projection. */
   private val memo =
-    new ThreadLocal[mutable.HashMap[(LogicalPlan, Seq[String]), Inc]]
+    new ThreadLocal[mutable.HashMap[LogicalPlan, (Inc, Seq[String])]]
 
   /** Inline every WITH ... CTE before compilation (the optimizer's
     * InlineCTE does the same; re-anchoring is by name, so the ref/def
@@ -129,9 +134,25 @@ object SqlIncremental {
       case _ =>
         val m = memo.get
         if (m == null) walkImpl(plan, sources)
-        else m.getOrElseUpdate(
-          (plan.canonicalized, plan.output.map(_.name)),
-          walkImpl(plan, sources))
+        else {
+          val names = plan.output.map(_.name)
+          m.get(plan.canonicalized) match {
+            case Some((inc, storedNames)) if storedNames == names => inc
+            case Some((inc, storedNames))
+                if storedNames.distinct.size == storedNames.size =>
+              // Same result, different aliases: share the node (one trace)
+              // behind a linear rename to this plan's names. Skipped when
+              // the stored names repeat (positional rename would be
+              // ambiguous) — those compile their own node below.
+              inc.select(storedNames.zip(names).map {
+                case (o, n) => org.apache.spark.sql.functions.col(o).as(n)
+              }: _*)
+            case _ =>
+              val inc = walkImpl(plan, sources)
+              m.update(plan.canonicalized, (inc, names))
+              inc
+          }
+        }
     }
 
   private def walkImpl(plan: LogicalPlan, sources: Map[String, String]): Inc = plan match {

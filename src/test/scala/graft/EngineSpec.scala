@@ -112,12 +112,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big === Set(("a", 12L), ("b", 23L)))
   }
 
-  test("structural CSE memo does NOT merge plans differing only in aliases") {
+  test("structural CSE shares alias-differing plans through a rename projection") {
     import org.apache.spark.sql.functions.col
     // Catalyst canonicalization erases alias names, so `SUM(v) AS s1` and
     // `SUM(v) AS s2` canonicalize equal. A name-blind memo would hand the
-    // second view the first view's circuit (wrong column names downstream);
-    // the memo keys on (canonicalized, output names) to keep them apart.
+    // second view the first view's circuit verbatim (wrong column names
+    // downstream); instead the memo shares the NODE — one trace — behind
+    // a linear rename projection carrying each view's own aliases.
     val e = new Engine(spark)
     e.executeScript(
       """CREATE TABLE CA(k VARCHAR NOT NULL, v INT NOT NULL);
@@ -125,6 +126,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         |CREATE VIEW AL2 AS SELECT k, s2 + 1 AS t FROM
         |  (SELECT k, SUM(v) AS s2 FROM CA GROUP BY k) i""".stripMargin)
     val r = e.incrementalRunner(Seq("AL1", "AL2"))
+    assert(r.statefulNodeCount === 1) // ONE aggregate trace despite aliases
     import graft.zset.ZSet
     import spark.implicits._
     r.stepAll(Map("CA" -> ZSet.fromRows(
