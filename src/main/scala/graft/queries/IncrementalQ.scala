@@ -242,6 +242,35 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Incremental RANGE-frame rolling window compiled from SQL (the
+    // reference's signature taxi/fraud feature shape,
+    // ComplexQueriesTest.java:42-61, maintained instead of recomputed):
+    // touched partitions re-evaluate the full frame logic, so the final
+    // state must equal the window over the net rows.
+    "q106_incremental_window_range" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      ev.limit(0).createOrReplaceTempView("EW")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT event_id, user_id, ts_sec,
+                  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
+                  SUM(CAST(event_id % 97 AS BIGINT)) OVER
+                    (PARTITION BY user_id ORDER BY ts_sec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS s_1h
+           FROM (SELECT event_id, user_id,
+                        unix_timestamp(CAST(ts AS TIMESTAMP)) AS ts_sec
+                 FROM EW) e""",
+        Set("EW"))
+      val r = new Runner(s, circuit, Map("EW" -> ev.limit(0)))
+      r.step(Map("EW" -> ZSet.fromRows(ev.filter(col("event_id") % 10 < 7))))
+      r.step(Map("EW" -> ZSet.plus(
+        ZSet.fromRows(
+          ev.filter(col("event_id") % 10 >= 7 && col("event_id") % 10 < 9)),
+        ZSet.negate(ZSet.fromRows(ev.filter(col("event_id") % 10 < 2))))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -325,6 +354,18 @@ object IncrementalQ {
       """WITH t AS (SELECT l_suppkey, CAST(SUM(l_quantity) AS DOUBLE) AS total
                     FROM lineitem WHERE l_quantity >= 10 GROUP BY l_suppkey)
          SELECT l_suppkey, total FROM t
-         WHERE total > (SELECT AVG(total) FROM t)"""
+         WHERE total > (SELECT AVG(total) FROM t)""",
+    "q106_incremental_window_range" ->
+      """WITH net AS (SELECT event_id, user_id,
+                             CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS ts_sec
+                      FROM events
+                      WHERE event_id % 10 >= 2 AND event_id % 10 < 9)
+         SELECT event_id, user_id, ts_sec,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
+                CAST(SUM(CAST(event_id % 97 AS BIGINT)) OVER
+                  (PARTITION BY user_id ORDER BY ts_sec
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1h
+         FROM net"""
   )
 }
