@@ -53,6 +53,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("select6.test: correlated-subquery grammar") { check("select6.test", 870) }
   test("select7.test: deep-expression-nesting grammar") { check("select7.test", 2070) }
 
+  test("window.test: window-function grammar (ranking, offsets, frames)") {
+    check("window.test", 440)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -19,6 +19,7 @@ ints matches, EXCEPT/INTERSECT/UNION are distinct-semantics in both.
 Usage: python3 tools/gen_slt.py  (writes src/test/resources/slt/*.test)
 """
 import duckdb, hashlib, os, random
+from decimal import Decimal, ROUND_HALF_UP
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "slt")
 THRESHOLD = 8
@@ -34,7 +35,12 @@ def fmt_value(v, f):
             return str(int(v))  # truncate toward zero (positive data)
         return str(int(v))
     if f == "R":
-        return "%.3f" % float(v)
+        # Java's %.3f (SltHash) rounds HALF_UP on the exact binary value of
+        # the double; C/Python printf rounds half-to-even. They differ on
+        # exactly-representable halfway values (e.g. 0.0625 -> 0.063 vs
+        # 0.062), so mirror the Java side here.
+        d = Decimal(float(v)).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP)
+        return f"{d:.3f}"
     if f == "T":
         s = str(v)
         if s == "":
@@ -790,11 +796,145 @@ def gen_select7():
     return f
 
 
+def gen_window():
+    """Window-function grammar: ranking (row_number/rank/dense_rank/ntile/
+    percent_rank/cume_dist), offset (lag/lead with defaults), frame-bounded
+    aggregates (ROWS and single-key numeric RANGE), and first/last_value
+    with explicit frames — over partition x order x frame combos. Every
+    OVER(ORDER BY ...) spells NULLS FIRST/LAST explicitly because Spark's
+    ASC default is NULLS FIRST while DuckDB's is NULLS LAST; row_number and
+    ROWS frames always carry the unique column `a` as a tiebreaker so both
+    engines see a total order."""
+    f = File("window.test")
+    t1_statements(f)
+    t5_statements(f)
+
+    parts = ["", "a % 4", "e % 3", "b IS NULL"]
+    # (total order spec, tied prefix usable alone with rank/dense_rank)
+    orders = [
+        ("a", "a NULLS FIRST"),
+        ("b NULLS FIRST, a", "b NULLS FIRST"),
+        ("c DESC NULLS LAST, a", "c DESC NULLS LAST"),
+        ("coalesce(d, 0) NULLS FIRST, a", "coalesce(d, 0) NULLS FIRST"),
+    ]
+
+    def over(p, o, frame=""):
+        bits = []
+        if p:
+            bits.append(f"PARTITION BY {p}")
+        if o:
+            bits.append(f"ORDER BY {o}")
+        if frame:
+            bits.append(frame)
+        return "OVER (" + " ".join(bits) + ")"
+
+    # ranking functions: rank/dense_rank on tied keys, row_number/ntile on
+    # total orders; percent_rank/cume_dist formatted as R
+    for p in parts:
+        for o, tied in orders:
+            for fn, fmt in [("row_number()", "I"), ("rank()", "I"),
+                            ("dense_rank()", "I"), ("ntile(3)", "I"),
+                            ("percent_rank()", "R"), ("cume_dist()", "R")]:
+                f.query(
+                    f"SELECT a, {fn} {over(p, o)} FROM t1 ORDER BY a",
+                    "I" + fmt, "nosort")
+            # tied order key: only tie-stable functions
+            for fn in ["rank()", "dense_rank()"]:
+                f.query(
+                    f"SELECT a, {fn} {over(p, tied)} FROM t1 ORDER BY a",
+                    "II", "nosort")
+
+    # offset functions
+    for p in parts:
+        for o, _ in orders[:3]:
+            for fn in ["lag(b, 1) ", "lag(b, 2, -1) ", "lead(b, 1) ",
+                       "lead(c, 2, 0) ", "lag(b + c, 1) "]:
+                f.query(
+                    f"SELECT a, {fn}{over(p, o)} FROM t1 ORDER BY a",
+                    "II", "nosort")
+
+    # frame-bounded aggregates (ROWS over total orders; RANGE over `a`)
+    rows_frames = [
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING",
+    ]
+    range_frames = [
+        "RANGE BETWEEN 20 PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN 14 PRECEDING AND 14 FOLLOWING",
+        "RANGE BETWEEN CURRENT ROW AND 21 FOLLOWING",
+    ]
+    aggs = [("sum(b)", "I"), ("min(c)", "I"), ("max(b)", "I"),
+            ("count(d)", "I"), ("count(*)", "I"), ("avg(b)", "R"),
+            ("sum(b + c)", "I")]
+    for p in parts:
+        for o, _ in orders:
+            for fr in rows_frames:
+                ag, fmt = aggs[(len(p) + len(o) + len(fr)) % len(aggs)]
+                f.query(
+                    f"SELECT a, {ag} {over(p, o, fr)} FROM t1 ORDER BY a",
+                    "I" + fmt, "nosort")
+        for fr in range_frames:
+            for ag, fmt in aggs:
+                f.query(
+                    f"SELECT a, {ag} {over(p, 'a', fr)} FROM t1 ORDER BY a",
+                    "I" + fmt, "nosort")
+
+    # default frame (RANGE UNBOUNDED..CURRENT with peers) on tied keys —
+    # deterministic because peers share values
+    for p in parts:
+        for key in ["e % 3", "b IS NULL"]:
+            f.query(
+                f"SELECT a, count(*) {over(p, key + ' NULLS FIRST')} "
+                f"FROM t1 ORDER BY a", "II", "nosort")
+
+    # first/last_value with explicit frames
+    for p in parts:
+        for o, _ in orders[:2]:
+            for fn in ["first_value(b)", "last_value(b)", "first_value(c)"]:
+                for fr in ["ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+                           "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"]:
+                    f.query(
+                        f"SELECT a, {fn} {over(p, o, fr)} FROM t1 "
+                        f"ORDER BY a", "II", "nosort")
+
+    # windows over grouped aggregates (window input = GROUP BY output)
+    for ag in ["sum(v)", "max(v)", "count(*)"]:
+        for wfn in ["row_number()", "rank()", "sum({}) "]:
+            inner = wfn.format(ag) if "{}" in wfn else wfn
+            f.query(
+                f"SELECT g, {ag}, {inner} OVER (ORDER BY {ag} DESC NULLS LAST, g) "
+                f"FROM t5 GROUP BY g ORDER BY g", "III", "nosort")
+
+    # multiple windows sharing / differing specs in one select
+    for p in parts[:3]:
+        f.query(
+            f"SELECT a, row_number() {over(p, 'a')}, "
+            f"sum(b) {over(p, 'a', rows_frames[0])}, "
+            f"rank() {over(p, 'b NULLS FIRST, a')} FROM t1 ORDER BY a",
+            "IIII", "nosort")
+
+    # window results consumed by an outer query
+    for p in parts[:3]:
+        f.query(
+            "SELECT a FROM (SELECT a, row_number() "
+            f"{over(p, 'b NULLS LAST, a')} AS rn FROM t1) WHERE rn <= 3 "
+            "ORDER BY a", "I", "nosort")
+        f.query(
+            "SELECT rn, count(*) FROM (SELECT ntile(4) "
+            f"{over(p, 'a')} AS rn FROM t1) GROUP BY rn ORDER BY rn",
+            "II", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
-              gen_select6, gen_select7):
+              gen_select6, gen_select7, gen_window):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
