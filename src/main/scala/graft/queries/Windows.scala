@@ -122,6 +122,41 @@ object Windows {
         lag(col("value"), 1).over(w).as("prev_value"),
         lead(col("value"), 1).over(w).as("next_value"),
         (col("ts_sec") - lag(col("ts_sec"), 1).over(w)).as("gap_sec"))
+    }),
+
+    // AS-OF join (reference doc/sql/grammar.rst ASOF JOIN; DuckDB ASOF is
+    // the oracle): each click gets the user's latest purchase at-or-before
+    // it. Composed as union + last(ignoreNulls) carry-forward — one keyed
+    // shuffle, no range-join explosion (operators/AsOfJoin.scala).
+    "q107_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      // pre-aggregate so build rows are unique per (user, ts): ASOF ties
+      // would otherwise be engine-arbitrary
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumn("purchase_ts_us", col("ts_us"))
+      _root_.graft.operators.AsOfJoin.asOfLeft(
+        clicks, purchases, Seq("user_id"), "ts_us")
+    }),
+
+    // Gap-based sessionization (30-min inactivity): the canonical
+    // training-data / clickstream segmentation op, gaps-and-islands over
+    // one (user, ts) sort, then one aggregate per session.
+    "q108_sessionize" -> ((s, d) => {
+      val ev = T(s, d, "events").withColumn("ts_sec", tsSec(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts_sec"))
+      _root_.graft.operators.AsOfJoin
+        .sessionize(ev, Seq("user_id"), "ts_sec", "event_id", 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_sec")).as("sess_start"),
+          max(col("ts_sec")).as("sess_end"),
+          (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"))
     })
   )
 
@@ -180,6 +215,30 @@ object Windows {
              LEAD(value, 1) OVER $w AS next_value,
              (ts_sec - LAG(ts_sec, 1) OVER $w) AS gap_sec
           FROM (SELECT *, $sqlTsSec AS ts_sec FROM events) e"""
+    },
+    "q107_asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS purchase_value
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                    FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.ts_us, c.value,
+                p.purchase_value, p.ts_us AS purchase_ts_us
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""",
+    "q108_sessionize" -> {
+      val w = "(PARTITION BY user_id ORDER BY ts_sec, event_id)"
+      s"""WITH e AS (SELECT user_id, event_id, $sqlTsSec AS ts_sec FROM events),
+               f AS (SELECT *, CASE WHEN LAG(ts_sec) OVER $w IS NULL
+                                      OR ts_sec - LAG(ts_sec) OVER $w > 1800
+                                    THEN 1 ELSE 0 END AS ns FROM e),
+               g AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+                       ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                     FROM f)
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 MIN(ts_sec) AS sess_start, MAX(ts_sec) AS sess_end,
+                 MAX(ts_sec) - MIN(ts_sec) AS duration_sec
+          FROM g GROUP BY 1, 2"""
     }
   )
 }
