@@ -143,6 +143,29 @@ object Windows {
         clicks, purchases, Seq("user_id"), "ts_us")
     }),
 
+    // Bucketed range join (operators/RangeJoin.scala): every order dated
+    // within 30 days after an anchor order, WITHOUT an equality conjunct —
+    // the shape Spark itself would plan as BroadcastNestedLoopJoin and the
+    // reference as a unit-key cross join (CalciteToDBSPCompiler.java:584).
+    // Binning turns it into one equi-shuffle on the bin id; the oracle is
+    // DuckDB's native inequality join.
+    "q109_range_join" -> ((s, d) => {
+      val ord = T(s, d, "orders")
+      def day(c: Column) = datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+      val anchors = ord.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("a_key"),
+          day(col("o_orderdate")).cast(LongType).as("lo"))
+        .withColumn("hi", col("lo") + 30L)
+      val probe = ord.select(
+        day(col("o_orderdate")).cast(LongType).as("p_day"),
+        col("o_totalprice").as("p_price"))
+      _root_.graft.operators.RangeJoin
+        .pointInInterval(probe, "p_day", anchors, "lo", "hi", binWidth = 16L)
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_win"),
+          Exact.dsum(col("p_price")).as("sum_win"))
+    }),
+
     // Gap-based sessionization (30-min inactivity): the canonical
     // training-data / clickstream segmentation op, gaps-and-islands over
     // one (user, ts) sort, then one aggregate per session.
@@ -225,6 +248,18 @@ object Windows {
                 p.purchase_value, p.ts_us AS purchase_ts_us
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""",
+    "q109_range_join" ->
+      s"""WITH o AS (SELECT o_orderkey,
+                            date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS p_day,
+                            o_totalprice
+                     FROM orders),
+               a AS (SELECT o_orderkey AS a_key, p_day AS lo, p_day + 30 AS hi
+                     FROM o WHERE o_orderkey % 97 = 0)
+          SELECT a_key, COUNT(*) AS n_win,
+                 ${Exact.sqlDsum("o.o_totalprice")} AS sum_win
+          FROM a JOIN o ON o.p_day >= a.lo AND o.p_day <= a.hi
+          GROUP BY a_key""",
     "q108_sessionize" -> {
       val w = "(PARTITION BY user_id ORDER BY ts_sec, event_id)"
       s"""WITH e AS (SELECT user_id, event_id, $sqlTsSec AS ts_sec FROM events),
