@@ -166,6 +166,29 @@ object Windows {
           Exact.dsum(col("p_price")).as("sum_win"))
     }),
 
+    // Interval-overlap join (operators/RangeJoin.scala): promotion windows
+    // of two order cohorts that intersect in time. Each side is binned and
+    // replicated; a qualifying pair is kept only in the bin where the
+    // overlap STARTS, so each pair is emitted exactly once with no distinct
+    // pass. Oracle is DuckDB's native inequality join.
+    "q110_interval_overlap" -> ((s, d) => {
+      val ord = T(s, d, "orders")
+      def day(c: Column) = datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+      def cohort(mod: Int, span: Long, kc: String, lo: String, hi: String) =
+        ord.filter(col("o_orderkey") % mod === 0)
+          .select(col("o_orderkey").as(kc),
+            day(col("o_orderdate")).cast(LongType).as(lo))
+          .withColumn(hi, col(lo) + span)
+      val a = cohort(59, 20L, "a_key", "a_lo", "a_hi")
+      val b = cohort(83, 15L, "b_key", "b_lo", "b_hi")
+      _root_.graft.operators.RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 16L)
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_overlap"),
+          min(col("b_key")).as("first_b"),
+          max(col("b_key")).as("last_b"))
+    }),
+
     // Gap-based sessionization (30-min inactivity): the canonical
     // training-data / clickstream segmentation op, gaps-and-islands over
     // one (user, ts) sort, then one aggregate per session.
@@ -260,6 +283,19 @@ object Windows {
                  ${Exact.sqlDsum("o.o_totalprice")} AS sum_win
           FROM a JOIN o ON o.p_day >= a.lo AND o.p_day <= a.hi
           GROUP BY a_key""",
+    "q110_interval_overlap" ->
+      """WITH o AS (SELECT o_orderkey,
+                           date_diff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS d
+                    FROM orders),
+              a AS (SELECT o_orderkey AS a_key, d AS a_lo, d + 20 AS a_hi
+                    FROM o WHERE o_orderkey % 59 = 0),
+              b AS (SELECT o_orderkey AS b_key, d AS b_lo, d + 15 AS b_hi
+                    FROM o WHERE o_orderkey % 83 = 0)
+         SELECT a_key, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+                MIN(b_key) AS first_b, MAX(b_key) AS last_b
+         FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+         GROUP BY a_key""",
     "q108_sessionize" -> {
       val w = "(PARTITION BY user_id ORDER BY ts_sec, event_id)"
       s"""WITH e AS (SELECT user_id, event_id, $sqlTsSec AS ts_sec FROM events),
