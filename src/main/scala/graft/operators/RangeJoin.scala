@@ -34,10 +34,63 @@ import org.apache.spark.sql.functions._
   * where the overlap STARTS (`bin == floor(max(aLo,bLo)/w)`), so no
   * distinct pass is needed — each qualifying pair is emitted exactly
   * once.
+  *
+  * Input contracts, enforced LOUDLY rather than silently degrading:
+  *  - intervals must be proper (`lo <= hi`) — a reversed interval
+  *    raises at execution (it is ill-formed input, and silently
+  *    bin-exploding a descending sequence would waste shuffle while
+  *    matching nothing the caller intended);
+  *  - an interval may cover at most `maxBinsPerRow` bins — a
+  *    misconfigured `binWidth` (epoch-micros data with a 1-unit width,
+  *    say) fails with an explicit message instead of replicating one
+  *    row millions of times into the shuffle;
+  *  - bin ids use EXACT integer floor division
+  *    (`(c - pmod(c, w)) div w`), not `floor(c / w)`'s double division,
+  *    whose rounding above 2^53 would assign a row to the wrong bin
+  *    and silently drop matches. Supported value magnitude:
+  *    |c| ≤ 2^63 − binWidth (the pmod subtraction must not overflow).
   */
 object RangeJoin {
 
   private val Bin = "__graft_bin"
+
+  /** Exact floor(c / w) over integral columns: `pmod` gives the
+    * canonical non-negative remainder, so the subtraction lands exactly
+    * on the floor multiple and the integral `div` (truncating) equals
+    * the floor quotient — no double rounding at any magnitude. */
+  private def binOf(c: Column, w: Long): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftSqlBridge.toExpressionTree(
+          (c - pmod(c, lit(w))).cast("long")),
+        org.apache.spark.sql.GraftSqlBridge.toExpressionTree(lit(w).cast("long"))))
+
+  /** Interval-side bin ids: [binOf(lo) .. binOf(hi)], with the two input
+    * contracts (proper interval, bounded bin count) raised per-row. The
+    * guards live INSIDE the computed hi-bin column so the optimizer
+    * cannot prune them away. */
+  private def binSeq(lo: Column, hi: Column, w: Long,
+                     maxBinsPerRow: Long): Column = {
+    val bLo = binOf(lo, w)
+    val bHi0 = binOf(hi, w)
+    val bHi = when(lo > hi, raise_error(concat(
+        lit("RangeJoin: reversed interval (lo > hi): lo="), lo.cast("string"),
+        lit(" hi="), hi.cast("string"))))
+      .when(bHi0 - bLo >= maxBinsPerRow, raise_error(concat(
+        lit(s"RangeJoin: interval covers more than $maxBinsPerRow bins at "),
+        lit(s"binWidth=$w (lo="), lo.cast("string"),
+        lit(" hi="), hi.cast("string"),
+        lit(") — raise binWidth or maxBinsPerRow"))))
+      .otherwise(bHi0)
+    explode(sequence(bLo, bHi))
+  }
+
+  private def checkColumns(a: DataFrame, b: DataFrame, keys: Seq[String]): Unit = {
+    val clash = a.columns.toSet.intersect(b.columns.toSet) -- keys.toSet
+    require(clash.isEmpty, s"column clash outside keys: ${clash.mkString(",")}")
+    require(!a.columns.contains(Bin) && !b.columns.contains(Bin),
+      s"inputs must not carry the internal column $Bin")
+  }
 
   /** Point-in-interval join: rows of `points` (with integral column
     * `pointCol`) matched to rows of `intervals` whose
@@ -51,18 +104,17 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+                      binWidth: Long, keys: Seq[String] = Nil,
+                      maxBinsPerRow: Long = 65536L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val clash = points.columns.toSet.intersect(intervals.columns.toSet) -- keys.toSet
-    require(clash.isEmpty, s"column clash outside keys: ${clash.mkString(",")}")
+    checkColumns(points, intervals, keys)
 
     // Each interval row lands in every bin its span touches; each point
     // row in exactly one — so a qualifying (point, interval) pair meets
     // in exactly one bucket and no dedup is needed.
     val binned = intervals.withColumn(
-      Bin, explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-                            floor(col(hiCol) / binWidth).cast("long"))))
-    val probe = points.withColumn(Bin, floor(col(pointCol) / binWidth).cast("long"))
+      Bin, binSeq(col(loCol), col(hiCol), binWidth, maxBinsPerRow))
+    val probe = points.withColumn(Bin, binOf(col(pointCol), binWidth))
     probe.join(binned, keys :+ Bin)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(Bin)
@@ -75,20 +127,17 @@ object RangeJoin {
     * global distinct. */
   def intervalOverlap(left: DataFrame, aLo: String, aHi: String,
                       right: DataFrame, bLo: String, bHi: String,
-                      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+                      binWidth: Long, keys: Seq[String] = Nil,
+                      maxBinsPerRow: Long = 65536L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val clash = left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet
-    require(clash.isEmpty, s"column clash outside keys: ${clash.mkString(",")}")
+    checkColumns(left, right, keys)
 
     def binned(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.withColumn(
-        Bin, explode(sequence(floor(col(lo) / binWidth).cast("long"),
-                              floor(col(hi) / binWidth).cast("long"))))
+      df.withColumn(Bin, binSeq(col(lo), col(hi), binWidth, maxBinsPerRow))
 
     binned(left, aLo, aHi).join(binned(right, bLo, bHi), keys :+ Bin)
       .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
-      .filter(col(Bin) ===
-        floor(greatest(col(aLo), col(bLo)) / binWidth).cast("long"))
+      .filter(col(Bin) === binOf(greatest(col(aLo), col(bLo)), binWidth))
       .drop(Bin)
   }
 }

@@ -21,6 +21,11 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    // AQE wraps the whole plan in AdaptiveSparkPlanExec (a leaf until
+    // executed), which made the physical-plan assertion below vacuous —
+    // plan.collect never reached the join nodes. Planning non-adaptively
+    // makes executedPlan the real tree the assertion inspects.
+    .config("spark.sql.adaptive.enabled", "false")
     .appName("range-join-spec")
     .getOrCreate()
 
@@ -85,12 +90,59 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("physical plan is an equi-join on the bin — no nested-loop, no cartesian") {
     val pts = pointsDf.drop("g")
     val ivs = intervalsDf.drop("g")
-    val plan = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 16L)
-      .queryExecution.executedPlan
-    val bad = plan.collect {
+    val df = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 16L)
+    df.collect() // execute, so any adaptive wrapper is finalized too
+    val plan = df.queryExecution.executedPlan
+    // the suite plans non-adaptively, so this must NOT be a leaf wrapper
+    assert(!plan.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
+    val bad = plan.collectWithSubqueries {
       case j: BroadcastNestedLoopJoinExec => j
       case j: CartesianProductExec => j
     }
     assert(bad.isEmpty, s"quadratic join in plan:\n$plan")
+    // and the equi-join we expect is actually present
+    val joins = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"no equi-join found in plan:\n$plan")
+  }
+
+  test("reversed interval raises loudly; oversized span raises loudly") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("p_id", "p")
+    val rev = Seq((9L, 10L, 3L)).toDF("i_id", "lo", "hi")
+    val exRev = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", rev, "lo", "hi", binWidth = 4L).collect()
+    }
+    assert(exRev.getMessage != null || exRev.getCause != null)
+    val wide = Seq((9L, 0L, 10000000L)).toDF("i_id", "lo", "hi")
+    val exWide = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", wide, "lo", "hi", binWidth = 1L,
+        maxBinsPerRow = 1000L).collect()
+    }
+    assert(exWide.getMessage != null || exWide.getCause != null)
+  }
+
+  test("internal bin column clash is rejected") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("p_id", "__graft_bin")
+    val ivs = Seq((9L, 1L, 8L)).toDF("i_id", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "__graft_bin", ivs, "lo", "hi", binWidth = 4L)
+    }
+  }
+
+  test("bin assignment is exact for values past 2^53 (double floor would misbin)") {
+    import spark.implicits._
+    // 2^60 + 7 at binWidth 16: exact floor-div bin is (2^60+7-7)/16; the
+    // double path rounds 2^60+7 to a neighboring representable double.
+    val big = (1L << 60) + 7L
+    val pts = Seq((1L, big)).toDF("p_id", "p")
+    val ivs = Seq((9L, big - 2L, big + 2L)).toDF("i_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 16L)
+    assert(got.count() == 1L)
   }
 }
