@@ -760,23 +760,31 @@ object SqlIncremental {
   }
 
   /** Uncorrelated [NOT] EXISTS: its truth is global, so the circuit is a
-    * maintained COUNT(*) over the subquery attached to every outer row on
-    * a constant key, filtered on `> 0` (or `== 0` for NOT EXISTS). The
-    * count's Q(∅) seed row makes the empty→nonempty→empty transitions
-    * exact. Cost asymmetry at regime flips: see `nullAwareNotIn` — here
-    * the O(outer) re-emission is semantically REQUIRED (every row's
-    * verdict genuinely changes when existence flips). */
+    * maintained COUNT(*) over the subquery reduced to a REGIME-BIT gate —
+    * a 0/1-row distinct relation holding `(1)` exactly while the verdict
+    * is "pass" — bilinearly joined to every outer row on a constant key.
+    * The count's Q(∅) seed row makes the empty→nonempty→empty transitions
+    * exact.
+    *
+    * Cost: a subquery step that changes the witness COUNT but not the
+    * VERDICT (5 witnesses → 3) retracts/re-inserts the counts row, but the
+    * gate projects that to the same `(1)` row and the distinct Refold
+    * consolidates the offsetting pair to a physically EMPTY delta — the
+    * constant-key join re-emits nothing. Only a genuine regime flip
+    * (exists ↔ not-exists) re-emits O(outer), which is semantically
+    * required: every row's verdict changes. */
   private def uncorrelatedExists(node: Inc, outerNames: Seq[String],
                                  ex: Exists, sources: Map[String, String],
                                  negate: Boolean): Inc = {
     import org.apache.spark.sql.functions.count
-    val counts = walk(ex.plan, sources)
+    val gate = walk(ex.plan, sources)
       .select(lit(1).as("__ex1"))
       .aggregateRowsGlobal(Seq(count(lit(1)).as("__excnt")), Seq("__excnt"))
-      .select(lit(1).as("__exone"), col("__excnt"))
-    node.select(outerNames.map(col) :+ lit(1).as("__exone"): _*)
-      .join(counts, Seq("__exone"))
       .where(if (negate) col("__excnt") === 0 else col("__excnt") > 0)
+      .select(lit(1).as("__exone"))
+      .distinct
+    node.select(outerNames.map(col) :+ lit(1).as("__exone"): _*)
+      .join(gate, Seq("__exone"))
       .select(outerNames.map(col): _*)
   }
 
@@ -784,21 +792,22 @@ object SqlIncremental {
     * join Spark itself plans for NOT IN): a row passes iff the subquery is
     * empty, OR the probe is non-NULL, the subquery contains no NULL, and
     * the probe misses every subquery value. The subquery's row/NULL counts
-    * are a maintained global aggregate attached on a constant key, so the
-    * whole circuit is incremental.
+    * are a maintained global aggregate reduced to REGIME-BIT gates, so the
+    * whole circuit is incremental AND delta-proportional on non-flip
+    * steps.
     *
-    * Cost asymmetry (unlike the delta-proportional rest of the compiler):
-    * the counts row joins every outer row on a constant key, so a step
-    * that CHANGES the counts (any insert/retract in the subquery) retracts
-    * and re-inserts that one row and the bilinear join re-emits a delta
-    * proportional to the FULL outer state — O(outer) for that step.
-    * Steps touching only the outer side stay delta-proportional. This is
-    * inherent to the semantics at regime boundaries (empty↔non-empty or
-    * NULL-free↔NULL-bearing flips change every row's verdict); for
-    * non-flipping steps it is an over-approximation we accept for the
-    * simplicity of a uniform circuit. Same applies to
-    * `nullAwareNotInMulti`'s gate counts and `existsJoin`'s uncorrelated
-    * count gate. */
+    * The two regimes — "subquery empty" and "subquery non-empty,
+    * NULL-free" — are each a 0/1-row distinct relation holding `(1)`
+    * exactly while that regime is active, joined to the outer rows on a
+    * constant key. A subquery step that changes the counts WITHOUT
+    * flipping a regime (one more non-NULL value, say) retracts/re-inserts
+    * the counts row, but the gate projection maps both to the same `(1)`
+    * row and the distinct Refold consolidates the offsetting pair to a
+    * physically empty delta — nothing reaches the constant-key join. Only
+    * genuine regime flips (empty↔non-empty, NULL-free↔NULL-bearing)
+    * re-emit O(outer), which those semantics require: every outer row's
+    * verdict changes. The per-value anti join stays value-keyed and
+    * delta-proportional throughout. */
   private def nullAwareNotIn(node: Inc, outerNames: Seq[String],
                              v: AttributeReference, lq: ListQuery,
                              sources: Map[String, String]): Inc = {
@@ -810,17 +819,19 @@ object SqlIncremental {
         Seq(count(lit(1)).as("__cnt"),
             count(when(col("__niv").isNull, lit(1))).as("__ncnt")),
         Seq("__cnt", "__ncnt"))
-      .select(lit(1).as("__one"), col("__cnt"), col("__ncnt"))
-    val tagged = node.select(outerNames.map(col) :+ lit(1).as("__one"): _*)
-      .join(counts, Seq("__one"))
     // subquery empty → every outer row passes (IN over ∅ is FALSE, not
     // UNKNOWN — NULL probes included)
-    val passEmpty = tagged.where(col("__cnt") === 0)
+    val emptyGate = counts.where(col("__cnt") === 0)
+      .select(lit(1).as("__one")).distinct
     // subquery non-empty and NULL-free → non-NULL probes that miss every
     // value pass; everything else (NULL probe, or any NULL in the
     // subquery) is UNKNOWN → filtered
-    val candidates = tagged.where(col("__cnt") > 0 && col("__ncnt") === 0 &&
-      col(v.name).isNotNull)
+    val candGate = counts.where(col("__cnt") > 0 && col("__ncnt") === 0)
+      .select(lit(1).as("__one")).distinct
+    val tagged = node.select(outerNames.map(col) :+ lit(1).as("__one"): _*)
+    val passEmpty = tagged.join(emptyGate, Seq("__one"))
+    val candidates = tagged.join(candGate, Seq("__one"))
+      .where(col(v.name).isNotNull)
     val misses = candidates.antiJoin(
       sub.where(col(subName).isNotNull).select(col(subName).as(v.name)),
       Seq(v.name))
@@ -862,7 +873,7 @@ object SqlIncremental {
                                   probes: Seq[AttributeReference],
                                   lq: ListQuery,
                                   sources: Map[String, String]): Inc = {
-    import org.apache.spark.sql.functions.{array, explode, struct, when, filter => afilter}
+    import org.apache.spark.sql.functions.{array, explode, struct, when, xxhash64, filter => afilter}
     val names = probes.map(_.name)
     val nullableProbe = probes.filter(_.nullable).map(_.name).toSet
     val nullableSub = lq.plan.output.zip(names)
@@ -912,9 +923,19 @@ object SqlIncremental {
       }
       val e = graft.zset.ZSet.map(df)(keep.map(col) :+
         explode(afilter(array(structs: _*), _.isNotNull)).as("__ex"): _*)
+      // One 64-bit hash of (mask, masked tuple) is the JOIN key: inside a
+      // mask bucket the NULL pattern is constant (columns in M are NULL,
+      // the rest provably non-NULL), so xxhash64's skip-NULL folding can't
+      // conflate different tuples of the same bucket, and cross-bucket
+      // conflation is impossible up to 64-bit collision — which the
+      // null-safe residual below re-checks exactly. Joining on one long
+      // instead of (mask + every probe column) null-safely keeps the
+      // shuffle key and the join comparisons narrow (the r6 q100 finding).
       graft.zset.ZSet.map(e)(keep.map(col) ++
         (("__mask" +: names.map(keyName)) :+ bitsName)
-          .map(f => col(s"__ex.$f").as(f)): _*)
+          .map(f => col(s"__ex.$f").as(f)) :+
+        xxhash64(col("__ex.__mask") +:
+          names.map(n => col(s"__ex.${keyName(n)}")): _*).as("__nh"): _*)
     }
 
     // distinct probe tuples (weight-1 set relation; NULLs are values here)
@@ -923,9 +944,16 @@ object SqlIncremental {
       nullableProbe, nullableSub, "__pbits", keep = names)
     val subExp = expand(subAll, lq.plan.output.map(_.dataType),
       nullableSub, nullableProbe, "__qbits", keep = Nil)
+      .select(col("__nh") +: col("__mask").as("__smask") +:
+        col("__qbits") +:
+        names.zipWithIndex.map { case (n, i) => col(keyName(n)).as(s"__sk$i") }: _*)
+    val residual = (col("__mask") === col("__smask")) &&
+      names.zipWithIndex.map { case (n, i) => col(keyName(n)) <=> col(s"__sk$i") }
+        .reduce(_ && _)
     val blocked = probeExp
-      .joinNullSafe(subExp, "__mask" +: names.map(keyName))
-      .where(col("__pbits").bitwiseOR(col("__qbits")) === col("__mask"))
+      .join(subExp, Seq("__nh"))
+      .where(residual &&
+        col("__pbits").bitwiseOR(col("__qbits")) === col("__mask"))
       .select(names.map(col): _*)
     val pass = probeTuples.minus(blocked.distinct)
     node.joinNullSafe(pass, names).select(outerNames.map(col): _*)

@@ -71,7 +71,10 @@ object Incremental {
       stepDeltas: Inputs,
       trace: Long => Option[DataFrame],
       traceBytesOf: Long => Long = _ => Long.MaxValue,
-      childBytesOf: Inc => Long = _ => Long.MaxValue) {
+      childBytesOf: Inc => Long = _ => Long.MaxValue,
+      untouched: Inc => Boolean = _ => false,
+      deltaSchemaOf: mutable.LongMap[org.apache.spark.sql.types.StructType] =
+        mutable.LongMap.empty) {
     /** Conservative byte estimate of a node's stored trace (the Runner's
       * size bookkeeping; Long.MaxValue when unknown) — drives small-regime
       * decisions (ClosureInc's driver kernel). */
@@ -92,7 +95,26 @@ object Incremental {
     private[streaming] def inputValue(name: String): DataFrame = pre(name)
     private[streaming] def inputDelta(name: String): DataFrame = stepDeltas(name)
     private[streaming] def deltaOf(n: Inc): DataFrame =
-      memo.getOrElseUpdate(n.id, n.deltaEval(this))
+      memo.getOrElseUpdate(n.id, {
+        // A node fed by NO source this step touches has the zero Z-set as
+        // its delta (the Runner's wave scheduling already relies on this).
+        // Hand parents an O(1) empty LocalRelation instead of the node's
+        // delta tree: otherwise Catalyst re-analyzes and re-prunes the
+        // whole dead subtree inside EVERY referencing plan, and a bilinear
+        // join embeds it twice. The node's delta schema is computed once
+        // ever (Runner-cached across steps) from a plan whose children are
+        // themselves empty leaves, so even that analysis is shallow.
+        if (untouched(n)) {
+          val schema = deltaSchemaOf.getOrElseUpdate(n.id, n.deltaEval(this).schema)
+          pre.headOption.orElse(stepDeltas.headOption) match {
+            case Some((_, anyDf)) =>
+              anyDf.sparkSession.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                schema)
+            case None => n.deltaEval(this) // no inputs at all — unreachable
+          }
+        } else n.deltaEval(this)
+      })
     /** Replace a node's memoized delta with its materialized re-anchored
       * frame, so every parent planned afterwards composes against an O(1)
       * leaf instead of embedding this node's full delta tree. */
@@ -331,8 +353,26 @@ object Incremental {
     def batch(in: Inputs): DataFrame =
       jn(left.batch(in), right.batch(in))
     private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
-      val a = ctx.valueOf(left); val b = ctx.valueOf(right)
-      val da = ctx.deltaOf(left); val db = ctx.deltaOf(right)
+      // Broadcast-hint any provably-small operand (traces and anchored
+      // deltas carry accurate cached stats; the check costs zero jobs).
+      // This matters most for LOW-CARDINALITY KEYS: the subquery regime
+      // gates join a ≤1-row relation to the full outer state on a
+      // constant key, and an unhinted shuffle would funnel every outer
+      // row into one partition to meet it. With the hint the join is
+      // map-side and the big side never moves.
+      // The cap is deliberately far below autoBroadcastJoinThreshold:
+      // hinting a multi-MB operand trades a shuffle for a driver
+      // collect+rebroadcast that is usually SLOWER locally; the win case
+      // is the genuinely tiny side (a gate relation, a distinct key set
+      // of a small dimension), where the big side then never moves.
+      def hintTiny(df: DataFrame): DataFrame = {
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= (1L << 18)) broadcast(df) else df
+      }
+      val a = hintTiny(ctx.valueOf(left))
+      val b = hintTiny(ctx.valueOf(right))
+      val da = hintTiny(ctx.deltaOf(left))
+      val db = hintTiny(ctx.deltaOf(right))
       ZSet.plus(jn(da, b), jn(a, db), jn(da, db))
     }
     // Reached only if this join's value is consulted but the Runner chose
@@ -464,7 +504,17 @@ object Incremental {
 
   /** Nonlinear per-row re-derivation shared by distinct and positive part:
     * re-derive only the rows the delta touches; previous derivations read
-    * from the own trace. */
+    * from the own trace.
+    *
+    * The emitted delta is CONSOLIDATED (weights of equal rows merged,
+    * zero-weight rows dropped) — one extra shuffle of O(touched) rows per
+    * step — so a step whose re-derivation matches the previous presence
+    * emits a PHYSICALLY EMPTY delta, not a pair of offsetting ±1 rows.
+    * Downstream bilinear joins then do literally nothing. The subquery
+    * regime gates (SqlIncremental.uncorrelatedExists / nullAwareNotIn)
+    * depend on this: their 0/1-row gate relations sit on a constant key
+    * against the FULL outer state, and an offsetting pair surviving to
+    * that join would re-emit O(outer) rows for a semantic no-op. */
   private[streaming] final case class Refold(child: Inc,
                                              derive: DataFrame => DataFrame) extends Inc {
     def kids: Seq[Inc] = Seq(child)
@@ -476,9 +526,9 @@ object Incremental {
       val names = dChild.columns.filterNot(_ == ZSet.W).toSeq
       val touched = dChild.select(names.map(col): _*).distinct()
       val newChild = ZSet.plus(ctx.valueOf(child), dChild)
-      ZSet.minus(
+      ZSet.consolidate(ZSet.minus(
         derive(touchedOnly(newChild, touched, names)),
-        ZSet.consolidate(touchedOnly(ctx.traceOf(this), touched, names)))
+        ZSet.consolidate(touchedOnly(ctx.traceOf(this), touched, names))))
     }
   }
 
@@ -906,6 +956,11 @@ object Incremental {
     /** Previous step's deltas (one reference held for the caller, released
       * at the next step). */
     private var lastDeltas: Seq[DataFrame] = Nil
+    /** Delta schema per node, filled on first use — lets untouched nodes'
+      * deltas short-circuit to empty LocalRelations in later steps without
+      * even an analysis pass (schemas never change for a fixed circuit). */
+    private val deltaSchemas =
+      mutable.LongMap.empty[org.apache.spark.sql.types.StructType]
     /** Per state key, the persisted constituent frames backing its current
       * lazy union (the compacted base + the anchored deltas appended since);
       * all released together when the state compacts. */
@@ -1055,7 +1110,9 @@ object Incremental {
         n => sourcesBelow(n.id).toSeq
           .map(s => satAdd(stateBytes(inKey(s)),
             inputDeltaBytes.getOrElse(s, 0L)))
-          .foldLeft(0L)(satAdd))
+          .foldLeft(0L)(satAdd),
+        n => !touchedNode(n),
+        deltaSchemas)
 
       // Settle the compactions now that they're materialized: re-anchor,
       // release every constituent they folded in, reset bookkeeping.

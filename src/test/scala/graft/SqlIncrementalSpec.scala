@@ -763,6 +763,49 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(rn) === Set.empty[String])
   }
 
+  test("non-flip subquery churn emits a PHYSICALLY empty delta (regime-bit gate)") {
+    // The r6 defect: a witness-count change that does NOT flip the verdict
+    // used to retract/re-insert the counts row and re-emit O(outer) rows
+    // through the constant-key join. The regime-bit gate + consolidated
+    // Refold delta must make such steps emit ZERO physical rows.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE GXT (k VARCHAR NOT NULL, v BIGINT NOT NULL);
+        |CREATE TABLE GWT (w BIGINT NOT NULL);
+        |CREATE VIEW GXV AS SELECT k, v FROM GXT
+        |  WHERE EXISTS (SELECT 1 FROM GWT WHERE w > 5);
+        |CREATE VIEW GNI AS SELECT k, v FROM GXT
+        |  WHERE v NOT IN (SELECT w FROM GWT)""".stripMargin)
+    val xt = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+    val wt = StructType(Seq(StructField("w", LongType)))
+
+    // EXISTS: open the gate with two witnesses, then retract one — the
+    // verdict (exists) is unchanged, so the output delta must be empty.
+    val r = e.incrementalRunner("GXV")
+    r.step(Map(
+      "GXT" -> z(xt, Seq("a", 1L, 1L), Seq("b", 2L, 1L)),
+      "GWT" -> z(wt, Seq(7L, 1L), Seq(9L, 1L))))
+    val shrink = r.step(Map("GWT" -> z(wt, Seq(9L, -1L))))
+    assert(shrink.count() === 0L,
+      "witness-shrink step must emit a physically empty delta")
+    // and adding a third witness is equally silent
+    assert(r.step(Map("GWT" -> z(wt, Seq(11L, 1L)))).count() === 0L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+
+    // NULL-aware NOT IN (single-column): adding a second copy of an
+    // existing non-NULL witness changes counts but neither regime nor the
+    // per-value verdicts — only the value-keyed anti join sees the delta
+    // (restricted to the touched value, which no probe matches here).
+    val rn = e.incrementalRunner("GNI")
+    rn.step(Map(
+      "GXT" -> z(xt, Seq("a", 1L, 1L), Seq("b", 2L, 1L)),
+      "GWT" -> z(wt, Seq(50L, 1L))))
+    val churn = rn.step(Map("GWT" -> z(wt, Seq(50L, 1L))))
+    assert(churn.count() === 0L,
+      "count-only NOT IN churn must emit a physically empty delta")
+    assert(canon(ZSet.consolidate(rn.output)) === canon(rn.recompute))
+  }
+
   test("correlated EXISTS with an inequality residual (reference correlatedAggregate shape)") {
     val e = new Engine(spark)
     e.executeScript(
