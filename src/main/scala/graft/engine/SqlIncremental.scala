@@ -27,7 +27,10 @@ import scala.collection.mutable
   * NOT IN over nullable columns takes the null-aware 3VL circuit),
   * joins of every type with arbitrary equi keys and residual predicates
   * (single-sided conjuncts pushed below inner joins; outer-join residuals
-  * pad "unmatched after residual" via null-safe row-value matching),
+  * pad "unmatched after residual" via null-safe row-value matching;
+  * CROSS JOIN and pure-theta joins compile as unit-key bilinear joins —
+  * the reference's empty-key lowering, CalciteToDBSPCompiler.java:584 —
+  * sized for a small side against a fact stream),
   * grouped aggregates
   * over plain or computed keys and keyless (global) aggregates with the
   * empty-input zero row (any Spark aggregate function — groups re-fold
@@ -43,10 +46,9 @@ import scala.collection.mutable
   * grouped join with the aggregate-over-empty default), uncorrelated
   * EXISTS (a global COUNT(*) trace on a constant key gating the outer
   * relation), and subquery aliases / nested views. Genuinely unsupported
-  * shapes — unconditioned cross joins, LIMIT without ORDER BY,
-  * pure-inequality EXISTS correlation (unbounded delta product),
-  * non-aggregate scalar subqueries — throw `UnsupportedPlanException`
-  * with an explanation; the fallback is the manual `Incremental` DSL.
+  * shapes — LIMIT without ORDER BY, non-aggregate scalar subqueries —
+  * throw `UnsupportedPlanException` with an explanation; the fallback is
+  * the manual `Incremental` DSL.
   *
   * Cost note: the Runner stores an output trace per non-linear operator
   * (the reference's per-operator integrals, IncrementalizeVisitor.java:
@@ -221,12 +223,24 @@ object SqlIncremental {
       // with NULL-SAFE value matching so NULL-bearing rows aren't
       // double-padded.
       val residualRowMatch = residual.isDefined && !joinType.isInstanceOf[InnerLike]
+      // No equi pair (CROSS JOIN / pure theta): compile as a UNIT-KEY
+      // bilinear join — both sides tagged with a constant key, the
+      // reference's own lowering for empty-key joins
+      // (CalciteToDBSPCompiler.java:584, incrementalized like any bilinear
+      // join by OptimizeIncrementalVisitor.java:96-108). SIZE NOTE: the
+      // per-step delta product is |Δl|·|r| + |l|·|Δr|, so this is meant
+      // for the shapes such views actually take — a small dimension
+      // (threshold rows, a calendar frame) against a fact stream. The
+      // Runner broadcast-hints the provably-tiny side, keeping the big
+      // side in place; two LARGE sides make the standing view itself
+      // quadratic — that cost is inherent to the query, not the circuit.
+      val unitKey = pairs.isEmpty
       // Same-named pairs merge USING-style; differently-named pairs rename
       // the right key to the left name for the bilinear join and the right
       // column is reconstructed in the output projection.
       val sameNamed = pairs.filter { case (a, b) => a.name.equalsIgnoreCase(b.name) }
       val renamed = pairs.filterNot { case (a, b) => a.name.equalsIgnoreCase(b.name) }
-      val keys = pairs.map(_._1.name)
+      val keys = if (unitKey) Seq("__xk") else pairs.map(_._1.name)
       val mergedKeySet = sameNamed.map(_._1.name.toLowerCase).toSet
       val renameMap = renamed.map { case (a, b) => b.name -> a.name }.toMap
       // Name-based re-anchoring cannot disambiguate same-named columns
@@ -240,9 +254,16 @@ object SqlIncremental {
       if (dupes.nonEmpty) throw new UnsupportedPlanException(
         s"join sides share non-key column name(s) ${dupes.mkString(", ")} — " +
           "alias them apart in subqueries for incremental mode")
-      val l0 = walk(left, sources)
+      if (unitKey && outNames.exists(_.equalsIgnoreCase("__xk")))
+        throw new UnsupportedPlanException(
+          "cross join sides must not carry the internal column __xk")
+      val l00 = walk(left, sources)
+      val l0 = if (!unitKey) l00
+        else l00.select(left.output.map(a => col(a.name)) :+ lit(1).as("__xk"): _*)
       val l = leftOnly.map(c => l0.where(toColumn(c))).getOrElse(l0)
-      val r1 = walk(right, sources)
+      val r2 = walk(right, sources)
+      val r1 = if (!unitKey) r2
+        else r2.select(right.output.map(a => col(a.name)) :+ lit(1).as("__xk"): _*)
       val r0 = rightOnly.map(c => r1.where(toColumn(c))).getOrElse(r1)
       val r = if (renameMap.isEmpty) r0 else r0.select(
         right.output.map { att =>
@@ -308,7 +329,7 @@ object SqlIncremental {
         if (residualRowMatch) unmatchedAfterResidual(r, matchedRightVals, rNames, cols)
         else padUnmatched(r, l, keys, cols)
       }
-      joinType match {
+      val joined = joinType match {
         case _: InnerLike => inner
         // Outer joins follow the reference's construction (inner result ∪
         // null-padded unmatched side, CalciteToDBSPCompiler.java:665-747),
@@ -329,6 +350,14 @@ object SqlIncremental {
         case LeftAnti => l.antiJoin(r, keys)
         case other => throw new UnsupportedPlanException(
           s"unsupported join type for incremental mode: $other")
+      }
+      // The unit-key tag is circuit-internal: project it away (for
+      // semi/anti the output is the left side alone).
+      if (!unitKey) joined
+      else joinType match {
+        case LeftSemi | LeftAnti =>
+          joined.select(left.output.map(a => col(a.name)): _*)
+        case _ => joined.select(outNames.map(col): _*)
       }
 
     // ROLLUP / CUBE / GROUPING SETS plan as Aggregate over Expand: each
@@ -1351,13 +1380,15 @@ object SqlIncremental {
     * JoinConditionAnalyzer.java:48-79: each conjunct `attr = attr` with one
     * side from each input becomes an equi pair (normalized left-first);
     * every other conjunct joins the residual, applied as a filter after
-    * the bilinear join. At least one equi pair is required — a pure theta
-    * join would make the delta product unbounded. */
+    * the bilinear join. No equi pair (a CROSS JOIN, or a pure theta join)
+    * yields an empty pair list — the Join case compiles those as a
+    * UNIT-KEY bilinear join, the reference's own lowering
+    * (CalciteToDBSPCompiler.java:584 routes empty-key joins to a stream
+    * join over the unit key). */
   private def analyzeCondition(cond: Option[Expression],
                                left: LogicalPlan, right: LogicalPlan)
       : (Seq[(AttributeReference, AttributeReference)], Option[Expression]) = {
-    val c = cond.getOrElse(throw new UnsupportedPlanException(
-      "cross join without condition is not supported incrementally"))
+    val c = cond.getOrElse(return (Seq.empty, None))
     val leftAttrs = left.outputSet
     val rightAttrs = right.outputSet
     def split(e: Expression): Seq[Expression] = e match {
@@ -1376,8 +1407,6 @@ object SqlIncremental {
         case other => (pairs, res :+ other)
       }
     }
-    if (equi.isEmpty) throw new UnsupportedPlanException(
-      s"incremental join needs at least one equi conjunct, got: $c")
     (equi, residual.reduceOption(And))
   }
 }

@@ -271,6 +271,35 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Unit-key cross join standing view (reference parity:
+    // CalciteToDBSPCompiler.java:584 routes empty-key joins to a unit-key
+    // stream join): a small threshold dimension × the supplier stream with
+    // a both-sided residual, maintained through insert + retraction waves
+    // on BOTH sides (including a dimension-row retraction, which must
+    // retract its whole slice of the product).
+    "q111_incremental_cross" -> ((s, d) => {
+      val su = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"))
+      val re = Tables.load(s, d, "region").select(col("r_regionkey"))
+      su.limit(0).createOrReplaceTempView("SX")
+      re.limit(0).createOrReplaceTempView("TX")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT s_suppkey, t_key FROM SX CROSS JOIN
+             (SELECT r_regionkey AS t_key,
+                     r_regionkey * 1000 AS t_lim FROM TX) t
+           WHERE s_acctbal > t_lim""",
+        Set("SX", "TX"))
+      val r = new Runner(s, circuit,
+        Map("SX" -> su.limit(0), "TX" -> re.limit(0)))
+      r.step(Map("SX" -> ZSet.fromRows(su.filter(col("s_suppkey") % 2 === 0)),
+        "TX" -> ZSet.fromRows(re)))
+      r.step(Map("SX" -> ZSet.plus(
+        ZSet.fromRows(su.filter(col("s_suppkey") % 2 === 1)),
+        ZSet.negate(ZSet.fromRows(su.filter(col("s_suppkey") % 5 === 0)))),
+        "TX" -> ZSet.negate(ZSet.fromRows(re.filter(col("r_regionkey") === 4)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -341,6 +370,12 @@ object IncrementalQ {
          WHERE l_quantity < 20
            AND EXISTS (SELECT 1 FROM supplier
                        WHERE s_acctbal > 5000 AND s_suppkey % 2 = 0)""",
+    "q111_incremental_cross" ->
+      """SELECT s_suppkey, t_key FROM supplier
+         CROSS JOIN (SELECT r_regionkey AS t_key,
+                            r_regionkey * 1000 AS t_lim
+                     FROM region WHERE r_regionkey <> 4) t
+         WHERE s_acctbal > t_lim AND s_suppkey % 5 <> 0""",
     "q103_incremental_window" ->
       """WITH fin AS (SELECT l_orderkey, l_linenumber, l_quantity
                       FROM lineitem

@@ -204,10 +204,10 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     engine // ensure tables exist
     val e1 = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
-        "SELECT s.item, r.country FROM SALES s CROSS JOIN REGIONS r",
-        Set("SALES", "REGIONS"))
+        "SELECT region, (SELECT item FROM SALES ORDER BY item LIMIT 1) AS top FROM SALES",
+        Set("SALES"))
     }
-    assert(e1.getMessage.contains("cross join"))
+    assert(e1.getMessage.contains("scalar subqueries must be global aggregates"))
     val e2 = intercept[SqlIncremental.UnsupportedPlanException] {
       SqlIncremental.compile(spark,
         "SELECT region FROM SALES LIMIT 5", Set("SALES"))
@@ -761,6 +761,39 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     rn.step(Map("WT" -> z(wt, Seq(9L, 1L))))
     assert(out(r) === Set("a", "b"))
     assert(out(rn) === Set.empty[String])
+  }
+
+  test("unit-key cross join and pure-theta join maintain through retractions") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE CFACT (fk VARCHAR NOT NULL, fv BIGINT NOT NULL);
+        |CREATE TABLE CDIM (dk VARCHAR NOT NULL, lim BIGINT NOT NULL);
+        |CREATE VIEW CPROD AS SELECT fk, fv, dk, lim FROM CFACT CROSS JOIN CDIM;
+        |CREATE VIEW CTHETA AS
+        |  SELECT fk, fv, dk FROM CFACT JOIN CDIM ON fv > lim""".stripMargin)
+    val fact = StructType(Seq(StructField("fk", StringType), StructField("fv", LongType)))
+    val dim = StructType(Seq(StructField("dk", StringType), StructField("lim", LongType)))
+    val steps = Seq(
+      Map("CFACT" -> z(fact, Seq("a", 5L, 1L), Seq("b", 20L, 2L)),
+        "CDIM" -> z(dim, Seq("x", 10L, 1L))),
+      Map("CDIM" -> z(dim, Seq("y", 3L, 1L))),   // new dim row: joins all facts
+      Map("CFACT" -> z(fact, Seq("b", 20L, -1L)), // drop one copy of b
+        "CDIM" -> z(dim, Seq("x", 10L, -1L))))   // dim retraction drops a slice
+    for (view <- Seq("CPROD", "CTHETA")) {
+      val r = e.incrementalRunner(view)
+      steps.foreach(r.step)
+      assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute),
+        s"$view: inc != recompute")
+    }
+    // final CTHETA state against plain SQL on the net rows
+    import spark.implicits._
+    Seq(("a", 5L), ("b", 20L)).toDF("fk", "fv").createOrReplaceTempView("CFACT_F")
+    Seq(("y", 3L)).toDF("dk", "lim").createOrReplaceTempView("CDIM_F")
+    val r2 = e.incrementalRunner("CTHETA")
+    steps.foreach(r2.step)
+    val want = spark.sql(
+      "SELECT fk, fv, dk FROM CFACT_F JOIN CDIM_F ON fv > lim")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r2.output))) === canon(want))
   }
 
   test("non-flip subquery churn emits a PHYSICALLY empty delta (regime-bit gate)") {
