@@ -776,6 +776,10 @@ object SqlIncremental {
                          sources: Map[String, String], negate: Boolean): Inc = {
     if (!ex.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
       return uncorrelatedExists(node, outerNames, ex, sources, negate)
+    rangeExists(node, outerNames, ex, sources, negate) match {
+      case Some(inc) => return inc
+      case None => ()
+    }
     val (sub, keys, residOpt) = decorrelateExists(ex, sources)
     residOpt match {
       case None =>
@@ -1240,6 +1244,143 @@ object SqlIncremental {
     matched union padded
   }
 
+  /** Pure-inequality correlated [NOT] EXISTS of the BETWEEN shape —
+    * `EXISTS (… WHERE inner.x >= lo(outer) AND inner.x <= hi(outer))`,
+    * bounds in either written order, strict or inclusive — lowered to a
+    * BINNED range semi-join circuit (the RangeJoin.scala strategy inside
+    * the delta algebra). The reference decorrelates the same correlation
+    * and compiles it as cross join + filter (RelDecorrelator,
+    * CalciteCompiler.java:438-441) — quadratic; binning bounds the
+    * per-step delta product by actual bin co-location instead:
+    *
+    *  - inner side: DISTINCT values of x (a Refold — churn that does not
+    *    change the value set emits an empty consolidated delta), each
+    *    mapped to its single bin — LINEAR;
+    *  - outer side: each row replicated to the bins its [lo, hi] covers
+    *    (weight-preserving flatMap — LINEAR; rows with lo > hi or NULL
+    *    bounds match nothing and are dropped from the match side only);
+    *  - ONE bilinear join on the bin id, exact residual, then outer ROW
+    *    VALUES with ≥1 surviving match joined back null-safely — semi
+    *    semantics (multiplicities preserved), `node − semi` for NOT.
+    *
+    * Bin width comes from `spark.graft.incremental.rangeBinWidth`
+    * (default 3600 — epoch-seconds-by-the-hour); a row spanning more than
+    * `spark.graft.incremental.rangeMaxBinsPerRow` bins (default 65536)
+    * raises at execution rather than silently exploding the state. Bounds
+    * and x must be integral (bin ids use exact integer floor division).
+    * Returns None for shapes this lowering does not cover (equality
+    * conjuncts present, single-bound correlation, non-integral types) —
+    * the caller falls back to the key-join path or the explanatory
+    * error. */
+  private def rangeExists(node: Inc, outerNames: Seq[String], ex: Exists,
+                          sources: Map[String, String],
+                          negate: Boolean): Option[Inc] = {
+    import org.apache.spark.sql.functions.{explode, sequence}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    var corr = Seq.empty[Expression]
+    val stripped = ex.plan.transform {
+      case Filter(c, ch) =>
+        val (co, rest) = splitAnd(c).partition(_.exists(_.isInstanceOf[OuterReference]))
+        corr ++= co
+        rest.reduceOption(And).map(Filter(_, ch)).getOrElse(ch)
+    }
+    if (corr.size != 2) return None
+    // any equality conjunct → the key-join path owns this shape
+    if (corr.exists { case EqualTo(_, _) => true; case _ => false }) return None
+    val outerIds = corr.flatMap(_.collect {
+      case OuterReference(o: AttributeReference) => o.exprId
+    }).toSet
+    def outerOnly(e: Expression): Boolean = e.collect {
+      case a: AttributeReference if !outerIds.contains(a.exprId) => a
+    }.isEmpty
+    // classify a conjunct as a lower or upper bound on one inner attribute
+    sealed trait B; case class Lo(a: AttributeReference, e: Expression) extends B
+    case class Hi(a: AttributeReference, e: Expression) extends B
+    def classify(c: Expression): Option[B] = c match {
+      case GreaterThanOrEqual(a: AttributeReference, e)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Lo(a, e))
+      case GreaterThan(a: AttributeReference, e)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Lo(a, e))
+      case LessThanOrEqual(a: AttributeReference, e)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Hi(a, e))
+      case LessThan(a: AttributeReference, e)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Hi(a, e))
+      case GreaterThanOrEqual(e, a: AttributeReference)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Hi(a, e))
+      case GreaterThan(e, a: AttributeReference)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Hi(a, e))
+      case LessThanOrEqual(e, a: AttributeReference)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Lo(a, e))
+      case LessThan(e, a: AttributeReference)
+          if !outerIds.contains(a.exprId) && outerOnly(e) => Some(Lo(a, e))
+      case _ => None
+    }
+    val (lo, hi) = (classify(corr.head), classify(corr(1))) match {
+      case (Some(l: Lo), Some(h: Hi)) => (l, h)
+      case (Some(h: Hi), Some(l: Lo)) => (l, h)
+      case _ => return None
+    }
+    if (lo.a.exprId != hi.a.exprId) return None
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    if (!integral.contains(lo.a.dataType) ||
+        !integral.contains(lo.e.dataType) || !integral.contains(hi.e.dataType))
+      return None
+
+    val spark = org.apache.spark.sql.SparkSession.active
+    val w = spark.conf.get("spark.graft.incremental.rangeBinWidth", "3600").toLong
+    val maxBins = spark.conf
+      .get("spark.graft.incremental.rangeMaxBinsPerRow", "65536").toLong
+    require(w > 0, "spark.graft.incremental.rangeBinWidth must be positive")
+    def reOuter(e: Expression): Column = toColumn(e.transform {
+      case OuterReference(o) => UnresolvedAttribute.quoted(o.name)
+    })
+    val bin: Column => Column = graft.operators.RangeJoin.binColumn(_, w)
+
+    // inner: distinct values → (value, bin); NULL values match nothing
+    // (explode of a NULL-bin singleton below never sees them — the bin
+    // column is NULL and the equi join drops it)
+    def dropProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => dropProjects(c)
+      case other => other
+    }
+    val innerB = walk(dropProjects(stripped), sources)
+      .select(col(lo.a.name).as("__rv")).distinct
+      .select(col("__rv"), bin(col("__rv")).as("__rbin"))
+
+    // outer: replicate each row to the bins its [lo, hi] covers (rows with
+    // NULL or reversed bounds cannot match — dropped from the MATCH side
+    // only; `node` itself still carries them for the anti complement).
+    val loC = reOuter(lo.e)
+    val hiC = reOuter(hi.e)
+    val binHi = {
+      import org.apache.spark.sql.functions.{concat, raise_error, when => swhen}
+      swhen(bin(hiC) - bin(loC) >= maxBins, raise_error(concat(
+        lit(s"incremental range EXISTS: interval covers more than $maxBins "),
+        lit(s"bins at binWidth=$w — raise spark.graft.incremental."),
+        lit("rangeBinWidth or rangeMaxBinsPerRow"))))
+        .otherwise(bin(hiC))
+    }
+    val outerExp = node
+      .where(loC.isNotNull && hiC.isNotNull && loC <= hiC)
+      .linear { df =>
+        graft.zset.ZSet.map(df)(
+          outerNames.map(col) :+ explode(sequence(bin(loC), binHi)).as("__rbin"): _*)
+      }
+    val residual = corr.map { c =>
+      toColumn(c.transform {
+        case OuterReference(o) => UnresolvedAttribute.quoted(o.name)
+        case a: AttributeReference if a.exprId == lo.a.exprId =>
+          UnresolvedAttribute.quoted("__rv")
+      })
+    }.reduce(_ && _)
+    val matchedVals = outerExp.join(innerB, Seq("__rbin"))
+      .where(residual)
+      .select(outerNames.map(col): _*).distinct
+    val semi = node.joinNullSafe(matchedVals, outerNames)
+    Some(if (negate) node.minus(semi) else semi)
+  }
+
   /** Correlated EXISTS → (inner circuit, outer key names, optional residual
     * predicate). Equality correlation conjuncts `inner.a = outer.b` become
     * the semi-join keys (the decomposable form JoinConditionAnalyzer
@@ -1278,8 +1419,10 @@ object SqlIncremental {
           "(uncorrelated EXISTS routes through the global count gate)"
       else
         "EXISTS correlation needs at least one equality conjunct to key " +
-          s"the semi join (pure-inequality correlation would make the " +
-          s"per-step delta product unbounded): ${resid.mkString(" AND ")}")
+          "the semi join, or the two-bound BETWEEN shape " +
+          "(inner.x >= lo(outer) AND inner.x <= hi(outer), integral types) " +
+          "for the binned range lowering — unbounded single-sided " +
+          s"correlation has no delta-bounded circuit: ${resid.mkString(" AND ")}")
     // the subquery's own projection is irrelevant to existence — drop the
     // top Project chain so the correlation keys stay visible
     def dropProjects(p: LogicalPlan): LogicalPlan = p match {

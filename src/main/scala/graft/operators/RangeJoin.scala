@@ -57,22 +57,24 @@ object RangeJoin {
   /** Exact floor(c / w) over integral columns: `pmod` gives the
     * canonical non-negative remainder, so the subtraction lands exactly
     * on the floor multiple and the integral `div` (truncating) equals
-    * the floor quotient — no double rounding at any magnitude. */
-  private def binOf(c: Column, w: Long): Column =
+    * the floor quotient — no double rounding at any magnitude.
+    * (`private[graft]`: the incremental range-EXISTS circuit bins with
+    * the same function so batch and circuit agree bit-for-bit.) */
+  private[graft] def binColumn(c: Column, w: Long): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.GraftSqlBridge.toExpressionTree(
           (c - pmod(c, lit(w))).cast("long")),
         org.apache.spark.sql.GraftSqlBridge.toExpressionTree(lit(w).cast("long"))))
 
-  /** Interval-side bin ids: [binOf(lo) .. binOf(hi)], with the two input
+  /** Interval-side bin ids: [binColumn(lo) .. binColumn(hi)], with the two input
     * contracts (proper interval, bounded bin count) raised per-row. The
     * guards live INSIDE the computed hi-bin column so the optimizer
     * cannot prune them away. */
   private def binSeq(lo: Column, hi: Column, w: Long,
                      maxBinsPerRow: Long): Column = {
-    val bLo = binOf(lo, w)
-    val bHi0 = binOf(hi, w)
+    val bLo = binColumn(lo, w)
+    val bHi0 = binColumn(hi, w)
     val bHi = when(lo > hi, raise_error(concat(
         lit("RangeJoin: reversed interval (lo > hi): lo="), lo.cast("string"),
         lit(" hi="), hi.cast("string"))))
@@ -114,7 +116,7 @@ object RangeJoin {
     // in exactly one bucket and no dedup is needed.
     val binned = intervals.withColumn(
       Bin, binSeq(col(loCol), col(hiCol), binWidth, maxBinsPerRow))
-    val probe = points.withColumn(Bin, binOf(col(pointCol), binWidth))
+    val probe = points.withColumn(Bin, binColumn(col(pointCol), binWidth))
     probe.join(binned, keys :+ Bin)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(Bin)
@@ -137,7 +139,7 @@ object RangeJoin {
 
     binned(left, aLo, aHi).join(binned(right, bLo, bHi), keys :+ Bin)
       .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
-      .filter(col(Bin) === binOf(greatest(col(aLo), col(bLo)), binWidth))
+      .filter(col(Bin) === binColumn(greatest(col(aLo), col(bLo)), binWidth))
       .drop(Bin)
   }
 }

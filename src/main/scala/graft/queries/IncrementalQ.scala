@@ -300,6 +300,38 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Pure-inequality correlated EXISTS (BETWEEN shape) as a standing
+    // view: lowered to the BINNED range semi-join circuit instead of the
+    // reference's quadratic cross-join decorrelation
+    // (CalciteCompiler.java:438-441). Maintained through insert +
+    // retraction waves on both sides.
+    "q112_incremental_range_exists" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      o.limit(0).createOrReplaceTempView("OX")
+      li.limit(0).createOrReplaceTempView("LX")
+      s.conf.set("spark.graft.incremental.rangeBinWidth", "64")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT o_orderkey, lo, hi FROM
+             (SELECT o_orderkey, o_custkey * 10 AS lo,
+                     o_custkey * 10 + 50 AS hi FROM OX) o
+           WHERE EXISTS (SELECT 1 FROM LX
+                         WHERE l_partkey >= lo AND l_partkey <= hi)""",
+        Set("OX", "LX"))
+      val r = new Runner(s, circuit,
+        Map("OX" -> o.limit(0), "LX" -> li.limit(0)))
+      r.step(Map("OX" -> ZSet.fromRows(o),
+        "LX" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("LX" -> ZSet.plus(
+        ZSet.fromRows(
+          li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40)),
+        ZSet.negate(ZSet.fromRows(li.filter(col("l_quantity") < 10)))),
+        "OX" -> ZSet.negate(ZSet.fromRows(o.filter(col("o_orderkey") % 7 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -370,6 +402,14 @@ object IncrementalQ {
          WHERE l_quantity < 20
            AND EXISTS (SELECT 1 FROM supplier
                        WHERE s_acctbal > 5000 AND s_suppkey % 2 = 0)""",
+    "q112_incremental_range_exists" ->
+      """SELECT o_orderkey, lo, hi FROM
+           (SELECT o_orderkey, o_custkey * 10 AS lo,
+                   o_custkey * 10 + 50 AS hi
+            FROM orders WHERE o_orderkey % 7 <> 0) o
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_quantity >= 10 AND l_quantity < 40
+                         AND l_partkey >= lo AND l_partkey <= hi)""",
     "q111_incremental_cross" ->
       """SELECT s_suppkey, t_key FROM supplier
          CROSS JOIN (SELECT r_regionkey AS t_key,

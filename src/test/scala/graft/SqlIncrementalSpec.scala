@@ -796,6 +796,51 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.toRows(ZSet.consolidate(r2.output))) === canon(want))
   }
 
+  test("pure-inequality EXISTS (BETWEEN shape) lowers to the binned range circuit") {
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE RIV (iv BIGINT NOT NULL);
+        |CREATE TABLE ROT (ok VARCHAR NOT NULL, lo BIGINT NOT NULL, hi BIGINT NOT NULL);
+        |CREATE VIEW RHIT AS SELECT ok, lo, hi FROM ROT
+        |  WHERE EXISTS (SELECT 1 FROM RIV WHERE iv >= lo AND iv <= hi);
+        |CREATE VIEW RMISS AS SELECT ok, lo, hi FROM ROT
+        |  WHERE NOT EXISTS (SELECT 1 FROM RIV WHERE iv >= lo AND iv <= hi)""".stripMargin)
+    val iv = StructType(Seq(StructField("iv", LongType)))
+    val ot = StructType(Seq(StructField("ok", StringType),
+      StructField("lo", LongType), StructField("hi", LongType)))
+    val steps = Seq(
+      Map( // b's interval reversed (matches nothing), c's far away
+        "ROT" -> z(ot, Seq("a", 10L, 20L, 1L), Seq("b", 30L, 25L, 1L),
+          Seq("c", 1000L, 1010L, 1L)),
+        "RIV" -> z(iv, Seq(15L, 1L), Seq(500L, 2L))),
+      Map("RIV" -> z(iv, Seq(1005L, 1L))),   // c starts matching
+      Map("RIV" -> z(iv, Seq(15L, -1L)),     // a stops matching...
+        "ROT" -> z(ot, Seq("d", 490L, 510L, 1L)))) // new outer row matches 500
+    for (view <- Seq("RHIT", "RMISS")) {
+      val r = e.incrementalRunner(view)
+      steps.foreach(r.step)
+      assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute),
+        s"$view: inc != recompute")
+    }
+    val r2 = e.incrementalRunner("RHIT")
+    steps.foreach(r2.step)
+    assert(ZSet.toRows(ZSet.consolidate(r2.output))
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("c", "d"))
+    // inner churn on values no interval covers: physically empty delta
+    // (the distinct value set gains a value binned away from every match,
+    // and the replicated outer rows only join their own bins)
+    val quiet = r2.step(Map("RIV" -> z(iv, Seq(5000L, 1L))))
+    assert(quiet.count() === 0L)
+    // single-bound correlation still throws the explanatory error
+    val err = intercept[SqlIncremental.UnsupportedPlanException] {
+      e.executeScript(
+        """CREATE VIEW RBAD AS SELECT ok FROM ROT
+          |  WHERE EXISTS (SELECT 1 FROM RIV WHERE iv >= lo)""".stripMargin)
+      e.incrementalRunner("RBAD")
+    }
+    assert(err.getMessage.contains("BETWEEN shape"))
+  }
+
   test("non-flip subquery churn emits a PHYSICALLY empty delta (regime-bit gate)") {
     // The r6 defect: a witness-count change that does NOT flip the verdict
     // used to retract/re-insert the counts row and re-emit O(outer) rows
