@@ -44,6 +44,7 @@ object SparkEntry {
     _root_.graft.queries.Pipeline.defs ++
     _root_.graft.queries.SourcesQ.defs ++
     _root_.graft.queries.IncrementalQ.defs ++
+    _root_.graft.queries.StreamsQ.defs ++
     _root_.graft.queries.Recursive.defs ++
     _root_.graft.queries.TpcH.defs
 
@@ -60,6 +61,7 @@ object SparkEntry {
     _root_.graft.queries.Pipeline.oracles ++
     _root_.graft.queries.SourcesQ.oracles ++
     _root_.graft.queries.IncrementalQ.oracles ++
+    _root_.graft.queries.StreamsQ.oracles ++
     _root_.graft.queries.Recursive.oracles ++
     _root_.graft.queries.TpcH.oracles
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Native Structured Streaming surface under the driver's DuckDB oracle:
+  * the `Streams` transforms run through REAL micro-batches (MemoryStream →
+  * writeStream → memory sink) and the final emitted state must hash-match
+  * a batch SQL query over the same events — the same batch ≡ streaming
+  * axis the Z-set Runner queries prove, here for Spark's own state store.
+  *
+  * Fixture plumbing (NOT the operator's scale path): the events table is
+  * collected and fed time-ordered in a few batches, with a far-future
+  * sentinel key advancing the watermark so every real window/session
+  * finalizes (append mode only emits finalized state). The operator under
+  * test — `Streams.windowedAgg` / `Streams.sessionize` — is a pure
+  * transform on an unbounded stream; in deployment the same code hangs
+  * off `readStream` and the state store bounds memory by the watermark. */
+object StreamsQ {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val SENT = "__sentinel"
+  private val nameSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Feed `rows` (already time-ordered) in `parts` batches, then two
+    * sentinel batches that advance the watermark far past every event and
+    * fire all event-time timeouts; return the memory-sink table. */
+  private def drive[T](spark: SparkSession, mem: MemoryStream[T],
+                       writer: => org.apache.spark.sql.streaming.DataStreamWriter[_],
+                       rows: Seq[T], sentinels: Seq[T], parts: Int): DataFrame = {
+    val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
+    val q = writer.queryName(qn).start()
+    try {
+      val per = math.max(1, rows.length / parts + 1)
+      rows.grouped(per).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      sentinels.foreach { s =>
+        mem.addData(s)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(qn)
+  }
+
+  val defs: Map[String, QFn] = Map(
+    // Watermarked tumbling 1h windowed aggregate (Streams.windowedAgg)
+    // through micro-batches; finalized (append-mode) windows must equal
+    // DuckDB's hour-bucket GROUP BY. The summed value is integral
+    // (event_id % 97) so the result is partition-order independent.
+    "q113_stream_windowed_agg" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(unix_timestamp(col("ts").cast("timestamp")).as("t"),
+          col("user_id").cast("string").as("k"),
+          (col("event_id") % 97).cast("long").as("v"))
+        .orderBy(col("t")).collect()
+      val rows = ev.map(r =>
+        (new java.sql.Timestamp(r.getLong(0) * 1000L), r.getString(1), r.getLong(2))).toSeq
+      val lastMs = rows.last._1.getTime
+      val sent1 = new java.sql.Timestamp(lastMs + 1000L * 3600 * 24)
+      val sent2 = new java.sql.Timestamp(sent1.getTime + 60000L)
+      val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+      val agg = graft.streaming.Streams.windowedAgg(
+        mem.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "1 hour",
+        watermark = "0 seconds")
+      val table = drive(s, mem,
+        agg.writeStream.outputMode("append").format("memory"),
+        rows, Seq((sent1, SENT, 0L), (sent2, SENT, 0L)), parts = 3)
+      table.filter(col("k") =!= SENT)
+        .select(unix_timestamp(col("win_start")).as("win_start_sec"),
+          col("k").as("user_id"), col("n"), col("total"))
+    }),
+
+    // Gap sessionization with per-key state (Streams.sessionize,
+    // flatMapGroupsWithState + event-time timeout) through micro-batches;
+    // the emitted closed sessions must equal DuckDB's gaps-and-islands
+    // query (gap > 1h starts a new session).
+    "q114_stream_sessionize" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id").cast("string").as("k"),
+          unix_timestamp(col("ts").cast("timestamp")).as("t"))
+        .orderBy(col("t")).collect()
+      val rows = ev.map(r =>
+        (r.getString(0), new java.sql.Timestamp(r.getLong(1) * 1000L))).toSeq
+      val lastMs = rows.last._2.getTime
+      val sent1 = (SENT, new java.sql.Timestamp(lastMs + 1000L * 3600 * 24))
+      val sent2 = (SENT, new java.sql.Timestamp(sent1._2.getTime + 60000L))
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val out = graft.streaming.Streams
+        .sessionize(mem.toDS(), gapMs = 3600L * 1000L)
+        .toDF("user_id", "start_ms", "end_ms", "n")
+      val table = drive(s, mem,
+        out.writeStream.outputMode("append").format("memory"),
+        rows, Seq(sent1, sent2), parts = 3)
+      table.filter(col("user_id") =!= SENT)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q113_stream_windowed_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_sec,
+                CAST(user_id AS VARCHAR) AS user_id,
+                COUNT(*) AS n,
+                CAST(SUM(event_id % 97) AS BIGINT) AS total
+         FROM events
+         GROUP BY 1, 2""",
+    "q114_stream_sessionize" ->
+      """-- FLOOR(epoch), not CAST: Spark's unix_timestamp truncates the
+         -- sub-second fraction while DuckDB's BIGINT cast would round it
+         WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user_id,
+                           CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS t
+                    FROM events),
+              m AS (SELECT user_id, t,
+                           CASE WHEN t - lag(t) OVER w > 3600000
+                                  OR lag(t) OVER w IS NULL
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              g AS (SELECT user_id, t,
+                           SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM m)
+         SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
+                COUNT(*) AS n
+         FROM g GROUP BY user_id, sid"""
+  )
+}

@@ -72,12 +72,17 @@ object Streams {
   }
 
   /** Session windows with an inactivity gap via `flatMapGroupsWithState`:
-    * a key's events extend its open session; when the WATERMARK passes the
-    * session's end + gap (an event-time timeout — deterministic, unlike
-    * wall-clock timeouts), the session closes and EMITS one summary row
-    * (key, start_ms, end_ms, n). The reference has no session operator —
-    * this is the beyond-reference shape every training-data event pipeline
-    * ends up needing (user sessionization).
+    * a key's events extend its open session while each gap to the next
+    * event stays ≤ `gapMs`; a larger gap CLOSES the session and emits one
+    * summary row (key, start_ms, end_ms, n). Gap splitting happens
+    * IN-FUNCTION over the batch's sorted timestamps — not only at the
+    * event-time timeout — so a gap-exceeding event that arrives in the
+    * same micro-batch (or before the watermark passed the old session)
+    * still starts a fresh session exactly where a batch gaps-and-islands
+    * query would. The timeout (watermark past end + gap — deterministic,
+    * unlike wall-clock timeouts) flushes sessions whose keys go quiet.
+    * The reference has no session operator — this is the beyond-reference
+    * shape every training-data event pipeline ends up needing.
     *
     * State per key is O(1) (bounds, count); the timeout evicts closed
     * sessions, so total state is O(active keys), bounded by the
@@ -101,14 +106,23 @@ object Streams {
             state.remove()
             Iterator((key, s.start, s.end, s.n))
           } else {
-            val ts = rows.map(_._2.getTime).toSeq
-            val prev = state.getOption
-              .getOrElse(Session(ts.min, ts.max, 0L))
-            val next = Session(math.min(prev.start, ts.min),
-              math.max(prev.end, ts.max), prev.n + ts.size)
-            state.update(next)
-            state.setTimeoutTimestamp(next.end + gapMs)
-            Iterator.empty
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = Seq.newBuilder[(String, Long, Long, Long)]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.end > gapMs =>
+                  closed += ((key, s.start, s.end, s.n))
+                  Some(Session(t, t, 1L))
+                case Some(s) =>
+                  Some(Session(s.start, math.max(s.end, t), s.n + 1L))
+                case None => Some(Session(t, t, 1L))
+              }
+            }
+            val open = cur.get
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMs)
+            closed.result().iterator
           }
       }
   }
