@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,36 +40,74 @@ object AsOfJoin {
     */
   def asOfLeft(probe: DataFrame, build: DataFrame,
                keys: Seq[String], tsCol: String): DataFrame = {
-    val payload = build.columns.filterNot(c => keys.contains(c) || c == tsCol)
-    val probeOnly = probe.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val (probeCols, buildCols, eval) =
+      carryForwardParts(probe.schema, build.schema, keys, tsCol)
+    eval(probe.select(probeCols: _*).unionByName(build.select(buildCols: _*)))
+  }
+
+  private val side = "__graft_asof_side"
+
+  /** The shared union + carry-forward machinery: given the two schemas,
+    * returns the per-side tagging projections (as Column lists, so the
+    * incremental path can apply them weight-preservingly) and the window
+    * eval over the tagged union — used by [[asOfLeft]] and as the
+    * touched-partition re-fold of the INCREMENTAL as-of ([[asOfLeftInc]]). */
+  private def carryForwardParts(probeSchema: org.apache.spark.sql.types.StructType,
+                                buildSchema: org.apache.spark.sql.types.StructType,
+                                keys: Seq[String], tsCol: String)
+      : (Seq[Column], Seq[Column], DataFrame => DataFrame) = {
+    val payload = buildSchema.fieldNames.filterNot(c => keys.contains(c) || c == tsCol)
+    val probeOnly = probeSchema.fieldNames.filterNot(c => keys.contains(c) || c == tsCol)
     require(probeOnly.intersect(payload).isEmpty,
       s"as-of payload clashes with probe columns: ${probeOnly.intersect(payload).mkString(",")}")
-    val buildSchema = build.schema
-    val probeSchema = probe.schema
-
-    val side = "__graft_asof_side"
-    val probeU = probe.select(
+    val probeCols: Seq[Column] =
       (keys :+ tsCol).map(col) ++
         probeOnly.map(col) ++
         payload.map(c => lit(null).cast(buildSchema(c).dataType).as(c)) :+
-        lit(1).as(side): _*)
-    val buildU = build.select(
+        lit(1).as(side)
+    val buildCols: Seq[Column] =
       (keys :+ tsCol).map(col) ++
         probeOnly.map(c => lit(null).cast(probeSchema(c).dataType).as(c)) ++
         payload.map(col) :+
-        lit(0).as(side): _*)
-
+        lit(0).as(side)
     // Build rows sort before probe rows at equal ts => `<=` is inclusive.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    probeU.unionByName(buildU)
+    val eval = (u: DataFrame) => u
       .select(
         (keys :+ tsCol).map(col) ++ probeOnly.map(col) ++
           payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
           col(side): _*)
       .filter(col(side) === 1)
-      .select(probe.columns.map(col) ++ payload.map(col): _*)
+      .select(probeSchema.fieldNames.map(col) ++ payload.map(col): _*)
+    (probeCols, buildCols, eval)
+  }
+
+  /** INCREMENTAL left as-of join — the standing feature-store view: the
+    * same carry-forward formulation lifted into the delta algebra. The
+    * tagged probe/build union is LINEAR (weight-preserving projections),
+    * and the window eval re-folds only the (key) partitions a delta
+    * touches via `Inc.windowAggregate`, retracting those partitions'
+    * previous rows from the operator's own trace — so a probe insert, a
+    * build insert that rewrites later rows' carried payload, and a build
+    * RETRACTION that un-carries it are all handled by one re-fold of the
+    * touched keys, delta-proportional across keys.
+    *
+    * `probeSchema`/`buildSchema` fix the union column types (circuits
+    * carry no schema); same contracts as [[asOfLeft]] — shared `tsCol`
+    * name, clash-free payload, build unique per (keys, ts) (pre-aggregate
+    * with `Inc.aggregateRows` otherwise). */
+  def asOfLeftInc(probe: graft.streaming.Incremental.Inc,
+                  probeSchema: org.apache.spark.sql.types.StructType,
+                  build: graft.streaming.Incremental.Inc,
+                  buildSchema: org.apache.spark.sql.types.StructType,
+                  keys: Seq[String], tsCol: String)
+      : graft.streaming.Incremental.Inc = {
+    val (probeCols, buildCols, eval) =
+      carryForwardParts(probeSchema, buildSchema, keys, tsCol)
+    val tagged = probe.select(probeCols: _*) union build.select(buildCols: _*)
+    tagged.windowAggregate(keys)(eval)
   }
 
   /** Gap-based sessionization: assigns a per-key 1-based `session_id`

@@ -332,6 +332,51 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Incremental AS-OF join — the standing feature-store view
+    // (AsOfJoin.asOfLeftInc): clicks carry the latest earlier purchase per
+    // user, maintained through insert waves on both sides plus build-side
+    // AND probe-side retractions (a retracted purchase must un-carry from
+    // every later click of that user). The build side is pre-aggregated
+    // per (user, ts) INSIDE the circuit (Inc.aggregateRows), so as-of ties
+    // stay deterministic under retractions too.
+    "q115_incremental_asof" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{max, unix_micros}
+      val ev = Tables.load(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      val buildInc = source("P")
+        .aggregateRows(Seq("user_id", "ts_us"),
+          Seq(max(col("value")).as("purchase_value")),
+          Seq("user_id", "ts_us", "purchase_value"))
+        .select(col("user_id"), col("ts_us"), col("purchase_value"),
+          col("ts_us").as("purchase_ts_us"))
+      val buildSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          purchases.schema("user_id").dataType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          purchases.schema("ts_us").dataType),
+        org.apache.spark.sql.types.StructField("purchase_value",
+          purchases.schema("value").dataType),
+        org.apache.spark.sql.types.StructField("purchase_ts_us",
+          purchases.schema("ts_us").dataType)))
+      val circuit = graft.operators.AsOfJoin.asOfLeftInc(
+        source("C"), clicks.schema, buildInc, buildSchema,
+        Seq("user_id"), "ts_us")
+      val r = new Runner(s, circuit,
+        Map("C" -> clicks.limit(0), "P" -> purchases.limit(0)))
+      r.step(Map("C" -> ZSet.fromRows(clicks.filter(col("event_id") % 2 === 0)),
+        "P" -> ZSet.fromRows(purchases)))
+      r.step(Map("C" -> ZSet.plus(
+        ZSet.fromRows(clicks.filter(col("event_id") % 2 === 1)),
+        ZSet.negate(ZSet.fromRows(clicks.filter(col("event_id") % 11 === 0)))),
+        "P" -> ZSet.negate(ZSet.fromRows(
+          purchases.filter(col("ts_us") % 3 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // ORDER BY ... LIMIT standing view: per-step top-k re-evaluation with
     // retraction of the previous result (reference visitSort :980-1048).
     "q95_incremental_topk" -> ((s, d) => {
@@ -402,6 +447,19 @@ object IncrementalQ {
          WHERE l_quantity < 20
            AND EXISTS (SELECT 1 FROM supplier
                        WHERE s_acctbal > 5000 AND s_suppkey % 2 = 0)""",
+    "q115_incremental_asof" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           MAX(value) AS purchase_value
+                    FROM events
+                    WHERE event_type = 'purchase' AND epoch_us(ts) % 3 <> 0
+                    GROUP BY 1, 2),
+              c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                    FROM events
+                    WHERE event_type = 'click' AND event_id % 11 <> 0)
+         SELECT c.event_id, c.user_id, c.ts_us, c.value,
+                p.purchase_value, p.ts_us AS purchase_ts_us
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""",
     "q112_incremental_range_exists" ->
       """SELECT o_orderkey, lo, hi FROM
            (SELECT o_orderkey, o_custkey * 10 AS lo,

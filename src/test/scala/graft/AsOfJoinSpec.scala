@@ -83,6 +83,45 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("click"))
   }
 
+  test("incremental as-of: maintained through build retraction equals batch") {
+    import graft.streaming.Incremental
+    import graft.zset.ZSet
+    val probeInc = Incremental.source("PR")
+    val buildInc = Incremental.source("BU")
+    val circuit = AsOfJoin.asOfLeftInc(probeInc, probes.schema,
+      buildInc, builds.schema, Seq("k"), "ts")
+    val r = new Incremental.Runner(spark, circuit,
+      Map("PR" -> probes.limit(0), "BU" -> builds.limit(0)))
+    // wave 1: some probes before any build rows → NULL payloads
+    r.step(Map("PR" -> ZSet.fromRows(probes.filter(col("ts") < 50))))
+    // wave 2: builds arrive → carried payloads rewrite the touched keys
+    r.step(Map("BU" -> ZSet.fromRows(builds)))
+    // wave 3: late probe + RETRACT u1's ts=15 build row → u1@20 falls back
+    // to the ts=10 payload
+    r.step(Map(
+      "PR" -> ZSet.fromRows(probes.filter(col("ts") >= 50)),
+      "BU" -> ZSet.negate(ZSet.fromRows(
+        builds.filter(col("k") === "u1" && col("ts") === 15L)))))
+    val got = ZSet.toRows(ZSet.consolidate(r.output))
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    val want = AsOfJoin.asOfLeft(probes,
+        builds.filter(!(col("k") === "u1" && col("ts") === 15L)),
+        Seq("k"), "ts")
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists { case (k, ts, _, v) => k == "u1" && ts == 20L && v == 1.5 })
+    // untouched-key churn: a build insert for u9 (no probes) re-folds only
+    // that key — and the output delta for existing keys is empty
+    import spark.implicits._
+    val quiet = r.step(Map("BU" -> ZSet.fromRows(
+      Seq(("u9", 1L, java.lang.Double.valueOf(3.0))).toDF("k", "ts", "v"))))
+    assert(quiet.count() === 0L)
+  }
+
   test("sessionize: gap splits, ties stay in one session, ids are 1-based per key") {
     import spark.implicits._
     val ev = Seq(
