@@ -31,6 +31,9 @@ object SltHash {
   /** Format one value per SLT rules given its format char. */
   def formatValue(v: Any, fmt: Char): String = v match {
     case null => "NULL"
+    // SLT's integer format for booleans is the SQLite convention (no bool
+    // type: 1/0) — DuckDB-frozen expectations render them the same way.
+    case b: Boolean if fmt == 'I' => if (b) "1" else "0"
     case b: Boolean => b.toString
     case f: Float if fmt == 'I' => f.toInt.toString
     case d: Double if fmt == 'I' => d.toInt.toString

@@ -57,6 +57,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("window.test", 440)
   }
 
+  test("join.test: multi-way-join grammar (outer mixes, agg-over-join, chains)") {
+    check("join.test", 5100)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -930,11 +930,239 @@ def gen_window():
     return f
 
 
+def gen_join():
+    """Multi-way-join grammar (the select-join shapes the r6 verdict flagged
+    as missing): 2-way joins across INNER/LEFT/RIGHT/FULL with equality,
+    equality+residual, and pure-inequality conditions; CROSS JOIN +
+    filter; self-joins; 3-way chains mixing all four join types; outer-join
+    x aggregate mixes (count(col) vs count(*) over padded rows, HAVING,
+    multi-aggregate); joins over derived aggregate tables; USING joins;
+    set-ops over join results; EXISTS/IN mixed with joins; and a 4-way
+    chain. NULL-padded outputs always go through rowsort (NULL ordering
+    differs between engines); no division anywhere."""
+    f = File("join.test")
+    t1_statements(f)
+    t3_statements(f)
+    t4_statements(f)
+    t5_statements(f)
+
+    jtypes = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+
+    # -- 2-way t1 x t3 ------------------------------------------------------
+    conds13 = ["r.k = a", "r.k = a AND r.v > 250", "r.k = a AND b IS NOT NULL",
+               "r.k = c", "r.k = b", "r.k < a - 170",
+               "r.k = a AND r.v < b + 200"]
+    projs13 = [("a, r.v", "II"), ("a, b, r.k", "III"), ("a, r.k, r.v", "III")]
+    wheres13 = ["", "a > 150", "r.v IS NULL", "r.v IS NOT NULL", "a % 2 = 0",
+                "b IS NULL AND r.v IS NOT NULL"]
+    for jt in jtypes:
+        for cnd in conds13:
+            for p, fmt in projs13:
+                for w in wheres13:
+                    wsql = f" WHERE {w}" if w else ""
+                    f.query(f"SELECT {p} FROM t1 {jt} t3 r ON {cnd}{wsql}",
+                            fmt, "rowsort")
+
+    # -- 2-way t4 x t5 ------------------------------------------------------
+    conds45 = ["s.k = w", "s.k = w AND s.g >= 2", "s.k = x",
+               "s.k = w AND s.v > y + 250", "s.k > w + 140"]
+    projs45 = [("w, s.v", "II"), ("w, x, s.g", "III"), ("s.k, s.g, y", "III")]
+    wheres45 = ["", "w > 140", "s.v IS NULL", "x IS NOT NULL AND s.g = 1"]
+    for jt in jtypes:
+        for cnd in conds45:
+            for p, fmt in projs45:
+                for w in wheres45:
+                    wsql = f" WHERE {w}" if w else ""
+                    f.query(f"SELECT {p} FROM t4 {jt} t5 s ON {cnd}{wsql}",
+                            fmt, "rowsort")
+
+    # -- CROSS JOIN + filter (the unit-key shape) ---------------------------
+    for w in ["a = r.k", "a < r.k AND r.v > 280", "a % 7 = r.k % 7 AND a > 220",
+              "r.v - a BETWEEN 80 AND 95", "b = r.v - 100"]:
+        for p, fmt in [("a, r.k", "II"), ("a, r.k, r.v", "III")]:
+            f.query(f"SELECT {p} FROM t1 CROSS JOIN t3 r WHERE {w}",
+                    fmt, "rowsort")
+    f.query("SELECT count(*) FROM t1 CROSS JOIN t3 r", "I", "nosort")
+    f.query("SELECT count(*), sum(a + r.v) FROM t1 CROSS JOIN t3 r",
+            "II", "nosort")
+
+    # -- self-joins ---------------------------------------------------------
+    selfconds = ["u.a = w.b", "u.a = w.a + 7", "u.b = w.c", "u.a + 14 = w.a",
+                 "u.a = w.a AND u.b < w.c", "u.c = w.d"]
+    selfwheres = ["", "u.a > 160", "w.b IS NULL"]
+    for jt in jtypes:
+        for cnd in selfconds:
+            for p, fmt in [("u.a, w.a", "II"), ("u.a, w.a, w.b", "III")]:
+                for wh in selfwheres:
+                    wsql = f" WHERE {wh}" if wh else ""
+                    f.query(f"SELECT {p} FROM t1 u {jt} t1 w ON {cnd}{wsql}",
+                            fmt, "rowsort")
+
+    # -- 3-way chains mixing join types ------------------------------------
+    on1s = ["r.k = a", "r.k = a AND r.v > 240", "r.k = b"]
+    on2s = ["s.k = a", "s.k = r.k", "s.k = a AND s.g < 4"]
+    projs3 = [("a, r.v, s.v", "III"), ("a, r.k, s.g", "III"),
+              ("b, r.v, s.k", "III")]
+    wheres3 = ["", "a > 160", "r.v IS NOT NULL", "s.g = 2", "b IS NULL",
+               "s.v IS NULL"]
+    for j1 in jtypes:
+        for j2 in jtypes:
+            for o1 in on1s:
+                for o2 in on2s:
+                    for p, fmt in projs3:
+                        for w in wheres3:
+                            wsql = f" WHERE {w}" if w else ""
+                            f.query(
+                                f"SELECT {p} FROM t1 {j1} t3 r ON {o1} "
+                                f"{j2} t5 s ON {o2}{wsql}", fmt, "rowsort")
+
+    # -- outer-join x aggregate mixes --------------------------------------
+    grps = ["a % 5", "r.k % 7", "r.v IS NULL", "a % 3, r.k % 2"]
+    jaggs = ["count(*)", "count(r.v)", "sum(r.v)", "min(r.v)", "max(b)",
+             "count(distinct r.k)", "sum(a + coalesce(r.v, 0))",
+             "max(r.v - a)"]
+    for jt in jtypes:
+        for cnd in conds13[:5]:
+            for grp in grps:
+                ncols = grp.count(",") + 2
+                for agg in jaggs:
+                    f.query(
+                        f"SELECT {grp}, {agg} FROM t1 {jt} t3 r ON {cnd} "
+                        f"GROUP BY {grp}", "I" * ncols, "rowsort")
+                for h in [" HAVING count(*) > 2", " HAVING count(r.v) = 0",
+                          " HAVING min(r.v) > 240"]:
+                    f.query(
+                        f"SELECT {grp}, count(*), count(r.v) FROM t1 {jt} "
+                        f"t3 r ON {cnd} GROUP BY {grp}{h}",
+                        "I" * (grp.count(",") + 3), "rowsort")
+    # ungrouped aggregates over outer joins (padding feeds the aggregate)
+    for jt in jtypes:
+        for cnd in conds13:
+            for agg in ["count(*)", "count(r.v)", "sum(r.v)",
+                        "count(*) - count(r.k)", "min(coalesce(r.v, 999))"]:
+                f.query(f"SELECT {agg} FROM t1 {jt} t3 r ON {cnd}",
+                        "I", "nosort")
+
+    # -- aggregates over 3-way joins ---------------------------------------
+    grps3 = ["s.g", "a % 4", "s.g, r.k % 2"]
+    aggs3 = ["count(*)", "count(r.v)", "sum(s.v)", "max(coalesce(r.v, 0) + s.g)"]
+    for j1 in jtypes:
+        for j2 in jtypes:
+            for o1, o2 in [("r.k = a", "s.k = a"), ("r.k = a", "s.k = r.k")]:
+                for grp in grps3:
+                    ncols = grp.count(",") + 2
+                    for agg in aggs3:
+                        f.query(
+                            f"SELECT {grp}, {agg} FROM t1 {j1} t3 r ON {o1} "
+                            f"{j2} t5 s ON {o2} GROUP BY {grp}",
+                            "I" * ncols, "rowsort")
+
+    # -- joins over derived aggregate tables -------------------------------
+    deriveds = [
+        "(SELECT k, count(*) AS n, sum(v) AS sv FROM t3 GROUP BY k)",
+        "(SELECT k, max(v) AS mv FROM t3 WHERE v > 220 GROUP BY k)",
+        "(SELECT g, count(*) AS n, min(v) AS mv FROM t5 GROUP BY g)",
+    ]
+    for jt in jtypes:
+        for i, d in enumerate(deriveds):
+            key = "r.g = a % 6" if i == 2 else "r.k = a"
+            cols = "a, r.n, r.mv" if i == 2 else \
+                ("a, r.n, r.sv" if i == 0 else "a, r.mv, b")
+            for w in ["", "a > 150", "a % 2 = 1"]:
+                wsql = f" WHERE {w}" if w else ""
+                f.query(f"SELECT {cols} FROM t1 {jt} {d} r ON {key}{wsql}",
+                        "III", "rowsort")
+    # derived x derived
+    for jt in jtypes:
+        f.query(
+            "SELECT l.g, l.n, r.n FROM "
+            "(SELECT g, count(*) AS n FROM t5 GROUP BY g) l "
+            f"{jt} (SELECT v % 6 AS g, count(*) AS n FROM t3 GROUP BY v % 6) r "
+            "ON l.g = r.g", "III", "rowsort")
+        f.query(
+            "SELECT l.kk, l.sv, r.n FROM "
+            "(SELECT k % 21 AS kk, sum(v) AS sv FROM t3 GROUP BY k % 21) l "
+            f"{jt} (SELECT k % 21 AS kk, count(*) AS n FROM t5 GROUP BY k % 21) r "
+            "ON l.kk = r.kk", "III", "rowsort")
+
+    # -- USING joins (t3 and t5 share k) -----------------------------------
+    for jt in jtypes:
+        for w in ["", "t3.v > 240", "t5.g = 3"]:
+            wsql = f" WHERE {w}" if w else ""
+            f.query(f"SELECT k, t3.v, t5.g FROM t3 {jt} t5 USING (k){wsql}",
+                    "III", "rowsort")
+
+    # -- set-ops over join results -----------------------------------------
+    joinsel = [
+        "SELECT a FROM t1 JOIN t3 r ON r.k = a",
+        "SELECT a FROM t1 LEFT JOIN t3 r ON r.k = a WHERE r.k IS NULL",
+        "SELECT a FROM t1 JOIN t5 s ON s.k = a",
+        "SELECT r.k FROM t1 RIGHT JOIN t3 r ON r.k = a",
+    ]
+    for op in ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]:
+        for i in range(len(joinsel)):
+            for j in range(len(joinsel)):
+                if i != j:
+                    f.query(f"({joinsel[i]}) {op} ({joinsel[j]})",
+                            "I", "rowsort")
+
+    # -- EXISTS / IN mixed with joins --------------------------------------
+    for jt in jtypes:
+        for shape in [
+            "EXISTS (SELECT 1 FROM t5 s WHERE s.k = r.k)",
+            "NOT EXISTS (SELECT 1 FROM t5 s WHERE s.k = a)",
+            "a IN (SELECT k FROM t5 WHERE g < 3)",
+            "coalesce(r.v, 0) NOT IN (SELECT v FROM t5 WHERE g = 1)",
+        ]:
+            for w in ["", "a > 140", "b IS NOT NULL"]:
+                extra = f" AND {w}" if w else ""
+                f.query(
+                    f"SELECT a, r.k FROM t1 {jt} t3 r ON r.k = a "
+                    f"WHERE {shape}{extra}", "II", "rowsort")
+
+    # -- LEFT-join anti/semi idioms ----------------------------------------
+    for tbl, key, col in [("t3 r", "r.k = a", "r.k"), ("t5 s", "s.k = a", "s.k")]:
+        f.query(f"SELECT a FROM t1 LEFT JOIN {tbl} ON {key} "
+                f"WHERE {col} IS NULL", "I", "rowsort")
+        f.query(f"SELECT DISTINCT a FROM t1 JOIN {tbl} ON {key}",
+                "I", "rowsort")
+
+    # -- FULL-join COALESCE key merge --------------------------------------
+    for w in ["", "WHERE a IS NULL OR r.k IS NULL",
+              "WHERE coalesce(a, r.k) % 2 = 0"]:
+        f.query(
+            "SELECT coalesce(a, r.k), a IS NULL, r.k IS NULL "
+            f"FROM t1 FULL JOIN t3 r ON r.k = a {w}", "III", "rowsort")
+
+    # -- 4-way chain --------------------------------------------------------
+    for j1 in ["JOIN", "LEFT JOIN", "FULL JOIN"]:
+        for j2 in jtypes:
+            for j3 in ["JOIN", "LEFT JOIN", "FULL JOIN"]:
+                for w in ["", "a > 155", "s.g IS NULL OR s.g = 2",
+                          "q.x IS NOT NULL"]:
+                    wsql = f" WHERE {w}" if w else ""
+                    f.query(
+                        f"SELECT a, r.k, s.g, q.x FROM t1 {j1} t3 r ON r.k = a "
+                        f"{j2} t5 s ON s.k = a {j3} t4 q ON q.w = s.k{wsql}",
+                        "IIII", "rowsort")
+
+    # -- late mutation, then re-run a slice (join state visibility) --------
+    f.statement("INSERT INTO t3 VALUES(114,275)")
+    f.statement("DELETE FROM t5 WHERE g = 5")
+    for jt in jtypes:
+        f.query(f"SELECT a, r.v FROM t1 {jt} t3 r ON r.k = a", "II", "rowsort")
+        f.query(f"SELECT a, s.v FROM t1 {jt} t5 s ON s.k = a", "II", "rowsort")
+        f.query(
+            f"SELECT a % 5, count(*), count(r.v) FROM t1 {jt} t3 r ON r.k = a "
+            "GROUP BY a % 5", "III", "rowsort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
-              gen_select6, gen_select7, gen_window):
+              gen_select6, gen_select7, gen_window, gen_join):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
