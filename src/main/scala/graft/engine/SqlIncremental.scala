@@ -140,15 +140,19 @@ object SqlIncremental {
           val names = plan.output.map(_.name)
           m.get(plan.canonicalized) match {
             case Some((inc, storedNames)) if storedNames == names => inc
-            case Some((inc, storedNames))
-                if storedNames.distinct.size == storedNames.size =>
+            case Some((inc, storedNames)) =>
               // Same result, different aliases: share the node (one trace)
-              // behind a linear rename to this plan's names. Skipped when
-              // the stored names repeat (positional rename would be
-              // ambiguous) — those compile their own node below.
-              inc.select(storedNames.zip(names).map {
-                case (o, n) => org.apache.spark.sql.functions.col(o).as(n)
-              }: _*)
+              // behind a linear POSITIONAL rename to this plan's names —
+              // positional (not by-name) so subtrees whose stored names
+              // repeat (`SELECT a, a FROM t`) still share instead of
+              // compiling a duplicate stateful node. Canonical-equal plans
+              // have equal arity, so the zip is total; the weight column is
+              // kept wherever the child's layout put it.
+              inc.linear { df =>
+                val it = names.iterator
+                df.toDF(df.columns.map(c =>
+                  if (c == graft.zset.ZSet.W) c else it.next()): _*)
+              }
             case _ =>
               val inc = walkImpl(plan, sources)
               m.update(plan.canonicalized, (inc, names))

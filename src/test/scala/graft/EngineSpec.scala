@@ -141,6 +141,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Set(("a", 13L), ("b", 4L)))
   }
 
+  test("structural CSE shares subtrees whose output names REPEAT (positional rename)") {
+    // `SELECT k, k, SUM(v)` makes the memoized aggregate's output names
+    // repeat — a name-keyed rename (`col("k").as(...)`) would be ambiguous,
+    // so the r6 memo skipped sharing and compiled a duplicate stateful
+    // node. The positional rename (toDF) shares it: ONE trace.
+    // The view outputs themselves must be duplicate-free (Spark temp-view
+    // registration rejects duplicates), so the repeated-name node is the
+    // INNER derived table; the outer select references only `s`.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE CDUP(k VARCHAR NOT NULL, v INT NOT NULL);
+        |CREATE VIEW DUP1 AS SELECT s AS s1 FROM
+        |  (SELECT k, k, SUM(v) AS s FROM CDUP GROUP BY k) i;
+        |CREATE VIEW DUP2 AS SELECT s2 + 1 AS t FROM
+        |  (SELECT k, k, SUM(v) AS s2 FROM CDUP GROUP BY k) i""".stripMargin)
+    val r = e.incrementalRunner(Seq("DUP1", "DUP2"))
+    assert(r.statefulNodeCount === 1) // shared despite repeated stored names
+    import graft.zset.ZSet
+    import spark.implicits._
+    r.stepAll(Map("CDUP" -> ZSet.fromRows(
+      Seq(("a", 5), ("a", 7), ("b", 3)).toDF("k", "v"))))
+    r.stepAll(Map("CDUP" -> ZSet.fromRows(Seq(("b", 20)).toDF("k", "v"))))
+    def rows(view: String) =
+      ZSet.toRows(ZSet.consolidate(r.output(view)))
+        .as[Long].collect().toSet
+    assert(rows("DUP1") === Set(12L, 23L))
+    assert(rows("DUP2") === Set(13L, 24L))
+  }
+
   test("views over views") {
     val e = new Engine(spark)
     e.executeScript(
