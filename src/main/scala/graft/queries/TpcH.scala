@@ -85,6 +85,237 @@ object TpcH {
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // Q4 shape: order-priority checking — EXISTS over lineitem becomes a
+    // LEFT SEMI join with a non-equi residual (l_shipdate > o_orderdate);
+    // at scale the semi join shuffles once on the order key and never
+    // materializes the multiplicity of matching lineitems
+    "q116_tpch_q4" -> ((s, d) => {
+      val o = T(s, d, "orders").filter(
+        col("o_orderdate") >= tsLit("1996-01-01") &&
+        col("o_orderdate") < tsLit("1996-04-01"))
+      val l = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q7 shape: volume shipping between two nations — the supplier-nation
+    // and customer-nation legs broadcast (25 rows) while the fact-fact
+    // orders⋈lineitem shuffles once on the order key
+    "q117_tpch_q7" -> ((s, d) => {
+      val n1 = T(s, d, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = T(s, d, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val l = T(s, d, "lineitem").filter(
+        col("l_shipdate") >= tsLit("1996-01-01") &&
+        col("l_shipdate") < tsLit("1998-01-01"))
+      T(s, d, "supplier")
+        .join(l, col("s_suppkey") === col("l_suppkey"))
+        .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+                (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
+
+    // Q8 shape: national market share — ratio of two deterministic
+    // fixed-point sums over the full dimension chain (customer's region
+    // filtered, supplier's nation in the numerator CASE)
+    "q118_tpch_q8" -> ((s, d) => {
+      val n1 = T(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val n2 = T(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      T(s, d, "part").filter(col("p_type") === "ECONOMY")
+        .join(T(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(T(s, d, "orders").filter(
+          col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1998-01-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(T(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg((Exact.dsum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0.0))) /
+          Exact.dsum(vol)).as("mkt_share"))
+    }),
+
+    // Q9 shape: product-type profit — no partsupp in the fixture schema,
+    // so supply cost is adapted to p_retailprice * l_quantity * 0.01
+    // (per-row double ops stay deterministic; the reduce is fixed-point)
+    "q119_tpch_q9" -> ((s, d) => {
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.01)
+      T(s, d, "part").filter(col("p_type") === "STANDARD")
+        .join(T(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .join(T(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(T(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(T(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(Exact.dsum(amount).as("sum_profit"))
+    }),
+
+    // Q13 shape: customer order-count distribution — LEFT join with an ON
+    // residual, two cascaded aggregations (per-customer then histogram)
+    "q120_tpch_q13" -> ((s, d) => {
+      val o = T(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      T(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q14 shape: promo revenue ratio — one fact-dimension join, ratio of
+    // two fixed-point sums
+    "q121_tpch_q14" -> ((s, d) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      T(s, d, "lineitem").filter(
+        col("l_shipdate") >= tsLit("1996-09-01") &&
+        col("l_shipdate") < tsLit("1996-10-01"))
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          Exact.dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) /
+          Exact.dsum(vol)).as("promo_revenue"))
+    }),
+
+    // Q15 shape: top supplier — quarter revenue per supplier equi-joined
+    // to its own broadcast global max (exact equality is safe: both sides
+    // come from the same deterministic fixed-point reduction)
+    "q122_tpch_q15" -> ((s, d) => {
+      val rev = T(s, d, "lineitem").filter(
+        col("l_shipdate") >= tsLit("1996-01-01") &&
+        col("l_shipdate") < tsLit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      T(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // Q17 shape: small-quantity-order revenue — correlated scalar AVG
+    // decorrelates to a grouped aggregate joined back on the part key
+    // (avg of integral quantities is exact in double, so the threshold
+    // comparison is engine-independent)
+    "q123_tpch_q17" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg(col("l_quantity")) * lit(0.2)).as("q_thresh"))
+      li.join(T(s, d, "part").filter(col("p_brand") === "Brand#13"),
+          col("l_partkey") === col("p_partkey"))
+        .join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("q_thresh"))
+        .agg((Exact.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q18 shape: large-volume customers — HAVING over a grouped quantity
+    // sum (integral doubles: exact), semi-joined back to the order detail
+    "q124_tpch_q18" -> ((s, d) => {
+      val big = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(col("l_quantity")).as("b_qty"))
+        .filter(col("b_qty") > 200)
+        .select(col("b_orderkey"))
+      val l = T(s, d, "lineitem")
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(big), col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Q19 shape: discounted revenue — disjunctive brand/size/quantity
+    // predicate bands over one part⋈lineitem join; the whole OR pushes
+    // into the join filter (no per-band scans)
+    "q125_tpch_q19" -> ((s, d) => {
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 40))
+      T(s, d, "lineitem")
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // Q21 shape: suppliers who kept orders waiting — the fixture has no
+    // receipt/commit dates, so "late" adapts to shipping >60 days after
+    // the order date; EXISTS → LEFT SEMI, NOT EXISTS → LEFT ANTI, both
+    // with non-equi residuals referencing the outer order date
+    "q126_tpch_q21" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL '60' DAY")
+      val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = li.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
+      T(s, d, "supplier")
+        .join(li, col("s_suppkey") === col("l_suppkey"))
+        .join(T(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(late)
+        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey") &&
+          col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
+    // Q22 shape: global sales opportunity — no phone column, so the
+    // country code adapts to c_nationkey % 10; NOT EXISTS → LEFT ANTI
+    // (over recent-urgent orders: every fixture customer has SOME order),
+    // and the acctbal threshold is a broadcast deterministic average
+    "q127_tpch_q22" -> ((s, d) => {
+      val cu = T(s, d, "customer")
+        .withColumn("cntrycode", (col("c_nationkey") % 10).cast(LongType))
+        .filter(col("cntrycode").isin(1L, 3L, 5L, 7L))
+      val thresh = cu.filter(col("c_acctbal") > 0.0)
+        .agg(Exact.davg(col("c_acctbal")).as("avg_bal"))
+      val recentUrgent = T(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= tsLit("1999-01-01"))
+        .select(col("o_custkey"))
+      cu.join(broadcast(thresh), col("c_acctbal") > col("avg_bal"))
+        .join(recentUrgent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          Exact.dsum(col("c_acctbal")).as("totacctbal"))
     })
   )
 
@@ -133,6 +364,153 @@ object TpcH {
             AND o_orderdate < TIMESTAMP '1996-07-01'
             AND l_returnflag = 'R'
           GROUP BY c_custkey, c_name, n_name
-          ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q116_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-04-01'
+            AND EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey
+                          AND l_shipdate > o_orderdate)
+          GROUP BY o_orderpriority""",
+    "q117_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2, 3""",
+    "q118_tpch_q8" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             ${Exact.sqlDsum("CASE WHEN n2.n_name = 'NATION_3' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+             ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")}
+               AS mkt_share
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1""",
+    "q119_tpch_q9" ->
+      s"""SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount) " +
+               "- p_retailprice * l_quantity * 0.01")} AS sum_profit
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = 'STANDARD'
+          GROUP BY 1, 2""",
+    "q120_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                       WHERE o_orderpriority <> '1-URGENT') o
+              ON c_custkey = o_custkey
+            GROUP BY c_custkey) t
+          GROUP BY c_count""",
+    "q121_tpch_q14" ->
+      s"""SELECT 100.0 *
+             ${Exact.sqlDsum("CASE WHEN p_type = 'PROMO' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+             ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")}
+               AS promo_revenue
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q122_tpch_q15" ->
+      s"""WITH revenue0 AS (
+            SELECT l_suppkey,
+               ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")}
+                 AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM supplier JOIN revenue0 ON s_suppkey = l_suppkey
+          WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)""",
+    "q123_tpch_q17" ->
+      s"""SELECT ${Exact.sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+             COUNT(*) AS n_items
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#13'
+            AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = p_partkey)""",
+    "q124_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+             SUM(l_quantity) AS sum_qty
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING SUM(l_quantity) > 200)
+          GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice""",
+    "q125_tpch_q19" ->
+      s"""SELECT ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")}
+               AS revenue,
+             COUNT(*) AS n_items
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 21)
+             OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 10 AND 30)
+             OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+                 AND l_quantity BETWEEN 20 AND 40)""",
+    "q126_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+          FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name ASC LIMIT 20""",
+    "q127_tpch_q22" ->
+      s"""WITH cu AS (
+            SELECT c_custkey, c_acctbal,
+                   CAST(c_nationkey % 10 AS BIGINT) AS cntrycode
+            FROM customer
+            WHERE c_nationkey % 10 IN (1, 3, 5, 7))
+          SELECT cntrycode, COUNT(*) AS numcust,
+             ${Exact.sqlDsum("c_acctbal")} AS totacctbal
+          FROM cu
+          WHERE c_acctbal > (SELECT ${Exact.sqlDavg("c_acctbal")}
+                             FROM cu WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT'
+                              AND o_orderdate >= TIMESTAMP '1999-01-01')
+          GROUP BY cntrycode"""
   )
 }
