@@ -1036,7 +1036,29 @@ object Incremental {
       * parents re-optimizes the shared subtrees once per parent and races
       * the union job against its own uncomputed caches. Jobs per step =
       * wave count (+1 for untraced-root sinks) — each small and shallow. */
+    /** One synchronized step for several inputs. AQE is suspended for the
+      * step's jobs by default: a step runs MANY delta-sized shuffle stages,
+      * and adaptive execution inserts a materialization barrier + re-plan
+      * per stage — measured ~20% of q100's wave wall-time at sf0.1 — while
+      * having nothing to adapt on kilobyte deltas. Deployments whose
+      * per-batch deltas are themselves huge (where runtime skew/coalesce
+      * re-planning pays for its barriers) can set
+      * `spark.graft.incremental.stepAqe=true` to keep AQE on inside steps;
+      * batch/initial jobs outside stepAll are unaffected either way. */
     def stepAll(deltas: Inputs): Map[String, DataFrame] = {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val keepAqe = spark.conf.getOption("spark.graft.incremental.stepAqe")
+        .exists(_.toBoolean)
+      val prevAqe = spark.conf.getOption(aqeKey)
+      if (!keepAqe) spark.conf.set(aqeKey, "false")
+      try stepAllImpl(deltas)
+      finally if (!keepAqe) prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    }
+
+    private def stepAllImpl(deltas: Inputs): Map[String, DataFrame] = {
       val unknown = deltas.keySet -- integrated.keySet
       require(unknown.isEmpty, s"deltas for undeclared inputs: $unknown")
       val active = deltas.keySet
