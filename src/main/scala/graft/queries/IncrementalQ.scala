@@ -391,6 +391,50 @@ object IncrementalQ {
       r.step(Map("L" -> ZSet.negate(ZSet.fromRows(
         li.filter(col("l_quantity") >= 50)))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // TPC-H Q3 as a STANDING VIEW: the full shipping-priority query
+    // (3-way join + grouped fixed-point revenue + top-10) compiled from
+    // SQL and maintained through insert waves on all three tables plus an
+    // order-retraction wave (cancelled 'F' orders leave, taking their
+    // groups and top-10 membership with them). Revenue reduces through
+    // the DECIMAL(38,0) fixed-point image, so incremental merge and
+    // retraction arithmetic are exact — the integrated state hash-matches
+    // DuckDB's batch answer over the net rows.
+    "q128_incremental_tpch_q3" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_orderstatus"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          col("l_shipdate"), col("l_quantity"))
+      c.limit(0).createOrReplaceTempView("CQ3")
+      o.limit(0).createOrReplaceTempView("OQ3")
+      li.limit(0).createOrReplaceTempView("LQ3")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                    * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                    AS revenue
+           FROM CQ3
+           JOIN OQ3 ON c_custkey = o_custkey
+           JOIN LQ3 ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1997-06-17'
+             AND l_shipdate > TIMESTAMP '1997-06-17'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        Set("CQ3", "OQ3", "LQ3"))
+      val r = new Runner(s, circuit, Map(
+        "CQ3" -> c.limit(0), "OQ3" -> o.limit(0), "LQ3" -> li.limit(0)))
+      r.step(Map("CQ3" -> ZSet.fromRows(c), "OQ3" -> ZSet.fromRows(o),
+        "LQ3" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("LQ3" -> ZSet.fromRows(li.filter(col("l_quantity") >= 30))))
+      r.step(Map("OQ3" -> ZSet.negate(ZSet.fromRows(
+        o.filter(col("o_orderstatus") === "F")))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
@@ -460,6 +504,20 @@ object IncrementalQ {
                 p.purchase_value, p.ts_us AS purchase_ts_us
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""",
+    "q128_incremental_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                  * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                  AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-17'
+           AND l_shipdate > TIMESTAMP '1997-06-17'
+           AND o_orderstatus <> 'F'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q112_incremental_range_exists" ->
       """SELECT o_orderkey, lo, hi FROM
            (SELECT o_orderkey, o_custkey * 10 AS lo,
