@@ -435,6 +435,118 @@ object IncrementalQ {
       r.step(Map("OQ3" -> ZSet.negate(ZSet.fromRows(
         o.filter(col("o_orderstatus") === "F")))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // CONTINUOUS NEAR-DUP DETECTION: the MinHash-LSH pipeline (per-row
+    // signatures → banded bucket self-join → distinct candidate pairs →
+    // exact-Jaccard verify) as a standing incremental view — the shape a
+    // training-data pipeline actually runs: documents stream in, duplicate
+    // pairs stream out, and a retracted document takes its pairs with it.
+    // Every stage is circuit-native: signature/banding are LINEAR (per-row
+    // expressions, delta-proportional by construction), the bucket
+    // self-join and both verify joins are bilinear traced joins, candidate
+    // dedup across bands is an incremental Refold. Per-step cost is
+    // O(Δdocs × bucket occupancy), never O(corpus).
+    //
+    // Oracle exactness mirrors q76: at J ≥ 0.9 with 16 bands × 4 rows the
+    // banding miss probability is < 4e-8 and verification removes all
+    // false positives, so the maintained state equals DuckDB's exact
+    // all-pairs Jaccard over the net surviving corpus.
+    "q129_incremental_near_dup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val n = 3; val k = 64; val bandCount = 16; val rowsPerBand = k / bandCount
+      val toksE = filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+        t => length(t) > 0)
+      // projection boundary between tokens and shingles: higher-order
+      // functions are interpreted, so the shingle lambda must read a bound
+      // column, not re-evaluate the token split per element
+      val shE = array_distinct(
+        when(size(col("__toks")) < n, array(concat_ws(" ", col("__toks"))))
+          .otherwise(transform(sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+      val D = source("D")
+      val sh = D.select(col("doc_id"), toksE.as("__toks"))
+        // zero-token docs emit no signature (mirrors the batch path, which
+        // drops them at the explode, and the q76 oracle's len(t) > 0)
+        .where(size(col("__toks")) > 0)
+        .select(col("doc_id"), shE.as("sh"))
+      val sig = sh.select(col("doc_id"),
+        graft.pipeline.Dedup.minhashSignature(col("sh"), k).as("sig"))
+      val bandsInc = sig.select(col("doc_id"), posexplode(
+          array((0 until bandCount).map(b => xxhash64(concat_ws("_",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
+        .as(Seq("band_id", "band_key")))
+      val aSide = bandsInc.select(col("band_id"), col("band_key"),
+        col("doc_id").as("id_a"))
+      val bSide = bandsInc.select(col("band_id"), col("band_key"),
+        col("doc_id").as("id_b"))
+      val pairs = aSide.join(bSide, Seq("band_id", "band_key"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct
+      val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val circuit = pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1))
+              .cast("double")).as("jaccard"))
+        .where(col("jaccard") >= 0.9)
+      val r = new Runner(s, circuit, Map("D" -> docs.limit(0)))
+      r.step(Map("D" -> ZSet.fromRows(docs.filter(col("doc_id") % 2 === 0))))
+      r.step(Map("D" -> ZSet.fromRows(docs.filter(col("doc_id") % 2 === 1))))
+      r.step(Map("D" -> ZSet.negate(ZSet.fromRows(
+        docs.filter(col("doc_id") % 7 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // TPC-H Q10 as a STANDING VIEW: the returned-item report — a 4-way
+    // join (customer × orders × lineitem × nation) with grouped
+    // fixed-point revenue and top-20 — compiled from SQL and maintained
+    // through insert waves plus a CUSTOMER retraction wave (a churned
+    // customer's groups leave the report entirely, dragging top-20
+    // membership with them). Same DECIMAL(38,0) fixed-point image as
+    // q128, so incremental merge/retraction arithmetic is exact.
+    "q130_incremental_tpch_q10" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"), col("l_quantity"))
+      val n = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      c.limit(0).createOrReplaceTempView("CQ10")
+      o.limit(0).createOrReplaceTempView("OQ10")
+      li.limit(0).createOrReplaceTempView("LQ10")
+      n.limit(0).createOrReplaceTempView("NQ10")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT c_custkey, c_name, n_name,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                    * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                    AS revenue,
+                  COUNT(*) AS n_items
+           FROM CQ10
+           JOIN OQ10 ON c_custkey = o_custkey
+           JOIN LQ10 ON o_orderkey = l_orderkey
+           JOIN NQ10 ON c_nationkey = n_nationkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-07-01'
+             AND l_returnflag = 'R'
+           GROUP BY c_custkey, c_name, n_name
+           ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+        Set("CQ10", "OQ10", "LQ10", "NQ10"))
+      val r = new Runner(s, circuit, Map("CQ10" -> c.limit(0),
+        "OQ10" -> o.limit(0), "LQ10" -> li.limit(0), "NQ10" -> n.limit(0)))
+      r.step(Map("CQ10" -> ZSet.fromRows(c), "NQ10" -> ZSet.fromRows(n),
+        "OQ10" -> ZSet.fromRows(o),
+        "LQ10" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("LQ10" -> ZSet.fromRows(li.filter(col("l_quantity") >= 30))))
+      r.step(Map("CQ10" -> ZSet.negate(ZSet.fromRows(
+        c.filter(col("c_custkey") % 5 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
@@ -557,6 +669,47 @@ object IncrementalQ {
                 CAST(SUM(CAST(event_id % 97 AS BIGINT)) OVER
                   (PARTITION BY user_id ORDER BY ts_sec
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1h
-         FROM net"""
+         FROM net""",
+    // exact word-3-gram Jaccard over all surviving pairs (doc_id % 7 <> 0
+    // is the net corpus after the retraction wave); O(n²) is fine for the
+    // oracle at gate scale — the engine side stays banded-LSH throughout
+    "q129_incremental_near_dup" ->
+      raw"""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 t -> length(t) > 0) AS t
+              FROM documents
+              WHERE doc_id % 7 <> 0
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(range(len(t) - 2),
+                                 i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))
+                     END AS s
+              FROM toks
+              WHERE len(t) > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.9""",
+    "q130_incremental_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                  * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                  AS revenue,
+                COUNT(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND l_returnflag = 'R'
+           AND c_custkey % 5 <> 0
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
   )
 }

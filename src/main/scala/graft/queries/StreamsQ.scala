@@ -31,18 +31,29 @@ object StreamsQ {
                        writer: => org.apache.spark.sql.streaming.DataStreamWriter[_],
                        rows: Seq[T], sentinels: Seq[T], parts: Int): DataFrame = {
     val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
-    val q = writer.queryName(qn).start()
+    // The state store runs one instance per shuffle partition per batch;
+    // the fixture drives 5 micro-batches over small keyed state, so the
+    // session's partition count (sized for batch scans) multiplies pure
+    // store-commit latency. These queries start from a fresh checkpoint
+    // every run, so the partition count is free to choose here — deployed
+    // streams size it once for peak state and keep it for the query's life.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, "8")
     try {
-      val per = math.max(1, rows.length / parts + 1)
-      rows.grouped(per).foreach { chunk =>
-        mem.addData(chunk)
-        q.processAllAvailable()
-      }
-      sentinels.foreach { s =>
-        mem.addData(s)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      val q = writer.queryName(qn).start()
+      try {
+        val per = math.max(1, rows.length / parts + 1)
+        rows.grouped(per).foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+        sentinels.foreach { s =>
+          mem.addData(s)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(partsKey, prevParts)
     spark.table(qn)
   }
 

@@ -61,6 +61,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("join.test", 5100)
   }
 
+  test("subquery.test: multi-col [NOT] IN, nested/set-op/scalar subqueries") {
+    check("subquery.test", 1100)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -86,6 +86,17 @@ class File:
         self.out += [header, sql, "----"] + expected_block(lines) + [""]
         self.n_queries += 1
 
+    def query_oracle(self, sql, oracle_sql, fmt, order):
+        """Emit `sql` into the .test file but freeze the expectation from
+        `oracle_sql` — for constructs DuckDB can't bind verbatim (e.g.
+        multi-column IN subqueries) where an equivalent spelled-out form
+        defines the expected 3VL semantics."""
+        rows = self.con.execute(oracle_sql).fetchall()
+        lines = render(rows, fmt, order)
+        header = f"query {fmt} {order}" if order != "nosort" else f"query {fmt} nosort"
+        self.out += [header, sql, "----"] + expected_block(lines) + [""]
+        self.n_queries += 1
+
     def write(self):
         os.makedirs(OUT, exist_ok=True)
         path = os.path.join(OUT, self.name)
@@ -1158,11 +1169,229 @@ def gen_join():
     return f
 
 
+def gen_subquery():
+    """Subquery grammar complementing select6 (which owns correlated
+    scalar/EXISTS/IN): multi-column [NOT] IN tuples (3VL row-wise, a shape
+    Spark lowers without the single-column null-aware hash join),
+    uncorrelated scalar comparison grids, scalar-vs-scalar comparisons,
+    nested subqueries (IN inside EXISTS inside IN), set-op and
+    derived-aggregate inner queries, GROUP BY/HAVING gated by scalar
+    subqueries, aggregates over subquery-filtered rows, and several
+    subqueries per query. All shapes probe-verified supported by Spark's
+    subquery planning; expectations frozen from DuckDB."""
+    f = File("subquery.test")
+    t1_statements(f)
+    t3_statements(f)
+    t4_statements(f)
+    t5_statements(f)
+
+    outer_wheres = ["", "a > 150", "b IS NOT NULL", "a % 2 = 1"]
+
+    # -- uncorrelated scalar comparison grid -------------------------------
+    lhss = ["a", "b", "c", "b + c", "d - 7"]
+    ops = ["<", "<=", ">", ">=", "=", "<>"]
+    scalars = [
+        "(SELECT min(v) FROM t3) - 150",
+        "(SELECT max(k) FROM t3) - 120",
+        "(SELECT count(*) FROM t5) + 100",
+        "(SELECT min(x) FROM t4)",          # over nullable col, still a value
+        "(SELECT max(v) FROM t5 WHERE g = 2) - 250",
+        "(SELECT sum(g) FROM t5) - 20",
+    ]
+    for lhs in lhss:
+        for op in ops:
+            for sc in scalars:
+                for w in outer_wheres[:3]:
+                    wsql = f" AND {w}" if w else ""
+                    f.query(f"SELECT a FROM t1 WHERE {lhs} {op} {sc}{wsql}",
+                            "I", "rowsort")
+
+    # -- scalar vs scalar --------------------------------------------------
+    for op in ops:
+        for l, r in [("(SELECT max(k) FROM t3)", "(SELECT min(k) FROM t5) + 110"),
+                     ("(SELECT count(*) FROM t3)", "(SELECT count(*) FROM t5) - 40"),
+                     ("(SELECT min(v) FROM t3)", "(SELECT max(v) FROM t5) - 260")]:
+            f.query(f"SELECT count(*) FROM t1 WHERE {l} {op} {r}", "I", "nosort")
+
+    # -- single-column [NOT] IN over varied inner shapes -------------------
+    probes = ["a", "b", "c", "a + 7", "coalesce(b, 0)"]
+    inners = [
+        "SELECT k FROM t3",
+        "SELECT k FROM t3 WHERE v > 240",
+        "SELECT v - 150 FROM t5 WHERE g < 3",
+        "SELECT x FROM t4",                          # nullable: NOT IN -> empty
+        "SELECT k FROM t3 UNION SELECT k FROM t5",
+        "SELECT k FROM t3 INTERSECT SELECT k FROM t5",
+        "SELECT k FROM t3 EXCEPT SELECT k FROM t5 WHERE g = 1",
+        "SELECT k FROM t3 GROUP BY k HAVING count(*) > 1",
+        "SELECT k + g FROM t5 WHERE v > 350",
+    ]
+    for p in probes:
+        for neg in ["IN", "NOT IN"]:
+            for inner in inners:
+                for w in outer_wheres[:3]:
+                    wsql = f" AND {w}" if w else ""
+                    f.query(
+                        f"SELECT a FROM t1 WHERE {p} {neg} ({inner}){wsql}",
+                        "I", "rowsort")
+
+    # -- multi-column [NOT] IN (row-wise 3VL) ------------------------------
+    # DuckDB can't bind `(a, b) IN (SELECT k, v ...)`, so expectations come
+    # from the defining 3VL expansion: IN is TRUE iff a strict all-equal row
+    # exists; NOT IN passes (TRUE) iff NO row null-matches (each column
+    # equal or either side NULL) — anything else is FALSE/UNKNOWN, filtered.
+    tuples = [([("a", "k"), ("b", "v - 100")], "t3", ""),
+              ([("a", "w"), ("b", "x")], "t4", ""),
+              ([("a", "k"), ("c", "v - 250 + g")], "t5", "g < 4"),
+              ([("a", "w"), ("d", "y")], "t4", "z IS NOT NULL"),
+              ([("a % 6", "g"), ("b", "v - 200")], "t5", ""),
+              ([("a", "w"), ("b", "x"), ("c", "y")], "t4", "")]
+
+    def tuple_sqls(cols, tbl, iflt, neg):
+        lhs = "(" + ", ".join(o for o, _ in cols) + ")"
+        sel = ", ".join(i for _, i in cols)
+        fsql = f" WHERE {iflt}" if iflt else ""
+        spark = f"{lhs} {neg} (SELECT {sel} FROM {tbl}{fsql})"
+        fand = f" AND ({iflt})" if iflt else ""
+        if neg == "IN":
+            cond = " AND ".join(f"({i}) = ({o})" for o, i in cols)
+            oracle = f"EXISTS (SELECT 1 FROM {tbl} WHERE {cond}{fand})"
+        else:
+            cond = " AND ".join(
+                f"(({i}) = ({o}) OR ({i}) IS NULL OR ({o}) IS NULL)"
+                for o, i in cols)
+            oracle = f"NOT EXISTS (SELECT 1 FROM {tbl} WHERE {cond}{fand})"
+        return spark, oracle
+
+    for cols, tbl, iflt in tuples:
+        for neg in ["IN", "NOT IN"]:
+            for w in outer_wheres:
+                wsql = f" AND {w}" if w else ""
+                sp, orc = tuple_sqls(cols, tbl, iflt, neg)
+                f.query_oracle(f"SELECT a FROM t1 WHERE {sp}{wsql}",
+                               f"SELECT a FROM t1 WHERE {orc}{wsql}",
+                               "I", "rowsort")
+                f.query_oracle(
+                    f"SELECT count(*) FROM t1 WHERE {sp}{wsql}",
+                    f"SELECT count(*) FROM t1 WHERE {orc}{wsql}",
+                    "I", "nosort")
+
+    # -- nested subqueries -------------------------------------------------
+    nested = [
+        ("a IN (SELECT k FROM t3 WHERE EXISTS "
+         "(SELECT 1 FROM t5 WHERE t5.k = t3.k))"),
+        ("a IN (SELECT k FROM t3 WHERE k IN (SELECT k FROM t5 WHERE g < 3))"),
+        ("a IN (SELECT k FROM t5 WHERE v > "
+         "(SELECT min(v) FROM t3 WHERE t3.k = t5.k))"),
+        ("EXISTS (SELECT 1 FROM t3 WHERE k = a AND v IN "
+         "(SELECT v FROM t5 WHERE g = 2))"),
+        ("EXISTS (SELECT 1 FROM t5 WHERE k = a AND NOT EXISTS "
+         "(SELECT 1 FROM t3 WHERE t3.k = t5.k))"),
+        ("NOT EXISTS (SELECT 1 FROM t3 WHERE k = a AND k IN "
+         "(SELECT k FROM t5 WHERE g >= 4))"),
+        ("a NOT IN (SELECT k FROM t3 WHERE v NOT IN "
+         "(SELECT v FROM t5 WHERE v IS NOT NULL))"),
+        ("EXISTS (SELECT 1 FROM t3 WHERE k = a AND EXISTS "
+         "(SELECT 1 FROM t4 WHERE w = t3.k))"),
+        ("a IN (SELECT w FROM t4 WHERE x > (SELECT min(g) FROM t5) + 100)"),
+        ("b IN (SELECT v - 100 FROM t3 WHERE k <= "
+         "(SELECT max(w) FROM t4) - 100)"),
+    ]
+    for shape in nested:
+        for w in outer_wheres:
+            wsql = f" AND {w}" if w else ""
+            for p, fmt in [("a", "I"), ("a, b", "II")]:
+                f.query(f"SELECT {p} FROM t1 WHERE {shape}{wsql}",
+                        fmt, "rowsort")
+
+    # -- GROUP BY / HAVING gated by scalar subqueries ----------------------
+    grps = ["a % 5", "a % 3", "b IS NULL"]
+    aggsets = [("count(*)", "I"), ("count(*), sum(a)", "II"),
+               ("min(a), max(c)", "II")]
+    havings = [
+        "count(*) > (SELECT count(*) FROM t3) - 16",
+        "min(a) < (SELECT min(k) FROM t5) + 30",
+        "max(a) >= (SELECT max(w) FROM t4) + 80",
+        "sum(a) <> (SELECT sum(k) FROM t3)",
+    ]
+    for grp in grps:
+        for aggs, fmt in aggsets:
+            for h in havings:
+                f.query(
+                    f"SELECT {grp}, {aggs} FROM t1 GROUP BY {grp} HAVING {h}",
+                    "I" + fmt, "rowsort")
+    # WHERE-subquery before grouping
+    for grp in grps:
+        for aggs, fmt in aggsets:
+            for flt in ["a IN (SELECT k FROM t3)",
+                        "a NOT IN (SELECT k FROM t5 WHERE g = 0)",
+                        "EXISTS (SELECT 1 FROM t5 WHERE k = a)",
+                        "c > (SELECT min(v) FROM t3) - 160"]:
+                f.query(
+                    f"SELECT {grp}, {aggs} FROM t1 WHERE {flt} GROUP BY {grp}",
+                    "I" + fmt, "rowsort")
+
+    # -- aggregates over subquery-filtered rows ----------------------------
+    for inner in inners:
+        for aggs in ["count(*)", "count(*), sum(a)", "min(a), max(a), count(b)"]:
+            fmt = "I" * (aggs.count(",") + 1)
+            f.query(f"SELECT {aggs} FROM t1 WHERE a IN ({inner})",
+                    fmt, "nosort")
+
+    # -- several subqueries in one query -----------------------------------
+    multi = [
+        ("SELECT a FROM t1 WHERE a IN (SELECT k FROM t3) "
+         "AND a NOT IN (SELECT k FROM t5 WHERE g = 5)"),
+        ("SELECT a FROM t1 WHERE EXISTS (SELECT 1 FROM t3 WHERE k = a) "
+         "AND b > (SELECT min(v) FROM t3) - 160"),
+        ("SELECT a FROM t1 WHERE a IN (SELECT k FROM t3) "
+         "OR a IN (SELECT k FROM t5 WHERE g = 2)"),
+        ("SELECT a FROM t1 WHERE (a IN (SELECT k FROM t3) "
+         "AND b IS NOT NULL) OR EXISTS (SELECT 1 FROM t4 WHERE w = a AND "
+         "x IS NULL)"),
+        ("SELECT a FROM t1 WHERE a IN (SELECT k FROM t3 WHERE v > 240) "
+         "AND EXISTS (SELECT 1 FROM t5 WHERE k = a) "
+         "AND c < (SELECT max(v) FROM t5)"),
+        ("SELECT a, b FROM t1 WHERE coalesce(b, 0) < (SELECT avg(v) FROM t3) "
+         "AND a NOT IN (SELECT w FROM t4 WHERE z IS NULL)"),
+    ]
+    for q in multi:
+        for w in outer_wheres:
+            wsql = f" AND {w}" if w else ""
+            fmt = "II" if q.startswith("SELECT a, b") else "I"
+            f.query(q + wsql, fmt, "rowsort")
+
+    # -- subquery in FROM joined against subquery in WHERE -----------------
+    for w in ["", "WHERE s.n > 1", "WHERE s.mx > 250"]:
+        f.query(
+            "SELECT s.k, s.n FROM (SELECT k, count(*) AS n, max(v) AS mx "
+            "FROM t3 GROUP BY k) s "
+            f"{w}{' AND' if w else 'WHERE'} s.k IN (SELECT k FROM t5)",
+            "II", "rowsort")
+
+    # -- late mutation, then re-run a slice --------------------------------
+    f.statement("INSERT INTO t3 VALUES(128,291)")
+    f.statement("INSERT INTO t4 VALUES(128,NULL,205,130)")
+    f.statement("DELETE FROM t5 WHERE g = 4")
+    for p in probes[:3]:
+        for neg in ["IN", "NOT IN"]:
+            for inner in inners[:4]:
+                f.query(f"SELECT a FROM t1 WHERE {p} {neg} ({inner})",
+                        "I", "rowsort")
+    for cols, tbl, iflt in tuples[:3]:
+        for neg in ["IN", "NOT IN"]:
+            sp, orc = tuple_sqls(cols, tbl, iflt, neg)
+            f.query_oracle(f"SELECT a FROM t1 WHERE {sp}",
+                           f"SELECT a FROM t1 WHERE {orc}",
+                           "I", "rowsort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
-              gen_select6, gen_select7, gen_window, gen_join):
+              gen_select6, gen_select7, gen_window, gen_join, gen_subquery):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
