@@ -121,6 +121,21 @@ object Dedup {
     array(sigs: _*)
   }
 
+  /** Same signature computed from PRE-HASHED shingles (a bound column of
+    * xxhash64 values): each permutation is then a pure affine transform.
+    * The split matters because higher-order functions are interpreted —
+    * `minhashSignature` re-evaluates xxhash64 inside each of the k
+    * permutation lambdas (k hashes per shingle), while hashing once into a
+    * projected column and folding THAT costs one hash per shingle plus k
+    * multiply-mods. Same values, ~k× less hashing. */
+  def minhashSignatureFromHashes(hashArr: Column, k: Int = 64): Column = {
+    val sigs = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = 7919L * (i + 1)
+      array_min(transform(hashArr, h => pmod(h * a + b, lit(P))))
+    }
+    array(sigs: _*)
+  }
+
   /** Distributed MinHash: explode shingle hashes, take the K permutation
     * minima as grouped aggregates. This is the shape that scales — one
     * hash per (doc, shingle), and the 64 `min`s partial-aggregate

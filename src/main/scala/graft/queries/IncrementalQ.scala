@@ -471,8 +471,12 @@ object IncrementalQ {
         // drops them at the explode, and the q76 oracle's len(t) > 0)
         .where(size(col("__toks")) > 0)
         .select(col("doc_id"), shE.as("sh"))
-      val sig = sh.select(col("doc_id"),
-        graft.pipeline.Dedup.minhashSignature(col("sh"), k).as("sig"))
+      // hash shingles ONCE behind a projection boundary; the k permutation
+      // folds then run affine transforms over the bound hash column
+      val sig = sh
+        .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+        .select(col("doc_id"),
+          graft.pipeline.Dedup.minhashSignatureFromHashes(col("hs"), k).as("sig"))
       val bandsInc = sig.select(col("doc_id"), posexplode(
           array((0 until bandCount).map(b => xxhash64(concat_ws("_",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
@@ -494,8 +498,11 @@ object IncrementalQ {
               .cast("double")).as("jaccard"))
         .where(col("jaccard") >= 0.9)
       val r = new Runner(s, circuit, Map("D" -> docs.limit(0)))
-      r.step(Map("D" -> ZSet.fromRows(docs.filter(col("doc_id") % 2 === 0))))
-      r.step(Map("D" -> ZSet.fromRows(docs.filter(col("doc_id") % 2 === 1))))
+      // batch-priced snapshot bootstrap, then a ~5% newly-crawled batch,
+      // then a takedown wave retracting 1/7 of the corpus (pairs must
+      // un-derive) — the production cadence of a continuous-dedup view
+      r.bootstrap(Map("D" -> docs.filter(col("doc_id") % 20 =!= 1)))
+      r.step(Map("D" -> ZSet.fromRows(docs.filter(col("doc_id") % 20 === 1))))
       r.step(Map("D" -> ZSet.negate(ZSet.fromRows(
         docs.filter(col("doc_id") % 7 === 0)))))
       ZSet.toRows(ZSet.consolidate(r.output))
@@ -540,12 +547,16 @@ object IncrementalQ {
         Set("CQ10", "OQ10", "LQ10", "NQ10"))
       val r = new Runner(s, circuit, Map("CQ10" -> c.limit(0),
         "OQ10" -> o.limit(0), "LQ10" -> li.limit(0), "NQ10" -> n.limit(0)))
-      r.step(Map("CQ10" -> ZSet.fromRows(c), "NQ10" -> ZSet.fromRows(n),
-        "OQ10" -> ZSet.fromRows(o),
-        "LQ10" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
-      r.step(Map("LQ10" -> ZSet.fromRows(li.filter(col("l_quantity") >= 30))))
+      // batch-priced snapshot bootstrap, then production-shaped waves: a
+      // ~2% lineitem delta (late-arriving shipments) and a 10%
+      // customer-churn retraction — the steady-state costs a standing
+      // report actually pays
+      r.bootstrap(Map("CQ10" -> c, "NQ10" -> n, "OQ10" -> o,
+        "LQ10" -> li.filter(col("l_orderkey") % 50 =!= 0)))
+      r.step(Map("LQ10" -> ZSet.fromRows(
+        li.filter(col("l_orderkey") % 50 === 0))))
       r.step(Map("CQ10" -> ZSet.negate(ZSet.fromRows(
-        c.filter(col("c_custkey") % 5 === 0)))))
+        c.filter(col("c_custkey") % 10 === 0)))))
       ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
@@ -708,7 +719,7 @@ object IncrementalQ {
          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1996-07-01'
            AND l_returnflag = 'R'
-           AND c_custkey % 5 <> 0
+           AND c_custkey % 10 <> 0
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
   )

@@ -317,6 +317,18 @@ object Incremental {
 
   // ---- node implementations ----------------------------------------------
 
+  /** Bootstrap-only leaf holding an already-materialized value — the
+    * Runner's snapshot bootstrap substitutes these for traced descendants
+    * so each traced node's batch evaluation reads persisted child values
+    * instead of re-deriving the whole subtree per node. Never part of a
+    * stepping circuit. */
+  private[streaming] final case class BootLeaf(df: DataFrame) extends Inc {
+    def kids: Seq[Inc] = Nil
+    def batch(in: Inputs): DataFrame = df
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame =
+      throw new IllegalStateException("BootLeaf is bootstrap-only")
+  }
+
   private[streaming] final case class Source(name: String) extends Inc {
     def kids: Seq[Inc] = Nil
     def batch(in: Inputs): DataFrame = in(name)
@@ -1009,6 +1021,91 @@ object Incremental {
       else if (k.startsWith("out_")) outs += k.stripPrefix("out_") -> df
       else traces += idByTraceKey(k) -> df
 
+    private var started = false
+
+    /** SNAPSHOT BOOTSTRAP: seed the input integrals, every operator trace,
+      * and stateless-root outputs with their BATCH values over full initial
+      * tables (plain rows, weight 1 each) before the first step.
+      *
+      * Semantically identical to feeding the snapshot as a first
+      * insert-only delta — every trace is the integral of the node's output
+      * deltas seeded with Q(∅), and both paths leave it at Q(snapshot) — but
+      * priced as one batch query per traced node (Catalyst plans, broadcast
+      * joins, whole-stage codegen, no per-wave barriers) instead of a
+      * full-corpus crawl through the delta path. This is the deployment
+      * shape for a standing view at scale: bootstrap from the warehouse
+      * snapshot, then stream deltas; step one is already delta-sized.
+      *
+      * Inputs absent from `init` start empty. Must precede the first step;
+      * the circuit stays fully retraction-capable afterwards (the DBSP
+      * algebra doesn't distinguish how state was reached). */
+    def bootstrap(init: Map[String, DataFrame]): Unit = {
+      val unknown = init.keySet -- schemas.keySet
+      require(unknown.isEmpty, s"bootstrap for undeclared inputs: $unknown")
+      require(!started, "bootstrap must precede the first step")
+      started = true
+      // Staged evaluation, like stepAll's waves: seed (persist +
+      // materialize + re-anchor) each state, then substitute the anchored
+      // value for that node wherever a LATER wave's batch plan would
+      // re-derive it — each traced node's bootstrap job reads cached child
+      // values, so the snapshot is evaluated once end-to-end, not once per
+      // traced node.
+      val memo = mutable.Map.empty[Long, DataFrame]
+      def subst(n: Inc): Inc = memo.get(n.id) match {
+        case Some(df) => BootLeaf(df)
+        case None => n match {
+          case s: Source        => s
+          case l: BootLeaf      => l
+          case Linear(c, f)     => Linear(subst(c), f)
+          case SumN(cs)         => SumN(cs.map(subst))
+          case JoinInc(l, r, k, ns) => JoinInc(subst(l), subst(r), k, ns)
+          case AggW(c, k, a)    => AggW(subst(c), k, a)
+          case AggRows(c, k, a, o) => AggRows(subst(c), k, a, o)
+          case AggLinear(c, k, cs) => AggLinear(subst(c), k, cs)
+          case AggGlobal(c, a, o)  => AggGlobal(subst(c), a, o)
+          case Reeval(c, f)     => Reeval(subst(c), f)
+          case WindowAgg(c, k, f) => WindowAgg(subst(c), k, f)
+          case Refold(c, f)     => Refold(subst(c), f)
+          case ClosureInc(c, s2, d2) => ClosureInc(subst(c), s2, d2)
+        }
+      }
+      def seed(pairs: Seq[(String, DataFrame)],
+               after: (String, DataFrame) => Unit): Unit = if (pairs.nonEmpty) {
+        val frames = pairs.map(_._2)
+        frames.foreach(_.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        materialize(frames)
+        pairs.foreach { case (k, c) =>
+          baseSize(k) = math.max(cachedSizeBytes(c), 1L)
+          accSize(k) = 0L
+          pending(k) = 0
+          incref(c)
+          constituents(k) = List(c)
+          val anchored = org.apache.spark.sql.GraftSqlBridge.reanchor(c)
+          setState(k, anchored)
+          after(k, anchored)
+        }
+      }
+      // wave 0: input integrals (anchored — every batch plan reads these)
+      seed(schemas.toSeq.map { case (nm, df) =>
+        inKey(nm) -> ZSet.consolidate(init.get(nm).map(ZSet.fromRows)
+          .getOrElse(ZSet.fromRows(df.limit(0))))
+      }, (_, _) => ())
+      val inputs: Inputs = integrated
+      // traced nodes bottom-up, one materialization job per wave
+      val maxWave = waveOf.values.maxOption.getOrElse(0)
+      for (w <- 1 to maxWave) {
+        val waveNodes = tracedNodes.filter(n => waveOf(n.id) == w)
+        seed(waveNodes.map(n =>
+            traceKey(n.id) -> ZSet.consolidate(subst(n).batch(inputs))),
+          (k, a) => memo(idByTraceKey(k)) = a)
+      }
+      // stateless roots (linear chains over traced/source leaves)
+      seed(outs.keys.toSeq.map(nm =>
+        outKey(nm) -> ZSet.consolidate(subst(rootOf(nm)).batch(inputs))),
+        (_, _) => ())
+    }
+
     /** Feed one step of input deltas (weighted); returns the primary
       * sink's output delta. */
     def step(deltas: Inputs): DataFrame = stepAll(deltas)(primary)
@@ -1061,6 +1158,7 @@ object Incremental {
     private def stepAllImpl(deltas: Inputs): Map[String, DataFrame] = {
       val unknown = deltas.keySet -- integrated.keySet
       require(unknown.isEmpty, s"deltas for undeclared inputs: $unknown")
+      started = true
       val active = deltas.keySet
       def touchedNode(n: Inc): Boolean = sourcesBelow(n.id).exists(active)
 

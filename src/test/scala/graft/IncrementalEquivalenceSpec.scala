@@ -228,4 +228,82 @@ class IncrementalEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys === Set("a"))
     assert(canon(r.output) === canon(r.recompute))
   }
+
+  test("snapshot bootstrap ≡ insert-wave start across operator types") {
+    def plain(schema: StructType, rs: (Any, Any)*): DataFrame =
+      spark.createDataFrame(rs.map { case (a, b) => Row(a, b) }.asJava, schema)
+    val snapT = plain(tSchema,
+      ("a", 1L), ("a", 4L), ("b", 2L), ("c", 9L), ("c", 9L))
+    val snapU = plain(uSchema, ("a", 10L), ("b", 20L), ("d", 40L))
+    // post-bootstrap waves: an insert AND a retraction (the circuit must
+    // stay fully retraction-capable over batch-seeded state)
+    val dT1 = zset(tSchema, ("b", 7L, 1L), ("e", 5L, 1L))
+    val dT2 = zset(tSchema, ("a", 4L, -1L), ("c", 9L, -2L))
+    val circuits: Seq[(String, Inc)] = Seq(
+      "aggregate" -> source("T")
+        .aggregate(Seq("k"), "cnt" -> ZSet.wcount,
+          "sum_v" -> ZSet.wsum(col("v"))),
+      "aggregateRows(minmax)" -> source("T")
+        .aggregateRows(Seq("k"), Seq(min(col("v")).as("mn"),
+          max(col("v")).as("mx")), Seq("k", "mn", "mx")),
+      "aggregateLinear" -> source("T")
+        .aggregateLinear(Seq("k"), Seq("s" -> ZSet.wsum(col("v"))))
+        .select(col("k"), col("s")),
+      "join" -> source("T").join(source("U"), Seq("k")),
+      "distinct" -> source("T").distinct,
+      "top-2 reevaluate" -> source("T")
+        .reevaluate(_.sort(col("v").desc, col("k").asc).limit(2)),
+      "global aggregate" -> source("T")
+        .aggregateRowsGlobal(Seq(count(lit(1)).as("n"),
+          max(col("v")).as("mx")), Seq("n", "mx")),
+      "window aggregate" -> source("T").windowAggregate(Seq("k")) { df =>
+        import org.apache.spark.sql.expressions.Window
+        df.withColumn("rsum", sum(col("v"))
+          .over(Window.partitionBy("k").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      })
+    val schemas = Map("T" -> empty(tSchema), "U" -> empty(uSchema))
+    for ((nm, q) <- circuits) {
+      val boot = new Runner(spark, q, schemas)
+      boot.bootstrap(Map("T" -> snapT, "U" -> snapU))
+      boot.step(Map("T" -> dT1))
+      boot.step(Map("T" -> dT2))
+      val waves = new Runner(spark, q, schemas)
+      waves.step(Map("T" -> ZSet.fromRows(snapT),
+        "U" -> ZSet.fromRows(snapU)))
+      waves.step(Map("T" -> dT1))
+      waves.step(Map("T" -> dT2))
+      assert(canon(boot.output) === canon(waves.output), nm)
+      assert(canon(boot.output) === canon(boot.recompute), nm)
+    }
+  }
+
+  test("snapshot bootstrap: transitive closure stays DRed-capable") {
+    val eSchema = StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType)))
+    def plainE(rs: (String, String)*): DataFrame =
+      spark.createDataFrame(rs.map { case (a, b) => Row(a, b) }.asJava, eSchema)
+    def zsetE(rs: (String, String, Long)*): DataFrame =
+      spark.createDataFrame(rs.map { case (a, b, w) => Row(a, b, w) }.asJava,
+        eSchema.add(StructField(ZSet.W, LongType)))
+    val q = source("E").closure("src", "dst")
+    val snap = plainE(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+    val r = new Runner(spark, q, Map("E" -> empty(eSchema)))
+    r.bootstrap(Map("E" -> snap))
+    // extend, then sever the b->c bridge (DRed over bootstrapped state)
+    r.step(Map("E" -> zsetE(("d", "e", 1L))))
+    r.step(Map("E" -> zsetE(("b", "c", -1L))))
+    assert(canon(r.output) === canon(r.recompute))
+  }
+
+  test("bootstrap after a step is rejected") {
+    val q = source("T").distinct
+    val r = new Runner(spark, q, schemasT)
+    r.step(Map("T" -> zset(tSchema, ("a", 1L, 1L))))
+    intercept[IllegalArgumentException] {
+      r.bootstrap(Map("T" -> plainOne))
+    }
+  }
+  private lazy val plainOne: DataFrame =
+    spark.createDataFrame(Seq(Row("z", 1L)).asJava, tSchema)
 }
