@@ -322,8 +322,11 @@ object IncrementalQ {
         Set("OX", "LX"))
       val r = new Runner(s, circuit,
         Map("OX" -> o.limit(0), "LX" -> li.limit(0)))
-      r.step(Map("OX" -> ZSet.fromRows(o),
-        "LX" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      // batch-priced snapshot bootstrap (the r6-flagged wave-1 full
+      // cross-product load); the steady-state waves below — mixed insert/
+      // retract on BOTH sides — are the binned circuit's actual test
+      r.bootstrap(Map("OX" -> o.toDF(),
+        "LX" -> li.filter(col("l_quantity") < 30).toDF()))
       r.step(Map("LX" -> ZSet.plus(
         ZSet.fromRows(
           li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40)),
@@ -429,9 +432,14 @@ object IncrementalQ {
         Set("CQ3", "OQ3", "LQ3"))
       val r = new Runner(s, circuit, Map(
         "CQ3" -> c.limit(0), "OQ3" -> o.limit(0), "LQ3" -> li.limit(0)))
+      // wave 1 deliberately loads the snapshot THROUGH the delta path
+      // (full-load coverage for the compiled circuit — contrast with
+      // q130's batch bootstrap); waves 2-3 are production-shaped: a ~2%
+      // late-shipment delta, then the cancelled-order retraction
       r.step(Map("CQ3" -> ZSet.fromRows(c), "OQ3" -> ZSet.fromRows(o),
-        "LQ3" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
-      r.step(Map("LQ3" -> ZSet.fromRows(li.filter(col("l_quantity") >= 30))))
+        "LQ3" -> ZSet.fromRows(li.filter(col("l_orderkey") % 50 =!= 0))))
+      r.step(Map("LQ3" -> ZSet.fromRows(
+        li.filter(col("l_orderkey") % 50 === 0))))
       r.step(Map("OQ3" -> ZSet.negate(ZSet.fromRows(
         o.filter(col("o_orderstatus") === "F")))))
       ZSet.toRows(ZSet.consolidate(r.output))
