@@ -566,6 +566,63 @@ object IncrementalQ {
       r.step(Map("CQ10" -> ZSet.negate(ZSet.fromRows(
         c.filter(col("c_custkey") % 10 === 0)))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // The TRAINING-CORPUS CURATION PIPELINE as one standing view: token
+    // gate + English stopword gate (linear, codegen'd) feeding exact
+    // content dedup (keep lowest doc_id, count duplicates). Documents
+    // stream in and out; the curated deduplicated corpus is continuously
+    // maintained — filters are weight-linear, the dedup is one
+    // incremental grouped aggregate on the content key, so steps cost
+    // O(Δdocs + touched content groups).
+    "q131_incremental_corpus_pipeline" -> ((s, d) => {
+      val TA = graft.pipeline.TextAnalysis
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val D = source("D")
+      val filtered = D
+        .select(col("doc_id"),
+          TA.tokenCountWs(col("text")).as("n_tok"),
+          TA.countOccurrences(
+            concat(lit(" "), lower(col("text")), lit(" ")), " the ")
+            .as("n_the"),
+          md5(col("text")).as("ck"))
+        .where(col("n_tok") >= 20 && col("n_the") >= 1)
+      val circuit = filtered.aggregateRows(Seq("ck"),
+        Seq(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
+          min(col("n_tok")).as("n_tok")),
+        Seq("ck", "keep_id", "n_dups", "n_tok"))
+      val r = new Runner(s, circuit, Map("D" -> docs.limit(0)))
+      r.bootstrap(Map("D" -> docs.filter(col("doc_id") % 10 =!= 3)))
+      r.step(Map("D" -> ZSet.fromRows(docs.filter(col("doc_id") % 10 === 3))))
+      r.step(Map("D" -> ZSet.negate(ZSet.fromRows(
+        docs.filter(col("doc_id") % 6 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // RETRIEVAL-INDEX MAINTENANCE: exact ANN top-5 per probe as a standing
+    // view over a mutating embedding corpus. Per step the Reeval node
+    // re-scores ONE pass over consolidated state (broadcast probes,
+    // per-partition top-k — the TakeOrdered shape at scale) and retracts
+    // the previous result from its own trace; that single state scan is
+    // the fundamental cost of exact top-k under arbitrary retractions (a
+    // retracted neighbor can promote anything). The retraction wave
+    // removes a slab of the corpus including current top hits, so ranks
+    // must shift — hash-exact against DuckDB's window-ranked cosine.
+    "q132_incremental_ann" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val E = source("E")
+      val circuit = E.reevaluate(df =>
+        graft.pipeline.Similarity.bruteForceTopK(df, probes, 5))
+      val r = new Runner(s, circuit, Map("E" -> emb.limit(0)))
+      r.bootstrap(Map("E" -> emb.filter(col("vec_id") % 11 =!= 5)))
+      r.step(Map("E" -> ZSet.fromRows(emb.filter(col("vec_id") % 11 === 5))))
+      r.step(Map("E" -> ZSet.negate(ZSet.fromRows(
+        emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
@@ -729,6 +786,43 @@ object IncrementalQ {
            AND l_returnflag = 'R'
            AND c_custkey % 10 <> 0
          GROUP BY c_custkey, c_name, n_name
-         ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    // net corpus after the takedown wave is doc_id % 6 <> 0; gates and
+    // dedup mirror the q72 token formula and md5 content key
+    "q131_incremental_corpus_pipeline" ->
+      raw"""WITH f AS (
+              SELECT doc_id, md5(text) AS ck,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(trim(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                               - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+                          END AS BIGINT) AS n_tok,
+                     CAST((length(' ' || lower(text) || ' ')
+                           - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+                          AS BIGINT) AS n_the
+              FROM documents
+              WHERE doc_id % 6 <> 0)
+            SELECT ck, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,
+                   MIN(n_tok) AS n_tok
+            FROM f
+            WHERE n_tok >= 20 AND n_the >= 1
+            GROUP BY ck""",
+    // final corpus = all embeddings minus the retracted slab; identical
+    // cosine arithmetic and tie-break as q75
+    "q132_incremental_ann" -> {
+      val dotQ =
+        """list_reduce(list_transform(list_zip(e.embedding, q.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"""
+      val normE = """SQRT(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      val normQ = """SQRT(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      s"""SELECT q_id, rank, vec_id, cos FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   ($dotQ) / ($normE * $normQ) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($dotQ) / ($normE * $normQ) DESC, e.vec_id ASC) AS rank
+            FROM (SELECT * FROM embeddings
+                  WHERE NOT (vec_id % 9 = 4 AND vec_id >= 3)) e,
+                 (SELECT * FROM embeddings WHERE vec_id < 3) q) t
+          WHERE rank <= 5"""
+    }
   )
 }
