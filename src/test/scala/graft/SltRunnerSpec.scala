@@ -65,6 +65,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("subquery.test", 1100)
   }
 
+  test("grouping.test: ROLLUP/CUBE/GROUPING SETS with grouping() bits") {
+    check("grouping.test", 370)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -1387,11 +1387,127 @@ def gen_subquery():
     return f
 
 
+def gen_grouping():
+    """GROUPING SETS / ROLLUP / CUBE grammar (multi-dimensional aggregates
+    — absent from every other family): ROLLUP/CUBE over expression keys
+    (projected in a derived table — DuckDB's binder requires grouping()
+    arguments to be plain grouping columns), grouping() disambiguation
+    bits (placeholder NULL vs a truly NULL key), explicit GROUPING SETS
+    shapes, 3-column rollups, HAVING over aggregates and grouping bits,
+    WHERE before grouping, and a late-mutation re-run. Probe-verified
+    identical between Spark and DuckDB."""
+    f = File("grouping.test")
+    t1_statements(f)
+    t5_statements(f)
+
+    def src1(g1, g2, w):
+        wsql = f" WHERE {w}" if w else ""
+        return (f"(SELECT *, {g1} AS g1, {g2} AS g2 FROM t1{wsql}) s")
+
+    def src5(g1, g2, w):
+        wsql = f" WHERE {w}" if w else ""
+        return (f"(SELECT *, {g1} AS g1, {g2} AS g2 FROM t5{wsql}) s")
+
+    aggs1 = ["count(*)", "sum(a)", "min(a)", "max(c)", "count(b)"]
+    pairs1 = [("a % 5", "c % 2"), ("a % 3", "b % 2"),
+              ("b % 3", "d % 2"), ("a % 4", "e % 3")]
+    wheres1 = ["", "a > 150", "b IS NOT NULL", "a % 2 = 0"]
+    for g1, g2 in pairs1:
+        for op in ["ROLLUP", "CUBE"]:
+            for agg in aggs1:
+                for w in wheres1:
+                    f.query(
+                        f"SELECT g1, g2, grouping(g1), grouping(g2), {agg} "
+                        f"FROM {src1(g1, g2, w)} GROUP BY {op}(g1, g2)",
+                        "IIIII", "rowsort")
+
+    aggs5 = ["count(*)", "sum(v)", "min(v)", "max(v + g)", "sum(v - 300)"]
+    pairs5 = [("k % 7", "g % 6"), ("g % 6", "v % 3"), ("k % 5", "g % 2")]
+    for g1, g2 in pairs5:
+        for op in ["ROLLUP", "CUBE"]:
+            for agg in aggs5:
+                for w in ["", "v > 330", "g <> 2"]:
+                    f.query(
+                        f"SELECT g1, g2, grouping(g1), grouping(g2), {agg} "
+                        f"FROM {src5(g1, g2, w)} GROUP BY {op}(g1, g2)",
+                        "IIIII", "rowsort")
+
+    # explicit GROUPING SETS shapes (grouping()/projection restricted to
+    # columns that appear in at least one set — both engines require it)
+    gs_shapes = [("((g1), (g2))", True), ("((g1, g2), ())", True),
+                 ("((g1), ())", False), ("((g1, g2), (g1), ())", True),
+                 ("((g1), (g2), (g1, g2))", True)]
+    for g1, g2 in pairs1[:3]:
+        for shape, both in gs_shapes:
+            for agg in aggs1[:3]:
+                if both:
+                    f.query(
+                        f"SELECT g1, g2, grouping(g1), grouping(g2), {agg} "
+                        f"FROM {src1(g1, g2, '')} GROUP BY GROUPING SETS {shape}",
+                        "IIIII", "rowsort")
+                else:
+                    f.query(
+                        f"SELECT g1, grouping(g1), {agg} "
+                        f"FROM {src1(g1, g2, '')} GROUP BY GROUPING SETS {shape}",
+                        "III", "rowsort")
+
+    # 3-column rollups/cubes
+    triples = [("a % 3", "c % 2", "e % 2"), ("a % 2", "b % 2", "d % 3")]
+    for g1, g2, g3 in triples:
+        for op in ["ROLLUP", "CUBE"]:
+            for agg in aggs1:
+                for w in ["", "a > 160"]:
+                    wsql = f" WHERE {w}" if w else ""
+                    f.query(
+                        f"SELECT g1, g2, g3, grouping(g1), grouping(g2), "
+                        f"grouping(g3), {agg} FROM (SELECT *, {g1} AS g1, "
+                        f"{g2} AS g2, {g3} AS g3 FROM t1{wsql}) s "
+                        f"GROUP BY {op}(g1, g2, g3)",
+                        "IIIIIII", "rowsort")
+
+    # HAVING over aggregates and grouping bits
+    havings = ["count(*) > 3", "grouping(g1) = 0", "grouping(g2) = 1",
+               "grouping(g1) = 0 AND count(*) > 2",
+               "grouping(g1) + grouping(g2) = 1", "min(a) < 200"]
+    for g1, g2 in pairs1[:2]:
+        for op in ["ROLLUP", "CUBE"]:
+            for h in havings:
+                f.query(
+                    f"SELECT g1, g2, count(*) FROM {src1(g1, g2, '')} "
+                    f"GROUP BY {op}(g1, g2) HAVING {h}",
+                    "III", "rowsort")
+
+    # single-key rollup (per-group rows + the grand total)
+    for g in ["a % 7", "b % 4", "e % 5"]:
+        for agg in aggs1:
+            f.query(
+                f"SELECT g1, grouping(g1), {agg} FROM "
+                f"(SELECT *, {g} AS g1 FROM t1) s GROUP BY ROLLUP(g1)",
+                "III", "rowsort")
+
+    # late mutation, then re-run a slice
+    f.statement("INSERT INTO t1(a,b,c,d,e) VALUES(420,NULL,150,160,170)")
+    f.statement("DELETE FROM t5 WHERE g = 3")
+    for g1, g2 in pairs1[:2]:
+        for op in ["ROLLUP", "CUBE"]:
+            f.query(
+                f"SELECT g1, g2, grouping(g1), grouping(g2), count(*) "
+                f"FROM {src1(g1, g2, '')} GROUP BY {op}(g1, g2)",
+                "IIIII", "rowsort")
+    for g1, g2 in pairs5[:2]:
+        f.query(
+            f"SELECT g1, g2, grouping(g1), grouping(g2), sum(v) "
+            f"FROM {src5(g1, g2, '')} GROUP BY CUBE(g1, g2)",
+            "IIIII", "rowsort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
-              gen_select6, gen_select7, gen_window, gen_join, gen_subquery):
+              gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
+              gen_grouping):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
