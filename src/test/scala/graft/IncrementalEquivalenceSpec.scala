@@ -296,6 +296,22 @@ class IncrementalEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(r.output) === canon(r.recompute))
   }
 
+  test("bootstrap then checkpoint/restore: maintenance resumes and retracts") {
+    val q = source("T").aggregate(Seq("k"), "cnt" -> ZSet.wcount,
+      "sum_v" -> ZSet.wsum(col("v")))
+    val snap = spark.createDataFrame(
+      Seq(Row("a", 1L), Row("a", 4L), Row("b", 2L)).asJava, tSchema)
+    val r1 = new Runner(spark, q, schemasT)
+    r1.bootstrap(Map("T" -> snap))
+    val dir = "/root/repo/target/tmp/ckpt_boot"
+    r1.checkpoint(dir)
+    val r2 = new Runner(spark, q, schemasT)
+    r2.restore(dir)
+    assert(canon(r2.output) === canon(r1.output))
+    r2.step(Map("T" -> zset(tSchema, ("a", 4L, -1L), ("c", 3L, 1L))))
+    assert(canon(r2.output) === canon(r2.recompute))
+  }
+
   test("bootstrap after a step is rejected") {
     val q = source("T").distinct
     val r = new Runner(spark, q, schemasT)
