@@ -112,6 +112,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big === Set(("a", 12L), ("b", 23L)))
   }
 
+  test("multi-view runner with shared traces bootstraps from a snapshot") {
+    import org.apache.spark.sql.functions.col
+    // Snapshot bootstrap must seed the SHARED trace exactly once (the
+    // traced-node set is id-deduplicated) and leave both views consistent
+    // with an insert-wave start — including through a follow-up step with
+    // a retraction over the bootstrapped state.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE CB(k VARCHAR NOT NULL, v INT NOT NULL);
+        |CREATE VIEW BT1 AS SELECT k, SUM(v) AS s FROM CB GROUP BY k;
+        |CREATE VIEW BT2 AS SELECT k, s FROM
+        |  (SELECT k, SUM(v) AS s FROM CB GROUP BY k) t WHERE s > 10""".stripMargin)
+    val r = e.incrementalRunner(Seq("BT1", "BT2"))
+    assert(r.statefulNodeCount === 1)
+    import graft.zset.ZSet
+    import spark.implicits._
+    r.bootstrap(Map("CB" ->
+      Seq(("a", 5), ("a", 7), ("b", 3)).toDF("k", "v")))
+    r.stepAll(Map("CB" -> ZSet.plus(
+      ZSet.fromRows(Seq(("b", 20)).toDF("k", "v")),
+      ZSet.negate(ZSet.fromRows(Seq(("a", 7)).toDF("k", "v"))))))
+    val totals = ZSet.toRows(ZSet.consolidate(r.output("BT1")))
+      .select(col("k"), col("s")).as[(String, Long)].collect().toSet
+    val big = ZSet.toRows(ZSet.consolidate(r.output("BT2")))
+      .select(col("k"), col("s")).as[(String, Long)].collect().toSet
+    assert(totals === Set(("a", 5L), ("b", 23L)))
+    assert(big === Set(("b", 23L)))
+  }
+
   test("structural CSE shares alias-differing plans through a rename projection") {
     import org.apache.spark.sql.functions.col
     // Catalyst canonicalization erases alias names, so `SUM(v) AS s1` and

@@ -312,6 +312,42 @@ class IncrementalEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(r2.output) === canon(r2.recompute))
   }
 
+  test("LSH-bucket pair view: unique-content inserts emit EMPTY deltas") {
+    // Miniature of the near-dup standing view's candidate stage (bucket
+    // self-join + distinct): churn that collides with no existing bucket
+    // must consolidate to a physically empty output delta — the circuit's
+    // steady-state cost claim — while a colliding insert emits exactly its
+    // new pairs and a retraction un-derives exactly the lost ones.
+    val dSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def plainD(rs: (Long, String)*): DataFrame =
+      spark.createDataFrame(rs.map { case (i, s) => Row(i, s) }.asJava, dSchema)
+    def zsetD(rs: (Long, String, Long)*): DataFrame =
+      spark.createDataFrame(rs.map { case (i, s, w) => Row(i, s, w) }.asJava,
+        dSchema.add(StructField(ZSet.W, LongType)))
+    val D = source("D")
+    val bands = D.select(col("doc_id"), xxhash64(col("text")).as("band_key"))
+    val pairs = bands.select(col("band_key"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band_key"), col("doc_id").as("id_b")),
+        Seq("band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct
+    val r = new Runner(spark, pairs, Map("D" -> empty(dSchema)))
+    r.bootstrap(Map("D" -> plainD(1L -> "x", 2L -> "x", 3L -> "y")))
+    assert(canon(r.output) === Seq("1|2|1"))
+    // unique content: no bucket collision anywhere -> empty delta
+    val d1 = r.step(Map("D" -> zsetD((4L, "z", 1L))))
+    assert(ZSet.consolidate(d1).count() === 0L)
+    // colliding content: exactly the new pair appears
+    val d2 = r.step(Map("D" -> zsetD((5L, "y", 1L))))
+    assert(canon(d2) === Seq("3|5|1"))
+    // takedown: the severed pair un-derives, nothing else moves
+    val d3 = r.step(Map("D" -> zsetD((2L, "x", -1L))))
+    assert(canon(d3) === Seq("1|2|-1"))
+    assert(canon(r.output) === canon(r.recompute))
+  }
+
   test("bootstrap after a step is rejected") {
     val q = source("T").distinct
     val r = new Runner(spark, q, schemasT)
