@@ -69,6 +69,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("grouping.test", 370)
   }
 
+  test("string.test: string-function grammar (probe-verified subset)") {
+    check("string.test", 470)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -82,6 +82,9 @@ class File:
     def query(self, sql, fmt, order):
         rows = self.con.execute(sql).fetchall()
         lines = render(rows, fmt, order)
+        # a whitespace-only value line would read as a record separator
+        assert all(l.strip() for l in lines), \
+            f"whitespace-only result value breaks SLT framing: {sql!r}"
         header = f"query {fmt} {order}" if order != "nosort" else f"query {fmt} nosort"
         self.out += [header, sql, "----"] + expected_block(lines) + [""]
         self.n_queries += 1
@@ -1502,12 +1505,125 @@ def gen_grouping():
     return f
 
 
+def gen_string():
+    """String-function grammar over the probe-verified Spark ≡ DuckDB
+    subset: upper/lower/trim family/reverse/repeat/replace/translate/
+    substr (incl. negative starts)/left/right/lpad/rpad/length/ascii/
+    chr/md5/position/instr/contains, `||` concatenation (NULL-propagating
+    in both), LIKE/NOT LIKE, nested compositions, string aggregates
+    (binary collation min/max), CASE over string predicates, and a
+    NULL-bearing table. Excluded as divergent: concat() over NULL
+    (DuckDB treats NULL as ''), split_part on NULL, strpos/initcap/
+    starts_with (missing on one side)."""
+    f = File("string.test")
+    t2_statements(f)
+    f.statement("CREATE TABLE t6(i INTEGER, s TEXT)")
+    nulls = [(0, "'whiskey xray'"), (1, "NULL"), (2, "''"), (3, "'zu lu golf'"),
+             (4, "'YANKEE'"), (5, "NULL"), (6, "'a.b.c'"), (7, "'mike-mike'")]
+    for i, s in nulls:
+        f.statement(f"INSERT INTO t6 VALUES({i},{s})")
+
+    exprs = [
+        ("upper(s)", "T"), ("lower(s)", "T"), ("trim(s)", "T"),
+        ("ltrim(s)", "T"), ("rtrim(s)", "T"), ("reverse(s)", "T"),
+        ("length(s)", "I"), ("ascii(s)", "I"), ("md5(s)", "T"),
+        ("translate(s, 'aeo', 'XYZ')", "T"), ("repeat(s, 2)", "T"),
+        ("replace(s, 'a', '@')", "T"), ("substr(s, 2, 3)", "T"),
+        ("substr(s, -3)", "T"), ("substr(s, 1, 4)", "T"),
+        ("left(s, 3)", "T"), ("right(s, 3)", "T"),
+        ("lpad(s, 8, '*')", "T"), ("rpad(s, 8, '.')", "T"),
+        ("position('a' IN s)", "I"), ("instr(s, 'l')", "I"),
+        ("s || '_x'", "T"), ("'p_' || s || '_q'", "T"),
+        ("substring(s FROM 2 FOR 3)", "T"), ("chr(65 + i % 26)", "T"),
+    ]
+    wheres = ["", "i % 2 = 0", "length(s) > 5", "s LIKE '%a%'", "i > 7"]
+    for tbl in ["t2", "t6"]:
+        for e, fmt in exprs:
+            for w in wheres:
+                wsql = f" WHERE {w}" if w else ""
+                f.query(f"SELECT i, {e} FROM {tbl}{wsql}", "I" + fmt, "rowsort")
+
+    # nested compositions
+    nested = [
+        ("upper(substr(s, 2, 4))", "T"),
+        ("replace(lower(s), ' ', '_')", "T"),
+        ("reverse(trim(s))", "T"),
+        ("length(replace(s, ' ', ''))", "I"),
+        ("lpad(upper(left(s, 3)), 6, '.')", "T"),
+        ("substr(reverse(s), 1, 3)", "T"),
+        ("length(s) - length(replace(s, 'a', ''))", "I"),
+        ("upper(s) || '/' || lower(s)", "T"),
+        ("repeat(left(s, 2), 3)", "T"),
+        ("translate(upper(s), 'AEO', 'aeo')", "T"),
+        ("md5(upper(trim(s)))", "T"),
+        ("position('l' IN lower(s)) + instr(s, 'o')", "I"),
+    ]
+    for tbl in ["t2", "t6"]:
+        for e, fmt in nested:
+            for w in wheres[:4]:
+                wsql = f" WHERE {w}" if w else ""
+                f.query(f"SELECT i, {e} FROM {tbl}{wsql}", "I" + fmt, "rowsort")
+
+    # LIKE / NOT LIKE predicate grid
+    pats = ["%a%", "_elta", "%o", "k%", "% %", "%.%", "%-%", "%a%a%"]
+    for tbl in ["t2", "t6"]:
+        for p in pats:
+            for neg in ["LIKE", "NOT LIKE"]:
+                f.query(f"SELECT i FROM {tbl} WHERE s {neg} '{p}'",
+                        "I", "rowsort")
+                f.query(
+                    f"SELECT i, upper(s) FROM {tbl} WHERE s {neg} '{p}'",
+                    "IT", "rowsort")
+
+    # other string predicates
+    preds = ["length(s) BETWEEN 4 AND 8", "contains(s, 'il')",
+             "position('a' IN s) > 0", "s = lower(s)", "s < 'k'",
+             "trim(s) = s", "s || 'x' > 'ax'"]
+    for tbl in ["t2", "t6"]:
+        for p in preds:
+            f.query(f"SELECT i FROM {tbl} WHERE {p}", "I", "rowsort")
+
+    # aggregates over string expressions (binary collation both engines)
+    for tbl in ["t2", "t6"]:
+        for grp in ["upper(left(s, 1))", "length(s) % 4", "contains(s, 'a')"]:
+            for agg, afmt in [("count(*)", "I"), ("min(s)", "T"),
+                              ("max(upper(s))", "T"),
+                              ("count(distinct s)", "I")]:
+                f.query(
+                    f"SELECT {grp}, {agg} FROM {tbl} GROUP BY {grp}",
+                    ("T" if grp.startswith("upper") else "I") + afmt,
+                    "rowsort")
+
+    # CASE over string predicates
+    cases = [
+        "CASE WHEN s LIKE '%a%' THEN upper(s) ELSE lower(s) END",
+        "CASE WHEN length(s) > 6 THEN left(s, 3) WHEN length(s) > 3 "
+        "THEN right(s, 2) ELSE s END",
+        "CASE lower(left(s, 1)) WHEN 'a' THEN 'vowel' WHEN 'e' THEN 'vowel' "
+        "ELSE 'other' END",
+    ]
+    for tbl in ["t2", "t6"]:
+        for e in cases:
+            for w in wheres[:3]:
+                wsql = f" WHERE {w}" if w else ""
+                f.query(f"SELECT i, {e} FROM {tbl}{wsql}", "IT", "rowsort")
+
+    # late mutation, then re-run a slice
+    f.statement("INSERT INTO t2 VALUES(99,'zephyr quay')")
+    f.statement("DELETE FROM t6 WHERE i = 2")
+    f.statement("INSERT INTO t6 VALUES(2,'patched')")
+    for tbl in ["t2", "t6"]:
+        for e, fmt in exprs[:8]:
+            f.query(f"SELECT i, {e} FROM {tbl}", "I" + fmt, "rowsort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
-              gen_grouping):
+              gen_grouping, gen_string):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
