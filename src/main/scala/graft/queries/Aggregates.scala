@@ -105,6 +105,21 @@ object Aggregates {
     // two-pass-free formula (Σx² − (Σx)²/n)/(n−1) over exact decimal sums
     // is bit-identical on any engine, unlike built-in var_samp whose
     // partial-merge order varies
+    // Exact interpolated percentiles (beyond-reference: the reference has
+    // no percentile aggregate). Spark's `percentile` sorts the group
+    // exactly and linearly interpolates with the same formula DuckDB's
+    // quantile_cont uses, so the doubles are bit-identical — probed across
+    // grouped/global, interior and edge quantiles. At scale this is the
+    // exact path (one sort per group); the sketch path would be
+    // approx_percentile, which no external engine can hash-match.
+    "q39_percentile" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"))),
+
     "q29_stats_var" -> ((s, d) => {
       val x = col("l_quantity")
       T(s, d, "lineitem").groupBy(col("l_returnflag"))
@@ -192,6 +207,13 @@ object Aggregates {
                 bool_or(o_totalprice > 400000) AS any_over_400k,
                 COUNT(*) AS n
          FROM orders GROUP BY o_orderpriority""",
+    "q39_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS p50_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty,
+                quantile_cont(l_extendedprice, 0.25) AS p25_price,
+                quantile_cont(l_extendedprice, 0.99) AS p99_price
+         FROM lineitem GROUP BY l_returnflag""",
     "q29_stats_var" -> {
       val s1 = Exact.sqlDsum("l_quantity")
       val s2 = Exact.sqlDsum("l_quantity * l_quantity")
