@@ -105,6 +105,41 @@ object Aggregates {
     // two-pass-free formula (Σx² − (Σx)²/n)/(n−1) over exact decimal sums
     // is bit-identical on any engine, unlike built-in var_samp whose
     // partial-merge order varies
+    // Pearson correlation + covariance from EXACT fixed-point component
+    // sums (beyond-reference; the reference has neither). Spark's native
+    // corr/covar use streaming merge formulas whose float rounding depends
+    // on partition order — unreproducible across cluster layouts and
+    // unmatchable by any external engine — so both sides here compute the
+    // same explicit formula over Exact.dsum component images: bit-stable
+    // on any layout, hash-identical to DuckDB evaluating the same text.
+    "q65_corr_exact" -> ((s, d) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum(x).as("sx"), Exact.dsum(y).as("sy"),
+          Exact.dsum(x * x).as("sxx"), Exact.dsum(y * y).as("syy"),
+          Exact.dsum(x * y).as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+            .as("covar_samp"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr"))
+    }),
+
+    // Bitwise AND/OR/XOR aggregates (beyond-reference) — integer folds,
+    // order-independent by construction
+    "q66_bit_agg" -> ((s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          expr("bit_and(o_orderkey)").as("band"),
+          expr("bit_or(o_orderkey)").as("bor"),
+          expr("bit_xor(o_orderkey)").as("bxor"),
+          count(lit(1)).as("n"))),
+
     // Exact interpolated percentiles (beyond-reference: the reference has
     // no percentile aggregate). Spark's `percentile` sorts the group
     // exactly and linearly interpolates with the same formula DuckDB's
@@ -207,6 +242,26 @@ object Aggregates {
                 bool_or(o_totalprice > 400000) AS any_over_400k,
                 COUNT(*) AS n
          FROM orders GROUP BY o_orderpriority""",
+    "q65_corr_exact" -> {
+      val sx = Exact.sqlDsum("l_quantity")
+      val sy = Exact.sqlDsum("l_extendedprice")
+      val sxx = Exact.sqlDsum("l_quantity * l_quantity")
+      val syy = Exact.sqlDsum("l_extendedprice * l_extendedprice")
+      val sxy = Exact.sqlDsum("l_quantity * l_extendedprice")
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+             (($sxy - $sx * $sy / COUNT(*)) / (COUNT(*) - 1)) AS covar_samp,
+             (($sxy - $sx * $sy / COUNT(*)) /
+              (SQRT($sxx - $sx * $sx / COUNT(*)) *
+               SQRT($syy - $sy * $sy / COUNT(*)))) AS corr
+          FROM lineitem GROUP BY l_returnflag"""
+    },
+    "q66_bit_agg" ->
+      """SELECT o_orderstatus,
+                bit_and(o_orderkey) AS band,
+                bit_or(o_orderkey) AS bor,
+                bit_xor(o_orderkey) AS bxor,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
     "q39_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS p50_qty,
