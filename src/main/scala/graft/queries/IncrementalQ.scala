@@ -623,6 +623,28 @@ object IncrementalQ {
       r.step(Map("E" -> ZSet.negate(ZSet.fromRows(
         emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3)))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // Holistic aggregates as standing views: AggRows re-folds touched
+    // groups over expanded rows with PLAIN Spark aggregate columns, so
+    // even order-statistics (exact interpolated percentiles — no
+    // merge-able sketch, no weight-linear form) maintain exactly under
+    // retractions. Per step: re-sort only the touched groups.
+    "q67_incremental_percentile" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+      val circuit = source("L")
+        .aggregateRows(Seq("l_returnflag"),
+          Seq(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            count(lit(1)).as("n")),
+          Seq("l_returnflag", "p50_qty", "p90_qty", "n"))
+      val r = new Runner(s, circuit, Map("L" -> li.limit(0)))
+      r.bootstrap(Map("L" -> li.filter(col("l_orderkey") % 40 =!= 0)))
+      r.step(Map("L" -> ZSet.fromRows(li.filter(col("l_orderkey") % 40 === 0))))
+      r.step(Map("L" -> ZSet.negate(ZSet.fromRows(
+        li.filter(col("l_quantity") >= 45)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
@@ -806,6 +828,14 @@ object IncrementalQ {
             FROM f
             WHERE n_tok >= 20 AND n_the >= 1
             GROUP BY ck""",
+    "q67_incremental_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS p50_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty,
+                COUNT(*) AS n
+         FROM lineitem
+         WHERE l_quantity < 45
+         GROUP BY l_returnflag""",
     // final corpus = all embeddings minus the retracted slab; identical
     // cosine arithmetic and tie-break as q75
     "q132_incremental_ann" -> {
