@@ -73,6 +73,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("string.test", 470)
   }
 
+  test("select8.test: deep expressions over joined rows (pad-induced NULLs)") {
+    check("select8.test", 2600)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

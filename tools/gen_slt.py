@@ -1618,12 +1618,115 @@ def gen_string():
     return f
 
 
+def gen_select8():
+    """Deep expressions OVER JOINED ROWS — select7's expression grammar
+    (nested CASE/coalesce/nullif/least/greatest/abs/%-over-abs, no
+    division, no col*col) re-rooted on a two-table join so the leaves mix
+    both sides' columns, including outer-join NULL padding feeding the
+    3VL-sensitive nodes (coalesce/nullif/CASE). INNER joins exercise
+    expression pushdown through join conditions; LEFT joins make r.k/r.v
+    NULL for unmatched rows, so every nullable node is stressed with
+    correlated (pad-induced) NULLs rather than independent column NULLs."""
+    f = File("select8.test")
+    t1_statements(f)
+    t3_statements(f)
+
+    cols = ["a", "b", "c", "d", "e", "r.k", "r.v"]
+
+    def leaf():
+        r = rng.randrange(9)
+        if r < 7:
+            return cols[rng.randrange(len(cols))]
+        return str(rng.randrange(1, 200))
+
+    def cond(depth):
+        r = rng.randrange(8)
+        e1, e2 = expr(depth - 1), expr(depth - 1)
+        if r == 0:
+            return f"{cols[rng.randrange(len(cols))]} IS NULL"
+        if r == 1:
+            return f"{cols[rng.randrange(len(cols))]} IS NOT NULL"
+        if r == 2 and depth > 1:
+            return f"({cond(depth - 1)} AND {cond(depth - 1)})"
+        if r == 3 and depth > 1:
+            return f"({cond(depth - 1)} OR {cond(depth - 1)})"
+        op = ["<", "<=", ">", ">=", "=", "<>"][rng.randrange(6)]
+        return f"{e1} {op} {e2}"
+
+    def expr(depth):
+        if depth <= 0:
+            return leaf()
+        r = rng.randrange(10)
+        e1, e2 = expr(depth - 1), expr(depth - 1)
+        if r == 0:
+            return f"({e1} + {e2})"
+        if r == 1:
+            return f"({e1} - {e2})"
+        if r == 2:
+            return f"{rng.randrange(2, 4)} * {e1}"
+        if r == 3:
+            return f"abs({e1} - {e2})"
+        if r == 4:
+            return f"least({e1}, {e2})"
+        if r == 5:
+            return f"greatest({e1}, {e2})"
+        if r == 6:
+            return f"coalesce({e1}, {e2})"
+        if r == 7:
+            return f"nullif({e1}, {e2})"
+        if r == 8:
+            return f"(abs({e1}) % {rng.randrange(2, 10)})"
+        return f"CASE WHEN {cond(depth - 1)} THEN {e1} ELSE {e2} END"
+
+    joins = ["JOIN t3 r ON r.k = a", "LEFT JOIN t3 r ON r.k = a",
+             "LEFT JOIN t3 r ON r.k = c", "JOIN t3 r ON r.k < a - 150"]
+
+    # single deep expression over each join shape (rowsort: join fan-out
+    # makes per-row order engine-dependent)
+    for i in range(900):
+        e = expr(2 + i % 3)
+        j = joins[i % len(joins)]
+        f.query(f"SELECT a, {e} FROM t1 {j}", "II", "rowsort")
+
+    # deep boolean predicates over the join
+    for i in range(540):
+        j = joins[i % len(joins)]
+        f.query(f"SELECT a, r.k FROM t1 {j} WHERE {cond(3)}",
+                "II", "rowsort")
+
+    # expression pairs mixing both sides
+    for i in range(360):
+        j = joins[i % 2]
+        f.query(f"SELECT {expr(2)}, {expr(2)} FROM t1 {j}", "II", "rowsort")
+
+    # deep expressions under aggregates over the join
+    for i in range(420):
+        e = expr(2 + i % 2)
+        agg = ["sum", "min", "max", "count"][i % 4]
+        j = joins[i % len(joins)]
+        f.query(f"SELECT {agg}({e}) FROM t1 {j}", "I", "nosort")
+    for i in range(240):
+        key = f"abs({expr(1)}) % 4"
+        j = joins[i % 2]
+        f.query(f"SELECT {key}, sum({expr(2)}), count({expr(1)}) "
+                f"FROM t1 {j} GROUP BY {key}", "III", "rowsort")
+
+    # deep HAVING over joined aggregates
+    for i in range(180):
+        j = joins[i % 2]
+        f.query(
+            f"SELECT a % 5, count(*) FROM t1 {j} GROUP BY a % 5 "
+            f"HAVING sum(abs({expr(1)})) > {rng.randrange(100, 4000)}",
+            "II", "rowsort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
-              gen_grouping, gen_string):
+              gen_grouping, gen_string, gen_select8):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
