@@ -625,6 +625,43 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // MULTI-SINK standing maintenance under one oracle: a single Runner
+    // maintains TWO views over the same document stream — per-content-key
+    // dedup groups and per-token-bucket corpus stats — sharing the parsed
+    // linear chain (one circuit DAG, one set of input integrals, one
+    // synchronized stepAll per wave). The gate compares the union of both
+    // consolidated outputs (tagged by view) against the union of the two
+    // batch queries — multi-view consistency, not just per-view values.
+    "q68_incremental_multiview" -> ((s, d) => {
+      val TA = graft.pipeline.TextAnalysis
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val parsed = source("D").select(col("doc_id"),
+        TA.tokenCountWs(col("text")).as("n_tok"),
+        md5(col("text")).as("ck"))
+      val dedup = parsed.aggregateRows(Seq("ck"),
+        Seq(min(col("doc_id")).as("a"), count(lit(1)).as("b")),
+        Seq("ck", "a", "b"))
+        .select(lit("dedup").as("view"), col("ck").as("k"),
+          col("a"), col("b"))
+      val stats = parsed
+        .select(concat(lit("tok_"), floor(col("n_tok") / 100).cast("long"))
+          .as("bucket"), col("n_tok"))
+        .aggregateLinear(Seq("bucket"),
+          Seq("cnt" -> ZSet.wcount, "toks" -> ZSet.wsum(col("n_tok"))))
+        .select(lit("stats").as("view"), col("bucket").as("k"),
+          col("cnt").as("a"), col("toks").as("b"))
+      val r = new Runner(s,
+        Seq("DEDUP" -> dedup, "STATS" -> stats),
+        Map("D" -> docs.limit(0)))
+      r.bootstrap(Map("D" -> docs.filter(col("doc_id") % 8 =!= 2)))
+      r.stepAll(Map("D" -> ZSet.fromRows(docs.filter(col("doc_id") % 8 === 2))))
+      r.stepAll(Map("D" -> ZSet.negate(ZSet.fromRows(
+        docs.filter(col("doc_id") % 5 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output("DEDUP")))
+        .unionByName(ZSet.toRows(ZSet.consolidate(r.output("STATS"))))
+    }),
+
     // Holistic aggregates as standing views: AggRows re-folds touched
     // groups over expanded rows with PLAIN Spark aggregate columns, so
     // even order-statistics (exact interpolated percentiles — no
@@ -828,6 +865,24 @@ object IncrementalQ {
             FROM f
             WHERE n_tok >= 20 AND n_the >= 1
             GROUP BY ck""",
+    // net corpus after the takedown wave; the union of both standing
+    // views' batch answers, tagged per view
+    "q68_incremental_multiview" ->
+      raw"""WITH p AS (
+              SELECT doc_id, md5(text) AS ck,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(trim(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                               - length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1
+                          END AS BIGINT) AS n_tok
+              FROM documents
+              WHERE doc_id % 5 <> 0)
+            SELECT 'dedup' AS view, ck AS k,
+                   MIN(doc_id) AS a, COUNT(*) AS b
+            FROM p GROUP BY ck
+            UNION ALL
+            SELECT 'stats', 'tok_' || CAST(FLOOR(n_tok / 100) AS BIGINT),
+                   COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+            FROM p GROUP BY 2""",
     "q67_incremental_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS p50_qty,
