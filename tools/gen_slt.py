@@ -96,6 +96,8 @@ class File:
         defines the expected 3VL semantics."""
         rows = self.con.execute(oracle_sql).fetchall()
         lines = render(rows, fmt, order)
+        assert all(l.strip() for l in lines), \
+            f"whitespace-only result value breaks SLT framing: {sql!r}"
         header = f"query {fmt} {order}" if order != "nosort" else f"query {fmt} nosort"
         self.out += [header, sql, "----"] + expected_block(lines) + [""]
         self.n_queries += 1
