@@ -1413,10 +1413,12 @@ def gen_grouping():
         wsql = f" WHERE {w}" if w else ""
         return (f"(SELECT *, {g1} AS g1, {g2} AS g2 FROM t5{wsql}) s")
 
-    aggs1 = ["count(*)", "sum(a)", "min(a)", "max(c)", "count(b)"]
+    aggs1 = ["count(*)", "sum(a)", "min(a)", "max(c)", "count(b)",
+             "sum(coalesce(b, 0))", "max(a) - min(a)"]
     pairs1 = [("a % 5", "c % 2"), ("a % 3", "b % 2"),
-              ("b % 3", "d % 2"), ("a % 4", "e % 3")]
-    wheres1 = ["", "a > 150", "b IS NOT NULL", "a % 2 = 0"]
+              ("b % 3", "d % 2"), ("a % 4", "e % 3"),
+              ("a % 6", "d % 2"), ("c % 3", "e % 2")]
+    wheres1 = ["", "a > 150", "b IS NOT NULL", "a % 2 = 0", "c < 200"]
     for g1, g2 in pairs1:
         for op in ["ROLLUP", "CUBE"]:
             for agg in aggs1:
@@ -1427,7 +1429,8 @@ def gen_grouping():
                         "IIIII", "rowsort")
 
     aggs5 = ["count(*)", "sum(v)", "min(v)", "max(v + g)", "sum(v - 300)"]
-    pairs5 = [("k % 7", "g % 6"), ("g % 6", "v % 3"), ("k % 5", "g % 2")]
+    pairs5 = [("k % 7", "g % 6"), ("g % 6", "v % 3"), ("k % 5", "g % 2"),
+              ("k % 4", "v % 2"), ("g % 3", "k % 6")]
     for g1, g2 in pairs5:
         for op in ["ROLLUP", "CUBE"]:
             for agg in aggs5:
