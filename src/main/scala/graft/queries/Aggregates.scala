@@ -184,6 +184,38 @@ object Aggregates {
       T(s, d, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))),
 
+    // ARG_MIN / ARG_MAX (beyond-reference; DuckDB/ClickHouse staples a
+    // feature-store needs constantly: "the id of the row with the extreme
+    // value"). Spark's max_by/min_by are non-deterministic on ordering
+    // ties, so the ordering value is a (price, key) STRUCT — lexicographic
+    // struct comparison makes the tie-break explicit and the result
+    // partition-order independent on any cluster layout. The oracle states
+    // the same tie-break as an ordered-aggregate `first`.
+    "q53_argminmax" -> ((s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("key_of_max"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("key_of_min"),
+          count(lit(1)).as("n"))),
+
+    // MODE with a deterministic tie-break (smallest value wins). Spark's
+    // built-in `mode()` is explicitly non-deterministic on frequency ties,
+    // so the circuit is the portable two-level fold: count per (group,
+    // value), then arg-max by (count, -value) — two shuffles, both with
+    // map-side partial aggregation, no sort of the full input.
+    "q69_mode" -> ((s, d) => {
+      val counts = T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("l_quantity"), struct(col("n"), -col("l_quantity")))
+            .as("mode_qty"),
+          max(col("n")).as("n_mode"))
+    }),
+
     // AVG with nullable input (NULLIF-made nulls skipped by AVG)
     "q23_avg_nullable" -> ((s, d) => {
       val v = when(col("l_discount") > 0, col("l_extendedprice"))
@@ -285,6 +317,19 @@ object Aggregates {
     "q38_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q53_argminmax" ->
+      """SELECT o_orderpriority,
+                first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS key_of_max,
+                first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS key_of_min,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+    "q69_mode" ->
+      """SELECT l_returnflag,
+                first(q ORDER BY n DESC, q ASC) AS mode_qty,
+                MAX(n) AS n_mode
+         FROM (SELECT l_returnflag, l_quantity AS q, COUNT(*) AS n
+               FROM lineitem GROUP BY 1, 2)
+         GROUP BY l_returnflag""",
     "q23_avg_nullable" -> {
       val v = "CASE WHEN l_discount > 0 THEN l_extendedprice END"
       s"""SELECT l_linestatus,

@@ -56,7 +56,15 @@ object Arrays {
         .select(col("l_orderkey"), col("l_linenumber"),
           posexplode(array(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))))
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("pos") + 1).cast(LongType).as("ord"), col("col").as("val")))
+          (col("pos") + 1).cast(LongType).as("ord"), col("col").as("val"))),
+
+    // Series generation (DuckDB/Postgres generate_series ≡ Spark
+    // sequence + explode — both inclusive at both bounds): the row-
+    // multiplying primitive behind calendar frames and backfill ranges.
+    "q137_generate_series" -> ((s, d) =>
+      T(s, d, "orders").filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          explode(sequence(lit(1L), col("o_orderkey") % 5 + 1)).as("x")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -83,6 +91,10 @@ object Arrays {
             CAST(u.ord AS BIGINT) AS ord,
             [l_partkey, l_suppkey, l_orderkey][u.ord] AS val
          FROM lineitem, (SELECT unnest(generate_series(1, 3)) AS ord) u
-         WHERE l_quantity > 48"""
+         WHERE l_quantity > 48""",
+    "q137_generate_series" ->
+      """SELECT o_orderkey, x
+         FROM orders, unnest(generate_series(1, o_orderkey % 5 + 1)) AS t(x)
+         WHERE o_orderkey <= 200"""
   )
 }

@@ -335,6 +335,37 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Incremental interval/attribution join as a standing view (the
+    // q133 stream-stream shape on the Z-set path): purchases × clicks of
+    // the same user within the preceding hour, compiled from SQL — the
+    // equi key (user) shuffles, the hour window stays a join residual, so
+    // every wave is delta-proportional (bilinear: ΔP⋈C + P⋈ΔC + ΔP⋈ΔC).
+    // Maintained through click inserts, purchase inserts, and a
+    // click-spam takedown retraction.
+    "q138_incremental_interval_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.limit(0).createOrReplaceTempView("PIJ")
+      c.limit(0).createOrReplaceTempView("CIJ")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT purchase_id, click_id, p_user AS user_id
+           FROM PIJ JOIN CIJ ON p_user = c_user
+            AND c_ts BETWEEN p_ts - INTERVAL '1' HOUR AND p_ts""",
+        Set("PIJ", "CIJ"))
+      val r = new Runner(s, circuit,
+        Map("PIJ" -> p.limit(0), "CIJ" -> c.limit(0)))
+      r.step(Map("CIJ" -> ZSet.fromRows(c)))
+      r.step(Map("PIJ" -> ZSet.fromRows(p)))
+      r.step(Map("CIJ" -> ZSet.negate(ZSet.fromRows(
+        c.filter(col("click_id") % 2 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Incremental AS-OF join — the standing feature-store view
     // (AsOfJoin.asOfLeftInc): clicks carry the latest earlier purchase per
     // user, maintained through insert waves on both sides plus build-side
@@ -773,6 +804,14 @@ object IncrementalQ {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_quantity >= 10 AND l_quantity < 40
                          AND l_partkey >= lo AND l_partkey <= hi)""",
+    "q138_incremental_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                p.user_id AS user_id
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+         WHERE c.event_id % 2 <> 0""",
     "q111_incremental_cross" ->
       """SELECT s_suppkey, t_key FROM supplier
          CROSS JOIN (SELECT r_regionkey AS t_key,

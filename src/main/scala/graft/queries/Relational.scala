@@ -175,6 +175,22 @@ object Relational {
       o.crossJoin(broadcast(thr))
         .filter(col("o_totalprice") > col("avg_d"))
         .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // Skew-resilient salted join under the oracle (operators/SkewJoin):
+    // the hot fact side (events — every row matches a customer) shards by
+    // a stable hash of event_id across 8 salts, the dimension replicates
+    // per salt. Salting is join-invariant — the result, and so the gate
+    // hash, equals the plain equi-join the oracle runs; what changes is
+    // that no single reducer owns a hot key at 100 TB.
+    "q135_skew_salted_join" -> ((s, d) => {
+      val ev = T(s, d, "events").withColumnRenamed("user_id", "c_custkey")
+      val cust = T(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      _root_.graft.operators.SkewJoin
+        .saltedJoinBy(ev, cust, Seq("c_custkey"), col("event_id"), salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
     })
   )
 
@@ -219,6 +235,12 @@ object Relational {
          UNION ALL SELECT s_suppkey AS k FROM supplier""",
     "q14_union_distinct" ->
       "SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer",
+    "q135_skew_salted_join" -> {
+      val sv = Exact.sqlDsum("value")
+      s"""SELECT c_mktsegment, COUNT(*) AS n, $sv AS sum_value
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY c_mktsegment"""
+    },
     "q15_except_all" ->
       """SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 5
          EXCEPT ALL SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 3""",

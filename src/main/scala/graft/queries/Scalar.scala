@@ -152,10 +152,32 @@ object Scalar {
           .cast(BooleanType).as("s2b"),
         (col("l_quantity") > 25).cast(IntegerType).cast(LongType).as("b2i"),
         col("l_shipdate").cast(DateType).as("ts2date"),
-        col("l_shipdate").cast(DateType).cast(TimestampNTZType).as("date2ts")))
+        col("l_shipdate").cast(DateType).cast(TimestampNTZType).as("date2ts"))),
+
+    // Levenshtein edit distance (beyond-reference; the fuzzy-match kernel
+    // of entity resolution / near-dup adjudication). Spark's levenshtein
+    // and DuckDB's compute the identical classic DP, so values hash-match.
+    // The pairing is a keyed self-join over a 25-row dimension — at scale
+    // the same expression runs inside the LSH-bucketed candidate verify
+    // (Dedup.scala), never over a full cross product.
+    "q136_edit_distance" -> ((s, d) => {
+      val n1 = T(s, d, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_name").as("nm1"))
+      val n2 = T(s, d, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_name").as("nm2"))
+      n1.join(n2, col("k1") < col("k2"))
+        .select(col("k1"), col("k2"),
+          levenshtein(col("nm1"), col("nm2")).cast(LongType).as("dist"),
+          levenshtein(col("nm1"), lit("NATION_0")).cast(LongType).as("dist0"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_edit_distance" ->
+      """SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+                levenshtein(n1.n_name, n2.n_name) AS dist,
+                levenshtein(n1.n_name, 'NATION_0') AS dist0
+         FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey""",
     "q44_arith_divzero" ->
       """SELECT l_orderkey, l_linenumber,
             (l_partkey + l_suppkey * 2) AS add_mul,

@@ -34,6 +34,51 @@ object SourcesQ {
       path
     })
 
+  private val orcFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def orcFixture(s: SparkSession, d: String): String =
+    orcFixtures.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_orc_orders_").toString
+      Sources.writeOrc(Tables.load(s, d, "orders"), path)
+      path
+    })
+
+  // Hive-style partitioned parquet sink: orders written partitionBy
+  // o_orderpriority, so a reader filtering on the partition column prunes
+  // whole directories before any IO — at 100 TB the difference between
+  // scanning one partition and scanning the lake.
+  private val partFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def partFixture(s: SparkSession, d: String): String =
+    partFixtures.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_part_orders_").toString
+      Tables.load(s, d, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+      path
+    })
+
+  // Bucketed catalog tables (external — an explicit temp path, so the
+  // session's default warehouse under the checkout is never written):
+  // orders and customer both bucketed+sorted on the customer key with the
+  // same bucket count, so the join below reads bucket i against bucket i
+  // with no Exchange on either side (plan property proven in
+  // BucketedJoinSpec; here the RESULT goes through the DuckDB gate).
+  private val bucketFixtures = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketFixture(s: SparkSession, d: String): (String, String) =
+    bucketFixtures.getOrElseUpdate(d, {
+      val tag = math.abs(d.hashCode).toString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucket_").toString
+      val ot = s"graft_orders_b_$tag"; val ct = s"graft_customer_b_$tag"
+      Tables.load(s, d, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/$ot").saveAsTable(ot)
+      Tables.load(s, d, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/$ct").saveAsTable(ct)
+      (ot, ct)
+    })
+
   val defs: Map[String, QFn] = Map(
     "q80_csv_source" -> ((s, d) => {
       val schema = Tables.load(s, d, "supplier").schema
@@ -52,6 +97,44 @@ object SourcesQ {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sum_key"),
           min(col("s_name")).as("min_name"))
+    }),
+
+    // ORC round-trip: real orders rows (incl. TIMESTAMP_NTZ o_orderdate)
+    // through Spark's vectorized ORC writer/reader; the oracle aggregates
+    // the original parquet, so a hash match certifies the ORC path
+    // end-to-end (types, timestamps, strings, nulls).
+    "q83_orc_source" -> ((s, d) => {
+      val schema = Tables.load(s, d, "orders").schema
+      Sources.readOrc(s, orcFixture(s, d), schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+    }),
+
+    // Partitioned parquet sink + partition-pruned read-back: the filter on
+    // the partition column is satisfied from directory names (the scan's
+    // PartitionFilters — PlanAudit-able), so only 2 of 5 partitions are
+    // read. The oracle filters the original un-partitioned table; a hash
+    // match certifies the sink round-trip AND that pruning lost no rows.
+    "q84_partitioned_sink" -> ((s, d) =>
+      s.read.parquet(partFixture(s, d))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"))),
+
+    // Co-located bucketed join: both sides pre-bucketed on the join key →
+    // zero-Exchange sort-merge join (the 100 TB pattern that turns every
+    // repeated fact-dim join from a full network shuffle into local reads).
+    "q134_bucketed_join" -> ((s, d) => {
+      val (ot, ct) = bucketFixture(s, d)
+      s.table(ot).join(s.table(ct),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Exact.dsum(col("o_totalprice")).as("sum_price"))
     })
   )
 
@@ -62,6 +145,22 @@ object SourcesQ {
     "q81_json_source" ->
       """SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
                 MIN(s_name) AS min_name
-         FROM supplier GROUP BY s_nationkey"""
+         FROM supplier GROUP BY s_nationkey""",
+    "q83_orc_source" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+                MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+         FROM orders GROUP BY o_orderstatus""",
+    "q84_partitioned_sink" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_orderpriority, o_orderstatus""",
+    "q134_bucketed_join" -> {
+      val sp = graft.Exact.sqlDsum("o_totalprice")
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, $sp AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment"""
+    }
   )
 }

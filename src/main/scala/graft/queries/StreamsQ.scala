@@ -111,6 +111,66 @@ object StreamsQ {
         out.writeStream.outputMode("append").format("memory"),
         rows, Seq(sent1, sent2), parts = 3)
       table.filter(col("user_id") =!= SENT)
+    }),
+
+    // Stream-stream interval join (Spark's watermarked state-store join —
+    // the attribution shape: each purchase joined to the same user's
+    // clicks in the preceding hour). Both sides are REAL MemoryStreams fed
+    // the same time-ordered chunks, so the min-policy global watermark
+    // advances together; the 2 h watermark delay exceeds the 1 h join
+    // window, so no in-window row is ever late. State per side is bounded
+    // by watermark + window — at 100 TB/day the store holds ~3 h of keyed
+    // events, not history. The oracle is DuckDB's batch interval join.
+    "q133_stream_stream_join" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("t"), col("event_type"))
+        .orderBy(col("t")).collect()
+      def rowsOf(kind: String) = ev.toSeq
+        .filter(_.getString(3) == kind)
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      val purchases = rowsOf("purchase"); val clicks = rowsOf("click")
+      val lastMs = math.max(purchases.last._3.getTime, clicks.last._3.getTime)
+      def sent(off: Long) = (-1L, -1L, new java.sql.Timestamp(lastMs + off))
+      val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val p = memP.toDF().toDF("purchase_id", "p_user", "p_ts")
+        .withWatermark("p_ts", "2 hours")
+      val c = memC.toDF().toDF("click_id", "c_user", "c_ts")
+        .withWatermark("c_ts", "2 hours")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"),
+          col("p_user").as("user_id"))
+      val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, "8")
+      try {
+        val q = joined.writeStream.outputMode("append").format("memory")
+          .queryName(qn).start()
+        try {
+          // same time-span chunk to BOTH sides per step (3 chunks), then a
+          // sentinel pair to advance both watermarks past every event
+          val np = math.max(1, purchases.length / 3 + 1)
+          val nc = math.max(1, clicks.length / 3 + 1)
+          purchases.grouped(np).toSeq.zipAll(
+              clicks.grouped(nc).toSeq, Seq.empty, Seq.empty)
+            .foreach { case (pc, cc) =>
+              if (pc.nonEmpty) memP.addData(pc)
+              if (cc.nonEmpty) memC.addData(cc)
+              q.processAllAvailable()
+            }
+          memP.addData(sent(1000L * 3600 * 24))
+          memC.addData(sent(1000L * 3600 * 24))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set(partsKey, prevParts)
+      s.table(qn).filter(col("user_id") >= 0)
     })
   )
 
@@ -139,6 +199,13 @@ object StreamsQ {
                     FROM m)
          SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
                 COUNT(*) AS n
-         FROM g GROUP BY user_id, sid"""
+         FROM g GROUP BY user_id, sid""",
+    "q133_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                p.user_id AS user_id
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""
   )
 }

@@ -43,6 +43,17 @@ object Sources {
       .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
       .json(path)
 
+  /** ORC read with explicit schema — the third columnar format a lake
+    * ingest meets in practice (Spark's reader is vectorized and pushes
+    * filters/column pruning down exactly like parquet's, so ORC inputs
+    * keep the same 100 TB scan properties). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Write an ORC fixture (round-trip tests / ingest). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** JDBC table read (read_db analogue). `partitionOn` splits the scan
     * into `numPartitions` range slices so executors read in parallel —
     * without it a JDBC scan is a single-task bottleneck at any scale. */

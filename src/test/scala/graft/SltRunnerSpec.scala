@@ -77,6 +77,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("select8.test", 2600)
   }
 
+  test("winjoin.test: window functions over join results (padded NULLs)") {
+    check("winjoin.test", 1600)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -35,11 +35,16 @@ def fmt_value(v, f):
             return str(int(v))  # truncate toward zero (positive data)
         return str(int(v))
     if f == "R":
-        # Java's %.3f (SltHash) rounds HALF_UP on the exact binary value of
-        # the double; C/Python printf rounds half-to-even. They differ on
-        # exactly-representable halfway values (e.g. 0.0625 -> 0.063 vs
-        # 0.062), so mirror the Java side here.
-        d = Decimal(float(v)).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP)
+        # Java's %.3f (SltHash) rounds HALF_UP on the SHORTEST decimal
+        # representation of the double (FloatingDecimal digits), NOT on its
+        # exact binary expansion: 304.76249999999998... has shortest repr
+        # '304.7625' and prints 304.763, while exact-binary HALF_UP would
+        # give 304.762. Python's repr() is the same shortest-repr
+        # algorithm, so Decimal(repr(v)) mirrors Java exactly (and still
+        # rounds halfway cases up, away from C/Python printf's
+        # half-to-even: 0.0625 -> 0.063).
+        d = Decimal(repr(float(v))).quantize(Decimal("0.001"),
+                                             rounding=ROUND_HALF_UP)
         return f"{d:.3f}"
     if f == "T":
         s = str(v)
@@ -1726,12 +1731,184 @@ def gen_select8():
     return f
 
 
+def t7_statements(f):
+    """Join partner for the winjoin family: k overlaps t1.a (with dup keys),
+    v nullable, u a unique non-null row id — (a, u) is then a total key of
+    every t1-t7 join result, so window ORDER BYs can always be made total."""
+    f.statement("CREATE TABLE t7(k INTEGER, v INTEGER, u INTEGER)")
+    for i in range(24):
+        k = 100 + 7 * rng.randrange(40)
+        v = maybe_null(200 + rng.randrange(150), rng.randrange(9))
+        f.statement(f"INSERT INTO t7 VALUES({k},{v},{i + 1})")
+
+
+def gen_winjoin():
+    """Window functions computed OVER JOIN RESULTS — the structural mix the
+    window and join families each cover alone: ranking/offset/frame
+    aggregates where the window input carries outer-join padding NULLs
+    (flowing into PARTITION BY keys, ORDER BY keys, and frame aggregates),
+    plus windows over grouped joins and rn-filtered derived tables. Every
+    in-window ORDER BY ends with the (a, u) total key and spells NULLS
+    FIRST (Spark's ASC default; DuckDB's is NULLS LAST); RANGE frames stay
+    on joins whose order key cannot be NULL-padded."""
+    f = File("winjoin.test")
+    t1_statements(f)
+    t7_statements(f)
+
+    # (join sql, a-side nullable?, u-side nullable?)
+    joins = [
+        ("t1 JOIN t7 ON a = k", False, False),
+        ("t1 LEFT JOIN t7 ON a = k", False, True),
+        ("t1 RIGHT JOIN t7 ON a = k", True, False),
+        ("t1 FULL JOIN t7 ON a = k", True, True),
+        ("t1 JOIN t7 ON a < k - 60", False, False),
+        ("t1 LEFT JOIN t7 ON a = k AND v > 230", False, True),
+    ]
+    TIE = "a NULLS FIRST, u NULLS FIRST"
+    parts = ["", "a % 4", "v IS NULL", "u IS NULL"]
+    # (order prefix over join columns, rank/dense_rank-safe tied form)
+    orders = [
+        (TIE, "a NULLS FIRST"),
+        (f"v NULLS FIRST, {TIE}", "v NULLS FIRST"),
+        (f"b DESC NULLS LAST, {TIE}", "b DESC NULLS LAST"),
+        (f"coalesce(v, 0) - coalesce(b, 0) NULLS FIRST, {TIE}", None),
+    ]
+
+    def over(p, o, frame=""):
+        bits = []
+        if p:
+            bits.append(f"PARTITION BY {p}")
+        if o:
+            bits.append(f"ORDER BY {o}")
+        if frame:
+            bits.append(frame)
+        return "OVER (" + " ".join(bits) + ")"
+
+    outer = f"ORDER BY {TIE}"
+
+    # ranking over joins: padded NULLs inside partitions and order keys
+    for jsql, _, _ in joins:
+        for p in parts:
+            for o, tied in orders[:3]:
+                for fn, fmt in [("row_number()", "I"), ("rank()", "I"),
+                                ("dense_rank()", "I"), ("ntile(4)", "I")]:
+                    f.query(
+                        f"SELECT a, u, {fn} {over(p, o)} FROM {jsql} {outer}",
+                        "II" + fmt, "nosort")
+                if tied:
+                    for fn in ["rank()", "dense_rank()"]:
+                        f.query(
+                            f"SELECT a, u, {fn} {over(p, tied)} "
+                            f"FROM {jsql} {outer}", "III", "nosort")
+
+    # offset functions reaching across padded rows
+    for jsql, _, _ in joins:
+        for p in parts[:3]:
+            for o, _ in orders[:3]:
+                for fn in ["lag(v, 1) ", "lag(v, 2, -1) ", "lead(b, 1) ",
+                           "lead(v, 1, 0) ", "lag(b + v, 1) "]:
+                    f.query(
+                        f"SELECT a, u, {fn}{over(p, o)} FROM {jsql} {outer}",
+                        "III", "nosort")
+
+    # ROWS-frame aggregates over join outputs (count(v) vs count(*) sees
+    # the padding; avg formatted R)
+    rows_frames = [
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING",
+    ]
+    aggs = [("sum(v)", "I"), ("min(v)", "I"), ("max(b)", "I"),
+            ("count(v)", "I"), ("count(*)", "I"), ("avg(v)", "R"),
+            ("sum(b + v)", "I")]
+    for jsql, _, _ in joins:
+        for p in parts:
+            for o, _ in orders:
+                for fr in rows_frames:
+                    ag, fmt = aggs[(len(jsql) + len(p) + len(o) + len(fr))
+                                   % len(aggs)]
+                    f.query(
+                        f"SELECT a, u, {ag} {over(p, o, fr)} "
+                        f"FROM {jsql} {outer}", "II" + fmt, "nosort")
+
+    # RANGE frames: order key `a` is never NULL on a-side-preserving joins
+    range_frames = [
+        "RANGE BETWEEN 20 PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN 14 PRECEDING AND 14 FOLLOWING",
+        "RANGE BETWEEN CURRENT ROW AND 21 FOLLOWING",
+    ]
+    for jsql, a_nullable, _ in joins:
+        if a_nullable:
+            continue
+        for p in parts[:3]:
+            for fr in range_frames:
+                for ag, fmt in [("sum(v)", "I"), ("count(v)", "I"),
+                                ("count(*)", "I"), ("avg(v)", "R")]:
+                    f.query(
+                        f"SELECT a, u, {ag} {over(p, 'a NULLS FIRST', fr)} "
+                        f"FROM {jsql} {outer}", "II" + fmt, "nosort")
+
+    # first/last_value over padded columns with explicit frames
+    for jsql, _, _ in joins:
+        for p in parts[:3]:
+            for o, _ in orders[:2]:
+                for fn in ["first_value(v)", "last_value(v)",
+                           "first_value(b)"]:
+                    for fr in ["ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+                               "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"]:
+                        f.query(
+                            f"SELECT a, u, {fn} {over(p, o, fr)} "
+                            f"FROM {jsql} {outer}", "III", "nosort")
+
+    # windows over GROUPED joins (window input = join + GROUP BY output).
+    # The group key and aggregate are aliased in a derived table: Spark
+    # cannot re-resolve the raw expression `a % 4` inside a window ORDER BY
+    # above a GROUP BY on that expression (only the aggregated output
+    # column resolves), while the aliased form binds in both engines.
+    for jsql, _, _ in joins[:4]:
+        for ag in ["sum(v)", "count(v)", "max(v)"]:
+            for wfn in ["row_number()", "rank()", "sum(ag)"]:
+                f.query(
+                    f"SELECT g, ag, {wfn} "
+                    f"OVER (ORDER BY ag DESC NULLS LAST, g NULLS FIRST) "
+                    f"FROM (SELECT a % 4 AS g, {ag} AS ag "
+                    f"FROM {jsql} GROUP BY a % 4) "
+                    f"ORDER BY g NULLS FIRST", "III", "nosort")
+
+    # rn-filtered derived tables: top-3 per partition of a join
+    for jsql, _, _ in joins:
+        for p in ["a % 4", "v IS NULL"]:
+            f.query(
+                "SELECT a, u FROM (SELECT a, u, row_number() "
+                f"{over(p, f'v NULLS LAST, {TIE}')} AS rn FROM {jsql}) "
+                f"WHERE rn <= 3 {outer}", "II", "nosort")
+            f.query(
+                "SELECT rn, count(*) FROM (SELECT ntile(3) "
+                f"{over(p, TIE)} AS rn FROM {jsql}) "
+                "GROUP BY rn ORDER BY rn", "II", "nosort")
+
+    # multiple window specs in one select over a join
+    for jsql, a_nullable, _ in joins:
+        if a_nullable:
+            continue
+        for p in parts[:3]:
+            f.query(
+                f"SELECT a, u, row_number() {over(p, TIE)}, "
+                f"sum(v) {over(p, TIE, rows_frames[0])}, "
+                f"rank() {over(p, f'v NULLS FIRST, {TIE}')} "
+                f"FROM {jsql} {outer}", "IIIII", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
-              gen_grouping, gen_string, gen_select8):
+              gen_grouping, gen_string, gen_select8, gen_winjoin):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
