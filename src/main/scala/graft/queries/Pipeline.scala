@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -211,7 +212,101 @@ object Pipeline {
         countDistinct(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
           .as("n_norm"),
         count(lit(1)).as("n_docs"),
-        sum(TA.tokenCountBpe(col("text"))).as("sum_bpe")))
+        sum(TA.tokenCountBpe(col("text"))).as("sum_bpe"))),
+
+    // TF-IDF top terms per document — the corpus-statistics kernel behind
+    // keyword extraction and quality filters. Scale shape: one explode +
+    // two keyed aggregations (tf, then df) + a broadcast of the tiny df
+    // side of each term's idf; no sort of the full corpus (the per-doc
+    // top-3 ranks on INTEGER term frequency with a lexicographic term
+    // tie-break, so ranking never depends on float rounding; the tfidf
+    // value itself is fix6-stabilized to absorb ln() ULP differences
+    // between engines).
+    "q139_tfidf" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          t => length(t) > 0)).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"), col("tf"),
+          graft.functions.SqlFunctions.fix6(
+            col("tf") * log(col("nd").cast(DoubleType) / col("df")))
+            .as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+          col("rnk").cast(LongType).as("rnk"))
+    }),
+
+    // Near-duplicate CLUSTERING: connected components over the verified
+    // LSH pair relation (operators/Fixpoint semi-naive closure), labeling
+    // each clustered document with the minimum doc_id of its component —
+    // the step after pair detection in every dedup pipeline (keep one
+    // representative per cluster, not per pair). The fixture corpus has a
+    // transitive chain (A~B, B~C, A!~C), so min-label propagation must
+    // actually traverse, not just copy pair endpoints.
+    "q140_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.9,
+          maxBucket = Int.MaxValue)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.unionAll(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      // reach(id, lab): lab is reachable from id over dup edges (incl. self)
+      val base = edges.select(col("id_a").as("id"), col("id_a").as("lab"))
+        .distinct()
+      val closed = graft.operators.Fixpoint.semiNaive(base,
+        (frontier, _) => frontier.as("f")
+          .join(edges.as("e"), col("f.lab") === col("e.id_a"))
+          .select(col("f.id").as("id"), col("e.id_b").as("lab")))
+      closed.groupBy(col("id"))
+        .agg(min(col("lab")).as("cluster_id"), count(lit(1)).as("n_reach"))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("n_reach"))
+    }),
+
+    // Length-histogram binning (quality triage: drop the tails, keep the
+    // body). The bucket arithmetic is explicit integer floor division —
+    // bit-identical in any engine — with clamped under/overflow buckets
+    // 0 and 9; one shuffle on the bucket id.
+    "q141_length_histogram" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(least(greatest(
+            floor((col("n_chars") - 100) / 50.0).cast(LongType) + 1, lit(0L)),
+            lit(9L)).as("bucket"), col("n_chars"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
+    // Deterministic hash sampling: an ~8% reproducible sample selected by
+    // an md5 prefix of the row key — the sampling every training-data
+    // pipeline needs to be RE-RUNNABLE (rand()-based sampling cannot be
+    // audited or resumed; a hash threshold gives the same sample on any
+    // cluster, any partitioning, any day). Pure map-side filter: no
+    // shuffle until the aggregation.
+    "q142_deterministic_sample" -> ((s, d) =>
+      T(s, d, "events")
+        .filter(substring(md5(col("event_id").cast(StringType)), 1, 2) <= "14")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))),
+
+    // Stratified deterministic sampling: exactly 20 rows per stratum
+    // (event_type), chosen by md5 order — fixed-size per-group samples
+    // with the same reproducibility guarantee. One shuffle on the stratum
+    // key; the md5 sort key is unique (ids are), so rank is total.
+    "q143_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(md5(col("event_id").cast(StringType)), col("event_id"))
+      T(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("event_type"), col("event_id"),
+          col("rn").cast(LongType).as("rn"))
+    })
   )
 
   private val dotSelf =
@@ -391,6 +486,70 @@ object Pipeline {
                      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 (doc_id % 3 = 2) AS decode_ok
-         FROM documents"""
+         FROM documents""",
+    "q139_tfidf" ->
+      raw"""WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                        t -> length(t) > 0)) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS nd FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf,
+                     FLOOR(t.tf * LN(CAST(nd.nd AS DOUBLE) / d.df)
+                       * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+              FROM tf t JOIN df d USING (term) CROSS JOIN nd),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tf DESC, term ASC) AS rnk
+              FROM scored)
+            SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3""",
+    // exact all-pairs Jaccard (q76's oracle) + recursive min-label closure
+    "q140_dup_clusters" ->
+      raw"""WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 t -> length(t) > 0) AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(range(len(t) - 2),
+                                 i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))
+                     END AS s
+              FROM toks WHERE len(t) > 0
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / greatest(len(list_distinct(a.s || b.s)), 1) >= 0.9
+            ), edges AS (
+              SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p
+            ), reach(id, lab) AS (
+              SELECT id_a, id_a FROM edges
+              UNION
+              SELECT r.id, e.id_b FROM reach r JOIN edges e ON r.lab = e.id_a
+            )
+            SELECT id AS doc_id, MIN(lab) AS cluster_id, COUNT(*) AS n_reach
+            FROM reach GROUP BY id""",
+    "q141_length_histogram" ->
+      """SELECT LEAST(GREATEST(CAST(FLOOR((n_chars - 100) / 50.0) AS BIGINT) + 1, 0), 9) AS bucket,
+                COUNT(*) AS n, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM documents GROUP BY 1""",
+    "q142_deterministic_sample" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(event_id) AS BIGINT) AS sum_id
+         FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '14'
+         GROUP BY event_type""",
+    "q143_stratified_sample" ->
+      """SELECT event_type, event_id, rn FROM (
+           SELECT event_type, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+           FROM events)
+         WHERE rn <= 20"""
   )
 }
