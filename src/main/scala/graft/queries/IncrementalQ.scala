@@ -366,6 +366,48 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // INCREMENTAL TF-IDF: per-document top-term corpus statistics as a
+    // standing view — explode is linear, tf and df are stacked traced
+    // aggregates, the per-doc ranking is a touched-partition window
+    // refold, and the final term join is bilinear, so a wave costs
+    // O(Δdocs × their terms + touched term groups), never O(corpus).
+    // Deliberately maintained WITHOUT the ln(N/df) multiplier: N is
+    // corpus-global, so folding it into the stored value would make every
+    // insert wave rewrite every row; the view stores (tf, df, rank) and a
+    // reader applies idf at query time — the design that stays
+    // delta-proportional at 100 TB.
+    "q144_incremental_tfidf" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      docs.limit(0).createOrReplaceTempView("DTF")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH toks AS (
+             SELECT doc_id, term
+             FROM DTF LATERAL VIEW explode(
+               filter(split(lower(text), '[^\\p{L}\\p{N}]+'),
+                      t -> length(t) > 0)) AS term),
+           tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                  FROM toks GROUP BY doc_id, term),
+           df AS (SELECT term AS df_term, COUNT(*) AS df
+                  FROM tf GROUP BY term),
+           ranked AS (
+             SELECT doc_id, term, tf,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY tf DESC, term ASC) AS rnk
+             FROM tf)
+           SELECT r.doc_id, r.term, r.tf, d.df, r.rnk
+           FROM ranked r JOIN df d ON r.term = d.df_term
+           WHERE r.rnk <= 3""",
+        Set("DTF"))
+      val r = new Runner(s, circuit, Map("DTF" -> docs.limit(0)))
+      // warehouse bootstrap, a newly-crawled batch, a takedown wave
+      r.bootstrap(Map("DTF" -> docs.filter(col("doc_id") % 10 =!= 3)))
+      r.step(Map("DTF" -> ZSet.fromRows(docs.filter(col("doc_id") % 10 === 3))))
+      r.step(Map("DTF" -> ZSet.negate(ZSet.fromRows(
+        docs.filter(col("doc_id") % 7 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Incremental AS-OF join — the standing feature-store view
     // (AsOfJoin.asOfLeftInc): clicks carry the latest earlier purchase per
     // user, maintained through insert waves on both sides plus build-side
@@ -804,6 +846,23 @@ object IncrementalQ {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_quantity >= 10 AND l_quantity < 40
                          AND l_partkey >= lo AND l_partkey <= hi)""",
+    "q144_incremental_tfidf" ->
+      raw"""WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                        t -> length(t) > 0)) AS term
+              FROM documents WHERE doc_id % 7 <> 0),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            ranked AS (
+              SELECT doc_id, term, tf,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, term ASC) AS rnk
+              FROM tf)
+            SELECT r.doc_id, r.term, r.tf, d.df, r.rnk
+            FROM ranked r JOIN df d USING (term)
+            WHERE r.rnk <= 3""",
     "q138_incremental_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
                 p.user_id AS user_id
