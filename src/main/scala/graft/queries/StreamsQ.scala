@@ -121,58 +121,82 @@ object StreamsQ {
     // window, so no in-window row is ever late. State per side is bounded
     // by watermark + window — at 100 TB/day the store holds ~3 h of keyed
     // events, not history. The oracle is DuckDB's batch interval join.
-    "q133_stream_stream_join" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = Tables.load(s, d, "events")
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp").as("t"), col("event_type"))
-        .orderBy(col("t")).collect()
-      def rowsOf(kind: String) = ev.toSeq
-        .filter(_.getString(3) == kind)
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
-      val purchases = rowsOf("purchase"); val clicks = rowsOf("click")
-      val lastMs = math.max(purchases.last._3.getTime, clicks.last._3.getTime)
-      def sent(off: Long) = (-1L, -1L, new java.sql.Timestamp(lastMs + off))
-      val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val p = memP.toDF().toDF("purchase_id", "p_user", "p_ts")
-        .withWatermark("p_ts", "2 hours")
-      val c = memC.toDF().toDF("click_id", "c_user", "c_ts")
-        .withWatermark("c_ts", "2 hours")
-      val joined = p.join(c,
+    "q133_stream_stream_join" -> ((s, d) =>
+      attributionJoin(s, d, "inner")),
+
+    // Stream-stream LEFT OUTER interval join: unattributed purchases emit
+    // with NULL click columns — but only once the global watermark passes
+    // their join window (Spark holds the left row until no matching click
+    // can still arrive), which is exactly what the sentinel batches
+    // advance past. Same state bound as the inner join; the NULL-padded
+    // rows are the unattributed-conversion report every funnel needs.
+    "q145_stream_stream_left_join" -> ((s, d) =>
+      attributionJoin(s, d, "left_outer"))
+  )
+
+  /** Purchase←click attribution join (same user, click within the
+    * preceding hour) through REAL micro-batches on two MemoryStreams.
+    * Both sides are fed the same time-ordered chunks, so the min-policy
+    * global watermark advances together; the 2 h watermark delay exceeds
+    * the 1 h join window, so no in-window row is ever late. State per
+    * side is bounded by watermark + window — at 100 TB/day the store
+    * holds ~3 h of keyed events, not history. */
+  private def attributionJoin(s: SparkSession, d: String,
+                              joinType: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ev = Tables.load(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("t"), col("event_type"))
+      .orderBy(col("t")).collect()
+    def rowsOf(kind: String) = ev.toSeq
+      .filter(_.getString(3) == kind)
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val purchases = rowsOf("purchase"); val clicks = rowsOf("click")
+    val lastMs = math.max(purchases.last._3.getTime, clicks.last._3.getTime)
+    def sent(off: Long) = (-1L, -1L, new java.sql.Timestamp(lastMs + off))
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val p = memP.toDF().toDF("purchase_id", "p_user", "p_ts")
+      .withWatermark("p_ts", "2 hours")
+    val c = memC.toDF().toDF("click_id", "c_user", "c_ts")
+      .withWatermark("c_ts", "2 hours")
+    val joined = p.join(c,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
-          col("c_ts") <= col("p_ts"))
-        .select(col("purchase_id"), col("click_id"),
-          col("p_user").as("user_id"))
-      val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
-      val partsKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partsKey)
-      s.conf.set(partsKey, "8")
+          col("c_ts") <= col("p_ts"),
+        joinType)
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+    val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(qn).start()
       try {
-        val q = joined.writeStream.outputMode("append").format("memory")
-          .queryName(qn).start()
-        try {
-          // same time-span chunk to BOTH sides per step (3 chunks), then a
-          // sentinel pair to advance both watermarks past every event
-          val np = math.max(1, purchases.length / 3 + 1)
-          val nc = math.max(1, clicks.length / 3 + 1)
-          purchases.grouped(np).toSeq.zipAll(
-              clicks.grouped(nc).toSeq, Seq.empty, Seq.empty)
-            .foreach { case (pc, cc) =>
-              if (pc.nonEmpty) memP.addData(pc)
-              if (cc.nonEmpty) memC.addData(cc)
-              q.processAllAvailable()
-            }
-          memP.addData(sent(1000L * 3600 * 24))
-          memC.addData(sent(1000L * 3600 * 24))
+        // same time-span chunk to BOTH sides per step (3 chunks), then TWO
+        // sentinel rounds: outer-join NULL padding emits in the batch
+        // AFTER the one whose end advanced the watermark past the window
+        val np = math.max(1, purchases.length / 3 + 1)
+        val nc = math.max(1, clicks.length / 3 + 1)
+        purchases.grouped(np).toSeq.zipAll(
+            clicks.grouped(nc).toSeq, Seq.empty, Seq.empty)
+          .foreach { case (pc, cc) =>
+            if (pc.nonEmpty) memP.addData(pc)
+            if (cc.nonEmpty) memC.addData(cc)
+            q.processAllAvailable()
+          }
+        Seq(1000L * 3600 * 24, 1000L * 3600 * 25).foreach { off =>
+          memP.addData(sent(off))
+          memC.addData(sent(off))
           q.processAllAvailable()
-        } finally q.stop()
-      } finally s.conf.set(partsKey, prevParts)
-      s.table(qn).filter(col("user_id") >= 0)
-    })
-  )
+        }
+      } finally q.stop()
+    } finally s.conf.set(partsKey, prevParts)
+    s.table(qn).filter(col("user_id") >= 0)
+  }
 
   val oracles: Map[String, String] = Map(
     "q113_stream_windowed_agg" ->
@@ -206,6 +230,14 @@ object StreamsQ {
          FROM events p JOIN events c
            ON p.event_type = 'purchase' AND c.event_type = 'click'
           AND p.user_id = c.user_id
-          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""",
+    "q145_stream_stream_left_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                p.user_id AS user_id
+         FROM events p LEFT JOIN events c
+           ON c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+         WHERE p.event_type = 'purchase'"""
   )
 }
