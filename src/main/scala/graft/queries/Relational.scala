@@ -177,6 +177,35 @@ object Relational {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // PIVOT (beyond-reference): long→wide reshaping with an explicit value
+    // list (the only scale-safe form — pivot without values needs a
+    // distinct-scan planning pass). One shuffle on the group key; missing
+    // cells coalesce to 0 to match SQL's COUNT(CASE ...) spelling.
+    "q146_pivot" -> ((s, d) => {
+      val pv = T(s, d, "orders").groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+      pv.select(col("o_orderstatus"),
+        coalesce(col("`1-URGENT`"), lit(0L)).as("p1_urgent"),
+        coalesce(col("`2-HIGH`"), lit(0L)).as("p2_high"),
+        coalesce(col("`3-MEDIUM`"), lit(0L)).as("p3_medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p4_not_specified"),
+        coalesce(col("`5-LOW`"), lit(0L)).as("p5_low"))
+    }),
+
+    // UNPIVOT / melt (beyond-reference): wide→long reshaping — a pure
+    // per-row flatMap (no shuffle at all), the feature-matrix →
+    // (entity, metric, value) triple shape every ML feature store flips
+    // between.
+    "q147_unpivot" -> ((s, d) =>
+      T(s, d, "lineitem").filter(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
     // Skew-resilient salted join under the oracle (operators/SkewJoin):
     // the hot fact side (events — every row matches a customer) shards by
     // a stable hash of event_id across 8 salts, the dimension replicates
@@ -235,6 +264,26 @@ object Relational {
          UNION ALL SELECT s_suppkey AS k FROM supplier""",
     "q14_union_distinct" ->
       "SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer",
+    "q146_pivot" ->
+      """SELECT o_orderstatus,
+                COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+                COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+                COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+                COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+                COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+         FROM orders GROUP BY o_orderstatus""",
+    "q147_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+         FROM lineitem WHERE l_orderkey <= 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey <= 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey <= 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+         FROM lineitem WHERE l_orderkey <= 100""",
     "q135_skew_salted_join" -> {
       val sv = Exact.sqlDsum("value")
       s"""SELECT c_mktsegment, COUNT(*) AS n, $sv AS sum_value
