@@ -366,6 +366,63 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // Incremental PIVOT: the status × priority count matrix as a standing
+    // view — CASE-conditional aggregates are weight-linear (a delta adds
+    // ±1 to exactly the cells it hits), so each wave touches only the
+    // groups its rows land in. The wide shape is what dashboards read;
+    // maintaining it directly beats re-pivoting the fact table per
+    // refresh.
+    "q148_incremental_pivot" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      o.limit(0).createOrReplaceTempView("OPV")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT o_orderstatus,
+                  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+                  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+                  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+                  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+                  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+           FROM OPV GROUP BY o_orderstatus""",
+        Set("OPV"))
+      val r = new Runner(s, circuit, Map("OPV" -> o.limit(0)))
+      r.step(Map("OPV" -> ZSet.fromRows(o.filter(col("o_orderkey") % 3 =!= 0))))
+      r.step(Map("OPV" -> ZSet.fromRows(o.filter(col("o_orderkey") % 3 === 0))))
+      r.step(Map("OPV" -> ZSet.negate(ZSet.fromRows(
+        o.filter(col("o_totalprice") < 50000)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // Incremental PER-GROUP TOP-K (leaderboard maintenance): the top-3
+    // orders by price within each priority as a standing view. The ranking
+    // window re-folds only TOUCHED partitions per wave; the retraction
+    // wave removes orders that hold current top slots, so ranks 1-3 must
+    // re-derive from the surviving state — the failure mode naive
+    // top-k caches get wrong.
+    "q149_incremental_group_topk" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      o.limit(0).createOrReplaceTempView("OTK")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+             SELECT o_orderpriority, o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+             FROM OTK)
+           WHERE rnk <= 3""",
+        Set("OTK"))
+      val r = new Runner(s, circuit, Map("OTK" -> o.limit(0)))
+      r.step(Map("OTK" -> ZSet.fromRows(o.filter(col("o_orderkey") % 2 === 0))))
+      r.step(Map("OTK" -> ZSet.fromRows(o.filter(col("o_orderkey") % 2 === 1))))
+      // retract the current global top slice — every priority's podium
+      // loses members and must re-rank from stored state
+      r.step(Map("OTK" -> ZSet.negate(ZSet.fromRows(
+        o.filter(col("o_totalprice") > 450000)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // INCREMENTAL TF-IDF: per-document top-term corpus statistics as a
     // standing view — explode is linear, tf and df are stacked traced
     // aggregates, the per-doc ranking is a touched-partition window
@@ -846,6 +903,22 @@ object IncrementalQ {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_quantity >= 10 AND l_quantity < 40
                          AND l_partkey >= lo AND l_partkey <= hi)""",
+    "q148_incremental_pivot" ->
+      """SELECT o_orderstatus,
+                COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+                COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+                COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+                COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+                COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+         FROM orders WHERE o_totalprice >= 50000
+         GROUP BY o_orderstatus""",
+    "q149_incremental_group_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders WHERE o_totalprice <= 450000)
+         WHERE rnk <= 3""",
     "q144_incremental_tfidf" ->
       raw"""WITH toks AS (
               SELECT doc_id,
