@@ -171,7 +171,7 @@ object StreamsQ {
     val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
     val partsKey = "spark.sql.shuffle.partitions"
     val prevParts = s.conf.get(partsKey)
-    s.conf.set(partsKey, "8")
+    s.conf.set(partsKey, "4")
     try {
       val q = joined.writeStream.outputMode("append").format("memory")
         .queryName(qn).start()
