@@ -39,7 +39,7 @@ object StreamsQ {
     // streams size it once for peak state and keep it for the query's life.
     val partsKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partsKey)
-    spark.conf.set(partsKey, "8")
+    spark.conf.set(partsKey, "4")
     try {
       val q = writer.queryName(qn).start()
       try {
