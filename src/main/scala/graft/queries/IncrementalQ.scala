@@ -366,6 +366,47 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // INCREMENTAL SESSIONIZATION: gaps-and-islands (gap > 1 h starts a
+    // new session) as a standing view. Both windows and the final
+    // aggregate are PARTITIONED BY user, so a wave re-folds only the
+    // users it touches — and retraction is the case naive session caches
+    // get wrong: removing a MID-SESSION event can merge its neighbors
+    // into one session (or removing a bridging event can split one), and
+    // the per-user re-fold re-derives exactly that.
+    "q150_incremental_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.unix_micros
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      ev.limit(0).createOrReplaceTempView("EVS")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH m AS (
+             SELECT user_id, event_id, ts_us,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > 3600000000
+                         THEN 1 ELSE 0 END AS brk
+             FROM EVS
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           g AS (
+             SELECT user_id, ts_us,
+                    SUM(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+           SELECT user_id, sid, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                  COUNT(*) AS n
+           FROM g GROUP BY user_id, sid""",
+        Set("EVS"))
+      val r = new Runner(s, circuit, Map("EVS" -> ev.limit(0)))
+      // bootstrap on even event ids, insert the odd ids (retro-inserts
+      // INSIDE existing sessions — extends and merges), then retract
+      // every 5th event (mid-session removals — merges/splits)
+      r.bootstrap(Map("EVS" -> ev.filter(col("event_id") % 2 === 0)))
+      r.step(Map("EVS" -> ZSet.fromRows(ev.filter(col("event_id") % 2 === 1))))
+      r.step(Map("EVS" -> ZSet.negate(ZSet.fromRows(
+        ev.filter(col("event_id") % 5 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Incremental PIVOT: the status × priority count matrix as a standing
     // view — CASE-conditional aggregates are weight-linear (a delta adds
     // ±1 to exactly the cells it hits), so each wave touches only the
@@ -903,6 +944,25 @@ object IncrementalQ {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_quantity >= 10 AND l_quantity < 40
                          AND l_partkey >= lo AND l_partkey <= hi)""",
+    "q150_incremental_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events WHERE event_id % 5 <> 0),
+         m AS (
+           SELECT user_id, event_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 3600000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (
+           SELECT user_id, ts_us,
+                  CAST(SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS sid
+           FROM m)
+         SELECT user_id, sid, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                COUNT(*) AS n
+         FROM g GROUP BY user_id, sid""",
     "q148_incremental_pivot" ->
       """SELECT o_orderstatus,
                 COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,

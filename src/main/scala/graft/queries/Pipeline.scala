@@ -229,9 +229,15 @@ object Pipeline {
           t => length(t) > 0)).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df as a window over tf, not a second aggregate branch: the naive
+      // `tf.groupBy(term).count.join(tf)` re-executes the tokenize+tf
+      // subtree (no static exchange reuse), i.e. two corpus passes at
+      // 100 TB; `count over (partition by term)` computes df in the same
+      // pass with one extra exchange on term
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       val nd = docs.agg(count(lit(1)).as("nd"))
-      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nd))
+      val scored = withDf.crossJoin(broadcast(nd))
         .select(col("doc_id"), col("term"), col("tf"),
           graft.functions.SqlFunctions.fix6(
             col("tf") * log(col("nd").cast(DoubleType) / col("df")))

@@ -81,6 +81,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("winjoin.test", 1600)
   }
 
+  test("orderlimit.test: ORDER BY + LIMIT/OFFSET pagination grammar") {
+    check("orderlimit.test", 550)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

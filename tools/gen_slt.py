@@ -1903,12 +1903,88 @@ def gen_winjoin():
     return f
 
 
+def gen_orderlimit():
+    """ORDER BY + LIMIT [OFFSET] grammar — the presentation clauses the
+    other families leave to rowsort: multi-column total orders (NULLS
+    spelled explicitly: Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    LAST), expression order keys, LIMIT/OFFSET pagination windows over
+    tables, joins, and aggregates, all compared in nosort (exact row
+    order) mode. Every ORDER BY ends in a unique-key tiebreak so the
+    emitted order is total."""
+    f = File("orderlimit.test")
+    t1_statements(f)
+    t7_statements(f)
+
+    orders = [
+        "a NULLS FIRST",
+        "a DESC NULLS LAST",
+        "b NULLS FIRST, a NULLS FIRST",
+        "c DESC NULLS LAST, a NULLS FIRST",
+        "coalesce(d, 0) NULLS FIRST, a DESC NULLS LAST",
+        "b IS NULL NULLS FIRST, e NULLS LAST, a NULLS FIRST",
+        "a % 5 NULLS FIRST, a NULLS FIRST",
+    ]
+    projs = [("a", "I"), ("a, b", "II"), ("a, b, c", "III")]
+    limits = [1, 3, 7, 13, 100]
+    offsets = [0, 2, 5, 30]
+
+    # single-table pagination windows
+    for o in orders:
+        for p, fmt in projs:
+            for lim in limits:
+                for off in offsets:
+                    osql = f" OFFSET {off}" if off else ""
+                    f.query(
+                        f"SELECT {p} FROM t1 ORDER BY {o} LIMIT {lim}{osql}",
+                        fmt, "nosort")
+
+    # over joins: the order key pair (a, u) is total on every join shape
+    jshapes = ["t1 JOIN t7 ON a = k", "t1 LEFT JOIN t7 ON a = k",
+               "t1 JOIN t7 ON a < k - 60"]
+    for jsql in jshapes:
+        for o in ["a NULLS FIRST, u NULLS FIRST",
+                  "v DESC NULLS LAST, a NULLS FIRST, u NULLS FIRST"]:
+            for lim in limits[:4]:
+                for off in offsets:
+                    osql = f" OFFSET {off}" if off else ""
+                    f.query(
+                        f"SELECT a, u FROM {jsql} ORDER BY {o} "
+                        f"LIMIT {lim}{osql}", "II", "nosort")
+
+    # over aggregates (top-k groups + pagination deeper in)
+    for ag in ["count(*)", "sum(b)", "max(c)", "count(d)"]:
+        for lim in limits[:4]:
+            for off in offsets[:3]:
+                osql = f" OFFSET {off}" if off else ""
+                f.query(
+                    f"SELECT a % 4, {ag} FROM t1 GROUP BY a % 4 "
+                    f"ORDER BY {ag} DESC NULLS LAST, a % 4 NULLS FIRST "
+                    f"LIMIT {lim}{osql}", "II", "nosort")
+
+    # LIMIT past the end / OFFSET past the end (clamped, not an error)
+    for p, fmt in projs[:2]:
+        f.query(f"SELECT {p} FROM t1 ORDER BY a NULLS FIRST LIMIT 500",
+                fmt, "nosort")
+        f.query(f"SELECT {p} FROM t1 ORDER BY a NULLS FIRST "
+                f"LIMIT 10 OFFSET 31", fmt, "nosort")
+
+    # ORDER BY in a derived table consumed by an outer aggregate (the
+    # order is semantically erased; the aggregate must not care)
+    for ag in ["count(*)", "sum(a)"]:
+        f.query(
+            f"SELECT {ag} FROM (SELECT a FROM t1 "
+            f"ORDER BY b NULLS FIRST, a NULLS FIRST LIMIT 10)",
+            "I", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
-              gen_grouping, gen_string, gen_select8, gen_winjoin):
+              gen_grouping, gen_string, gen_select8, gen_winjoin,
+              gen_orderlimit):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
