@@ -397,13 +397,15 @@ object IncrementalQ {
            FROM g GROUP BY user_id, sid""",
         Set("EVS"))
       val r = new Runner(s, circuit, Map("EVS" -> ev.limit(0)))
-      // bootstrap on even event ids, insert the odd ids (retro-inserts
-      // INSIDE existing sessions — extends and merges), then retract
-      // every 5th event (mid-session removals — merges/splits)
-      r.bootstrap(Map("EVS" -> ev.filter(col("event_id") % 2 === 0)))
-      r.step(Map("EVS" -> ZSet.fromRows(ev.filter(col("event_id") % 2 === 1))))
+      // USER-SLICED waves (the delta-proportional shape the circuit is
+      // built for — only touched users' partitions re-fold): bootstrap
+      // 90% of users, onboard the rest, then retract every 5th event of
+      // a quarter of the users — mid-session removals whose neighboring
+      // sessions must merge
+      r.bootstrap(Map("EVS" -> ev.filter(col("user_id") % 10 =!= 3)))
+      r.step(Map("EVS" -> ZSet.fromRows(ev.filter(col("user_id") % 10 === 3))))
       r.step(Map("EVS" -> ZSet.negate(ZSet.fromRows(
-        ev.filter(col("event_id") % 5 === 0)))))
+        ev.filter(col("user_id") % 4 === 0 && col("event_id") % 5 === 0)))))
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
@@ -947,7 +949,8 @@ object IncrementalQ {
     "q150_incremental_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-           FROM events WHERE event_id % 5 <> 0),
+           FROM events
+           WHERE NOT (user_id % 4 = 0 AND event_id % 5 = 0)),
          m AS (
            SELECT user_id, event_id, ts_us,
                   CASE WHEN lag(ts_us) OVER w IS NULL
