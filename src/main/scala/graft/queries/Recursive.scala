@@ -101,6 +101,42 @@ object Recursive {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // INCREMENTAL CLUSTERING (connected components under edge churn): a
+    // min-label-per-node view over the standing closure. Wave 2 inserts
+    // bridge edges that MERGE component pairs; wave 3 retracts mid-block
+    // edges, and DRed re-derivation must SPLIT the merged components —
+    // the two transitions every incremental CC scheme must get right.
+    // The label aggregate sits ON TOP of the closure circuit, so it
+    // re-folds only groups whose reachable set changed.
+    "q151_incremental_clusters" -> ((s, d) => {
+      val keys = Tables.load(s, d, "supplier").select(col("s_suppkey").as("k"))
+      def fwd(cond: org.apache.spark.sql.Column) =
+        keys.filter(cond).as("a")
+          .join(keys.as("b"), col("b.k") === col("a.k") + 1)
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+      def sym(df: DataFrame) = df.unionAll(
+        df.select(col("dst").as("src"), col("src").as("dst")))
+      val base = sym(fwd(col("k") % 10 =!= 9))
+        .unionAll(keys.select(col("k").as("src"), col("k").as("dst")))
+      val bridges = sym(fwd(col("k") % 20 === 9))
+      val cuts = sym(fwd(col("k") % 20 === 4))
+      base.limit(0).createOrReplaceTempView("DE")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH RECURSIVE reach (src, dst) AS (
+             SELECT src, dst FROM DE
+             UNION ALL
+             SELECT r.src, e.dst FROM reach r JOIN DE e ON r.dst = e.src
+           ), c AS (SELECT DISTINCT src, dst FROM reach)
+           SELECT src AS node, MIN(dst) AS cluster_id, COUNT(*) AS n_reach
+           FROM c GROUP BY src""",
+        Set("DE"))
+      val r = new Runner(s, circuit, Map("DE" -> base.limit(0)))
+      r.step(Map("DE" -> ZSet.fromRows(base)))
+      r.step(Map("DE" -> ZSet.fromRows(bridges)))
+      r.step(Map("DE" -> ZSet.negate(ZSet.fromRows(cuts))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Standing transitive-closure view through the incremental Runner:
     // chain edges arrive, then the cycle-closing edges (insert-only path —
     // new pairs via semi-naive over (I∪T)∘ΔE∘(I∪T), delta-proportional),
@@ -144,6 +180,21 @@ object Recursive {
          )
          SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reach,
                 CAST(MAX(depth) AS BIGINT) AS max_depth
+         FROM reach GROUP BY src""",
+    "q151_incremental_clusters" ->
+      """WITH RECURSIVE keys AS (SELECT s_suppkey AS k FROM supplier),
+         fwd AS (
+           SELECT a.k AS src, a.k + 1 AS dst
+           FROM keys a JOIN keys b ON b.k = a.k + 1
+           WHERE (a.k % 10 <> 9 AND a.k % 20 <> 4) OR a.k % 20 = 9),
+         e AS (SELECT src, dst FROM fwd
+               UNION ALL SELECT dst, src FROM fwd
+               UNION ALL SELECT k, k FROM keys),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         SELECT src AS node, MIN(dst) AS cluster_id, COUNT(*) AS n_reach
          FROM reach GROUP BY src""",
     "q85_fixpoint_closure" ->
       """WITH RECURSIVE e AS (
