@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   *  - DataFrame-level semi-naive fixpoint (set semantics, cycle-safe,
   *    which UNION ALL recursion cannot express): q85;
   *  - an incrementally-maintained standing closure view (insert-only
-  *    steps do delta-proportional work; retraction re-derives): q89.
+  *    steps do delta-proportional work; retraction re-derives): q89,
+  *    the same view compiled from SQL text (q86), and a min-label
+  *    connected-components clustering view composed on top of the
+  *    closure circuit (q151).
   *
   * Graph fixtures are derived deterministically from TPC-H keys so the
   * oracle can rebuild them: part ancestors by halving (q58), supplier
-  * chains of 20 (q59), and 20-cycles over suppliers (q85/q89).
+  * chains of 20 (q59), 20-cycles over suppliers (q85/q86/q89), and
+  * blocks of 10 with bridge/cut edge churn (q151).
   */
 object Recursive {
   type QFn = (SparkSession, String) => DataFrame
