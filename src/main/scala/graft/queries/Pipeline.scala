@@ -261,15 +261,23 @@ object Pipeline {
       val pairs = Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.9,
           maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"))
+      // persist the edge relation: the step closure re-reads it every
+      // fixpoint iteration, and without the persist each iteration would
+      // re-run the ENTIRE LSH + exact-verify pipeline over the corpus
+      // (K+2 full passes instead of one)
       val edges = pairs.unionAll(
-        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      // reach(id, lab): lab is reachable from id over dup edges (incl. self)
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // reach(id, lab): lab reachable from id over dup edges (incl. self)
       val base = edges.select(col("id_a").as("id"), col("id_a").as("lab"))
         .distinct()
       val closed = graft.operators.Fixpoint.semiNaive(base,
         (frontier, _) => frontier.as("f")
           .join(edges.as("e"), col("f.lab") === col("e.id_a"))
           .select(col("f.id").as("id"), col("e.id_b").as("lab")))
+      // semiNaive is eager and persists its iteration chunks (spill, not
+      // recompute, on eviction), so the edge cache can drop here
+      edges.unpersist()
       closed.groupBy(col("id"))
         .agg(min(col("lab")).as("cluster_id"), count(lit(1)).as("n_reach"))
         .select(col("id").as("doc_id"), col("cluster_id"), col("n_reach"))

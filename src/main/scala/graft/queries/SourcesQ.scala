@@ -63,21 +63,25 @@ object SourcesQ {
   // same bucket count, so the join below reads bucket i against bucket i
   // with no Exchange on either side (plan property proven in
   // BucketedJoinSpec; here the RESULT goes through the DuckDB gate).
-  private val bucketFixtures = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketFixture(s: SparkSession, d: String): (String, String) =
-    bucketFixtures.getOrElseUpdate(d, {
-      val tag = math.abs(d.hashCode).toString
+  // NOT memoized by dir alone: the saved tables live in the creating
+  // SparkSession's in-memory catalog, so a cached name from a stopped
+  // session would dangle. tableExists makes the check session-scoped;
+  // the write is idempotent (mode overwrite).
+  private def bucketFixture(s: SparkSession, d: String): (String, String) = {
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val ot = s"graft_orders_b_$tag"; val ct = s"graft_customer_b_$tag"
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
       val base = java.nio.file.Files
         .createTempDirectory("graft_bucket_").toString
-      val ot = s"graft_orders_b_$tag"; val ct = s"graft_customer_b_$tag"
       Tables.load(s, d, "orders").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$base/$ot").saveAsTable(ot)
       Tables.load(s, d, "customer").write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$base/$ct").saveAsTable(ct)
-      (ot, ct)
-    })
+    }
+    (ot, ct)
+  }
 
   val defs: Map[String, QFn] = Map(
     "q80_csv_source" -> ((s, d) => {

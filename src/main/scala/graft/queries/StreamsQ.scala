@@ -153,7 +153,11 @@ object StreamsQ {
       .filter(_.getString(3) == kind)
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
     val purchases = rowsOf("purchase"); val clicks = rowsOf("click")
-    val lastMs = math.max(purchases.last._3.getTime, clicks.last._3.getTime)
+    // an empty side is a valid input (a click-free corpus should emit all
+    // purchases NULL-padded in the outer join) — the sentinel must still
+    // advance both watermarks, so anchor it past whatever rows exist
+    val lastMs = (purchases ++ clicks).map(_._3.getTime)
+      .maxOption.getOrElse(0L)
     def sent(off: Long) = (-1L, -1L, new java.sql.Timestamp(lastMs + off))
     val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
     val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
