@@ -216,6 +216,29 @@ object Aggregates {
           max(col("n")).as("n_mode"))
     }),
 
+    // ARRAY_AGG(DISTINCT ... ORDER BY ...) — the distinct-sorted variant
+    // of q24's plain array_agg (deterministic: distinct set + total sort;
+    // rendered as a joined string for the driver's scalar hash)
+    "q152_array_agg_distinct" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          concat_ws("|",
+            sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          count(lit(1)).as("n"))),
+
+    // FILTER-clause aggregates (SQL:2003; Spark and DuckDB both native):
+    // conditional aggregation without CASE scaffolding — one pass, each
+    // aggregate sees its own predicate. MAX over double is pure selection
+    // (no reduction arithmetic), so it hash-matches without fixed point.
+    "q153_filter_agg" -> ((s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          expr("COUNT(*) FILTER (WHERE o_totalprice > 100000)").as("n_big"),
+          expr("SUM(o_orderkey) FILTER (WHERE o_orderpriority = '1-URGENT')")
+            .as("sum_urgent"),
+          expr("MAX(o_totalprice) FILTER (WHERE o_custkey % 2 = 0)")
+            .as("max_even"))),
+
     // AVG with nullable input (NULLIF-made nulls skipped by AVG)
     "q23_avg_nullable" -> ((s, d) => {
       val v = when(col("l_discount") > 0, col("l_extendedprice"))
@@ -317,6 +340,17 @@ object Aggregates {
     "q38_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q152_array_agg_distinct" ->
+      """SELECT l_returnflag,
+                array_to_string(list_sort(list_distinct(list(l_linestatus))), '|') AS statuses,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q153_filter_agg" ->
+      """SELECT o_orderstatus,
+                COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+                CAST(SUM(o_orderkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS sum_urgent,
+                MAX(o_totalprice) FILTER (WHERE o_custkey % 2 = 0) AS max_even
+         FROM orders GROUP BY o_orderstatus""",
     "q53_argminmax" ->
       """SELECT o_orderpriority,
                 first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS key_of_max,
