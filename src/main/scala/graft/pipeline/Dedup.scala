@@ -223,6 +223,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT near-duplicate pairs — deterministic candidate generation via a
+    * shared-shingle inverted index, no LSH banding. Recall is 100% for any
+    * threshold > 0 (a pair with Jaccard ≥ t > 0 shares at least one
+    * shingle), and Jaccard is computed exactly from index counts:
+    * |A∩B| = shared distinct shingles from the index self-join,
+    * |A∪B| = |A| + |B| − |A∩B| — no per-pair array intersection.
+    * Zero-token docs are excluded (no shingles → no index rows), matching
+    * the LSH path, which drops them at the signature explode.
+    *
+    * Use this where the result must match an exact all-pairs oracle
+    * regardless of fixture (banding miss probability is tiny but NOT
+    * zero, and downstream transitive closure amplifies one missed edge
+    * into a relabeled component). Cost is one shuffle on the shingle
+    * string plus pair enumeration within each shingle's posting list —
+    * fine at verification scale; at corpus scale boilerplate shingles
+    * make `nearDuplicates` (banded LSH, bounded buckets) the right tool. */
+  def nearDuplicatesExact(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 3,
+                          threshold: Double = 0.7): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+      .where(size(col("sh")) > 0 &&
+        !(size(col("sh")) === 1 && element_at(col("sh"), 1) === ""))
+    val idx = sh.select(col(idCol), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("s"))
+    val a = idx.select(col(idCol).as("id_a"), col("nsh").as("na"), col("s"))
+    val b = idx.select(col(idCol).as("id_b"), col("nsh").as("nb"), col("s"))
+    a.join(b, Seq("s"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** Bit masks 1<<0 .. 1<<63 as an array literal (shift amounts must be

@@ -374,10 +374,14 @@ object IncrementalQ {
     // into one session (or removing a bridging event can split one), and
     // the per-user re-fold re-derives exactly that.
     "q150_incremental_sessionize" -> ((s, d) => {
-      import org.apache.spark.sql.functions.unix_micros
+      // NTZ-safe epoch micros: a pure wall-clock difference against the
+      // NTZ epoch literal — unlike unix_micros(CAST(ts AS TIMESTAMP)),
+      // never routed through the session timezone, so it equals DuckDB's
+      // tz-free epoch_us(ts) under ANY harness timezone
       val ev = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("ts_us"))
       ev.limit(0).createOrReplaceTempView("EVS")
       val circuit = graft.engine.SqlIncremental.compile(s,
         """WITH m AS (
@@ -605,12 +609,13 @@ object IncrementalQ {
         Set("CQ3", "OQ3", "LQ3"))
       val r = new Runner(s, circuit, Map(
         "CQ3" -> c.limit(0), "OQ3" -> o.limit(0), "LQ3" -> li.limit(0)))
-      // wave 1 deliberately loads the snapshot THROUGH the delta path
-      // (full-load coverage for the compiled circuit — contrast with
-      // q130's batch bootstrap); waves 2-3 are production-shaped: a ~2%
-      // late-shipment delta, then the cancelled-order retraction
-      r.step(Map("CQ3" -> ZSet.fromRows(c), "OQ3" -> ZSet.fromRows(o),
-        "LQ3" -> ZSet.fromRows(li.filter(col("l_orderkey") % 50 =!= 0))))
+      // batch-priced snapshot bootstrap (same cadence as q130) — the
+      // standing view pays delta prices only for the deltas; full-load-
+      // THROUGH-the-delta-path coverage lives in SqlIncrementalSpec
+      // ("full snapshot through the delta path") on a capped fixture, so
+      // the bench measures steady-state incremental cost, not a bulk load
+      r.bootstrap(Map("CQ3" -> c, "OQ3" -> o,
+        "LQ3" -> li.filter(col("l_orderkey") % 50 =!= 0)))
       r.step(Map("LQ3" -> ZSet.fromRows(
         li.filter(col("l_orderkey") % 50 === 0))))
       r.step(Map("OQ3" -> ZSet.negate(ZSet.fromRows(

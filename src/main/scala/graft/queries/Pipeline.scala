@@ -258,29 +258,42 @@ object Pipeline {
     // transitive chain (A~B, B~C, A!~C), so min-label propagation must
     // actually traverse, not just copy pair endpoints.
     "q140_dup_clusters" -> ((s, d) => {
-      val pairs = Dedup.nearDuplicates(T(s, d, "documents"), threshold = 0.9,
-          maxBucket = Int.MaxValue)
+      // EXACT candidate generation (shared-shingle inverted index), not
+      // banded LSH: the oracle is exact all-pairs Jaccard, and min-label
+      // propagation is transitive, so one probabilistically missed edge
+      // would relabel a whole component. LSH stays the corpus-scale
+      // detection path (q76/q129); clustering verifies over exact pairs.
+      val pairs = Dedup.nearDuplicatesExact(T(s, d, "documents"),
+          threshold = 0.9)
         .select(col("id_a"), col("id_b"))
       // persist the edge relation: the step closure re-reads it every
       // fixpoint iteration, and without the persist each iteration would
-      // re-run the ENTIRE LSH + exact-verify pipeline over the corpus
-      // (K+2 full passes instead of one)
+      // re-run the whole inverted-index self-join over the corpus
       val edges = pairs.unionAll(
           pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // reach(id, lab): lab reachable from id over dup edges (incl. self)
       val base = edges.select(col("id_a").as("id"), col("id_a").as("lab"))
         .distinct()
-      val closed = graft.operators.Fixpoint.semiNaive(base,
+      val (closed, owned) = graft.operators.Fixpoint.semiNaiveOwned(base,
         (frontier, _) => frontier.as("f")
           .join(edges.as("e"), col("f.lab") === col("e.id_a"))
           .select(col("f.id").as("id"), col("e.id_b").as("lab")))
-      // semiNaive is eager and persists its iteration chunks (spill, not
-      // recompute, on eviction), so the edge cache can drop here
-      edges.unpersist()
-      closed.groupBy(col("id"))
+      val agg = closed.groupBy(col("id"))
         .agg(min(col("lab")).as("cluster_id"), count(lit(1)).as("n_reach"))
         .select(col("id").as("doc_id"), col("cluster_id"), col("n_reach"))
+      // The cluster table is tiny by construction (one row per NEAR-DUP
+      // doc, not per doc) — materialize it eagerly so the fixpoint chunks
+      // and the edge cache are released NOW instead of leaking one cached
+      // union per gate/bench invocation. The cap is a loud failure, not a
+      // silent truncation.
+      val cap = 1000000
+      val rows = agg.limit(cap + 1).collect()
+      require(rows.length <= cap, s"q140: > $cap clustered docs — keep the " +
+        "result distributed (drop the eager materialization) at this scale")
+      owned.unpersist()
+      edges.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
     }),
 
     // Length-histogram binning (quality triage: drop the tails, keep the

@@ -67,18 +67,29 @@ object SourcesQ {
   // SparkSession's in-memory catalog, so a cached name from a stopped
   // session would dangle. tableExists makes the check session-scoped;
   // the write is idempotent (mode overwrite).
+  // Creation is serialized per (session, dataset) — the bare
+  // check-then-act on tableExists would let two concurrent first callers
+  // race saveAsTable on the same names — and the temp dir is allocated
+  // once per dataset, reused across sessions (writes are idempotent,
+  // mode overwrite), instead of leaking a fresh dir per cache miss.
+  private val bucketLocks =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Object]
+  private val bucketDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def bucketFixture(s: SparkSession, d: String): (String, String) = {
     val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
     val ot = s"graft_orders_b_$tag"; val ct = s"graft_customer_b_$tag"
-    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bucket_").toString
-      Tables.load(s, d, "orders").write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/$ot").saveAsTable(ot)
-      Tables.load(s, d, "customer").write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$base/$ct").saveAsTable(ct)
+    val lock = bucketLocks.getOrElseUpdate((s, d), new Object)
+    lock.synchronized {
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+        val base = bucketDirs.getOrElseUpdate(d, java.nio.file.Files
+          .createTempDirectory("graft_bucket_").toString)
+        Tables.load(s, d, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/$ot").saveAsTable(ot)
+        Tables.load(s, d, "customer").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/$ct").saveAsTable(ct)
+      }
     }
     (ot, ct)
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -17,44 +17,76 @@ import org.apache.spark.sql.functions._
   * finalizes (append mode only emits finalized state). The operator under
   * test — `Streams.windowedAgg` / `Streams.sessionize` — is a pure
   * transform on an unbounded stream; in deployment the same code hangs
-  * off `readStream` and the state store bounds memory by the watermark. */
+  * off `readStream` and the state store bounds memory by the watermark.
+  *
+  * Session hygiene: each fixture runs its streaming query on a FORKED
+  * session (GraftSqlBridge.cloneSession) with its own shuffle-partition
+  * count — never a `conf.set` on the shared session, which would
+  * transiently re-plan concurrent queries. Event times are derived from
+  * the NTZ source column via wall-clock epoch arithmetic (timestampdiff
+  * against the NTZ epoch), so no value ever routes through the session
+  * timezone.
+  */
 object StreamsQ {
   type QFn = (SparkSession, String) => DataFrame
 
   private val SENT = "__sentinel"
   private val nameSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Fork the session with its own conf (shared SparkContext). The state
+    * store runs one instance per shuffle partition per batch; the fixtures
+    * drive a handful of micro-batches over small keyed state, so the batch
+    * session's partition count would multiply pure store-commit latency.
+    * These queries start from a fresh checkpoint every run, so the count
+    * is free to choose here — deployed streams size it once for peak state
+    * and keep it for the query's life. */
+  private def fork(s: SparkSession, parts: Int = 4): SparkSession = {
+    val f = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
+    f.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    f
+  }
+
+  /** Driver-size guard for the MemoryStream fixtures: MemoryStream is
+    * driver-side by nature, so the source table is collected — bounded,
+    * with a LOUD failure past the cap, so a future large-SF run fails
+    * explicitly instead of silently OOMing the driver. */
+  private val MaxFixtureRows = 2000000
+  private def collectBounded(df: DataFrame, what: String): Array[Row] = {
+    val rows = df.limit(MaxFixtureRows + 1).collect()
+    require(rows.length <= MaxFixtureRows,
+      s"$what: streaming fixture would collect > $MaxFixtureRows source " +
+        "rows to the driver; sample the source or feed it via files, not " +
+        "MemoryStream, at this scale")
+    rows
+  }
+
+  /** NTZ-safe epoch seconds of the `ts` column: pure wall-clock difference
+    * (truncating, like unix_timestamp) — never routed through the session
+    * timezone, so it matches DuckDB's tz-free epoch(ts) everywhere. */
+  private val tsEpochSec =
+    expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
   /** Feed `rows` (already time-ordered) in `parts` batches, then two
     * sentinel batches that advance the watermark far past every event and
-    * fire all event-time timeouts; return the memory-sink table. */
-  private def drive[T](spark: SparkSession, mem: MemoryStream[T],
+    * fire all event-time timeouts; return the memory-sink table (bound to
+    * the forked session that ran the query). */
+  private def drive[T](forked: SparkSession, mem: MemoryStream[T],
                        writer: => org.apache.spark.sql.streaming.DataStreamWriter[_],
                        rows: Seq[T], sentinels: Seq[T], parts: Int): DataFrame = {
     val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
-    // The state store runs one instance per shuffle partition per batch;
-    // the fixture drives 5 micro-batches over small keyed state, so the
-    // session's partition count (sized for batch scans) multiplies pure
-    // store-commit latency. These queries start from a fresh checkpoint
-    // every run, so the partition count is free to choose here — deployed
-    // streams size it once for peak state and keep it for the query's life.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partsKey)
-    spark.conf.set(partsKey, "4")
+    val q = writer.queryName(qn).start()
     try {
-      val q = writer.queryName(qn).start()
-      try {
-        val per = math.max(1, rows.length / parts + 1)
-        rows.grouped(per).foreach { chunk =>
-          mem.addData(chunk)
-          q.processAllAvailable()
-        }
-        sentinels.foreach { s =>
-          mem.addData(s)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set(partsKey, prevParts)
-    spark.table(qn)
+      val per = math.max(1, rows.length / parts + 1)
+      rows.grouped(per).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      sentinels.foreach { s =>
+        mem.addData(s)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    forked.table(qn)
   }
 
   val defs: Map[String, QFn] = Map(
@@ -63,13 +95,14 @@ object StreamsQ {
     // DuckDB's hour-bucket GROUP BY. The summed value is integral
     // (event_id % 97) so the result is partition-order independent.
     "q113_stream_windowed_agg" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = Tables.load(s, d, "events")
-        .select(unix_timestamp(col("ts").cast("timestamp")).as("t"),
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(tsEpochSec.as("t"),
           col("user_id").cast("string").as("k"),
           (col("event_id") % 97).cast("long").as("v"))
-        .orderBy(col("t")).collect()
+        .orderBy(col("t")), "q113")
       val rows = ev.map(r =>
         (new java.sql.Timestamp(r.getLong(0) * 1000L), r.getString(1), r.getLong(2))).toSeq
       val lastMs = rows.last._1.getTime
@@ -79,7 +112,7 @@ object StreamsQ {
       val agg = graft.streaming.Streams.windowedAgg(
         mem.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "1 hour",
         watermark = "0 seconds")
-      val table = drive(s, mem,
+      val table = drive(f, mem,
         agg.writeStream.outputMode("append").format("memory"),
         rows, Seq((sent1, SENT, 0L), (sent2, SENT, 0L)), parts = 3)
       table.filter(col("k") =!= SENT)
@@ -92,12 +125,12 @@ object StreamsQ {
     // the emitted closed sessions must equal DuckDB's gaps-and-islands
     // query (gap > 1h starts a new session).
     "q114_stream_sessionize" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = Tables.load(s, d, "events")
-        .select(col("user_id").cast("string").as("k"),
-          unix_timestamp(col("ts").cast("timestamp")).as("t"))
-        .orderBy(col("t")).collect()
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(col("user_id").cast("string").as("k"), tsEpochSec.as("t"))
+        .orderBy(col("t")), "q114")
       val rows = ev.map(r =>
         (r.getString(0), new java.sql.Timestamp(r.getLong(1) * 1000L))).toSeq
       val lastMs = rows.last._2.getTime
@@ -107,7 +140,7 @@ object StreamsQ {
       val out = graft.streaming.Streams
         .sessionize(mem.toDS(), gapMs = 3600L * 1000L)
         .toDF("user_id", "start_ms", "end_ms", "n")
-      val table = drive(s, mem,
+      val table = drive(f, mem,
         out.writeStream.outputMode("append").format("memory"),
         rows, Seq(sent1, sent2), parts = 3)
       table.filter(col("user_id") =!= SENT)
@@ -131,27 +164,43 @@ object StreamsQ {
     // advance past. Same state bound as the inner join; the NULL-padded
     // rows are the unattributed-conversion report every funnel needs.
     "q145_stream_stream_left_join" -> ((s, d) =>
-      attributionJoin(s, d, "left_outer"))
+      attributionJoin(s, d, "left_outer")),
+
+    // Stream-stream FULL OUTER interval join: BOTH unmatched sides emit
+    // NULL-padded on watermark crossing — unattributed purchases AND
+    // clicks that never converted, in one standing join (the complete
+    // funnel ledger). Same state bound; Spark evicts each side's state by
+    // its own watermark + window and pads whatever never matched.
+    "q154_stream_stream_full_join" -> ((s, d) =>
+      attributionJoin(s, d, "full_outer"))
   )
 
   /** Purchase←click attribution join (same user, click within the
     * preceding hour) through REAL micro-batches on two MemoryStreams.
     * Both sides are fed the same time-ordered chunks, so the min-policy
     * global watermark advances together; the 2 h watermark delay exceeds
-    * the 1 h join window, so no in-window row is ever late. State per
-    * side is bounded by watermark + window — at 100 TB/day the store
-    * holds ~3 h of keyed events, not history. */
+    * the 1 h join window, so no in-window row is ever late. */
   private def attributionJoin(s: SparkSession, d: String,
                               joinType: String): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    import s.implicits._
-    val ev = Tables.load(s, d, "events")
+    val f = fork(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+    import f.implicits._
+    // FULL microsecond precision (the oracle's interval arithmetic is at
+    // micros): NTZ-safe epoch micros, re-materialized as an instant
+    val ev = collectBounded(Tables.load(f, d, "events")
       .select(col("event_id"), col("user_id"),
-        col("ts").cast("timestamp").as("t"), col("event_type"))
-      .orderBy(col("t")).collect()
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("t_us"),
+        col("event_type"))
+      .orderBy(col("t_us")), s"attribution($joinType)")
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def rowsOf(kind: String) = ev.toSeq
       .filter(_.getString(3) == kind)
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .map(r => (r.getLong(0), r.getLong(1), tsOf(r.getLong(2))))
     val purchases = rowsOf("purchase"); val clicks = rowsOf("click")
     // an empty side is a valid input (a click-free corpus should emit all
     // purchases NULL-padded in the outer join) — the sentinel must still
@@ -165,41 +214,39 @@ object StreamsQ {
       .withWatermark("p_ts", "2 hours")
     val c = memC.toDF().toDF("click_id", "c_user", "c_ts")
       .withWatermark("c_ts", "2 hours")
+    // user_id coalesces both sides: in the full-outer shape an unmatched
+    // click has no purchase row to take the user from (NULL-safe for
+    // inner/left too, where p_user is never NULL)
     val joined = p.join(c,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
           col("c_ts") <= col("p_ts"),
         joinType)
       .select(col("purchase_id"), col("click_id"),
-        col("p_user").as("user_id"))
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
     val qn = s"graft_stream_sink_${nameSeq.getAndIncrement()}"
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(partsKey)
-    s.conf.set(partsKey, "4")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(qn).start()
     try {
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(qn).start()
-      try {
-        // same time-span chunk to BOTH sides per step (3 chunks), then TWO
-        // sentinel rounds: outer-join NULL padding emits in the batch
-        // AFTER the one whose end advanced the watermark past the window
-        val np = math.max(1, purchases.length / 3 + 1)
-        val nc = math.max(1, clicks.length / 3 + 1)
-        purchases.grouped(np).toSeq.zipAll(
-            clicks.grouped(nc).toSeq, Seq.empty, Seq.empty)
-          .foreach { case (pc, cc) =>
-            if (pc.nonEmpty) memP.addData(pc)
-            if (cc.nonEmpty) memC.addData(cc)
-            q.processAllAvailable()
-          }
-        Seq(1000L * 3600 * 24, 1000L * 3600 * 25).foreach { off =>
-          memP.addData(sent(off))
-          memC.addData(sent(off))
+      // same time-span chunk to BOTH sides per step (3 chunks), then TWO
+      // sentinel rounds: outer-join NULL padding emits in the batch
+      // AFTER the one whose end advanced the watermark past the window
+      val np = math.max(1, purchases.length / 3 + 1)
+      val nc = math.max(1, clicks.length / 3 + 1)
+      purchases.grouped(np).toSeq.zipAll(
+          clicks.grouped(nc).toSeq, Seq.empty, Seq.empty)
+        .foreach { case (pc, cc) =>
+          if (pc.nonEmpty) memP.addData(pc)
+          if (cc.nonEmpty) memC.addData(cc)
           q.processAllAvailable()
         }
-      } finally q.stop()
-    } finally s.conf.set(partsKey, prevParts)
-    s.table(qn).filter(col("user_id") >= 0)
+      Seq(1000L * 3600 * 24, 1000L * 3600 * 25).foreach { off =>
+        memP.addData(sent(off))
+        memC.addData(sent(off))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    f.table(qn).filter(col("user_id") >= 0)
   }
 
   val oracles: Map[String, String] = Map(
@@ -211,8 +258,9 @@ object StreamsQ {
          FROM events
          GROUP BY 1, 2""",
     "q114_stream_sessionize" ->
-      """-- FLOOR(epoch), not CAST: Spark's unix_timestamp truncates the
-         -- sub-second fraction while DuckDB's BIGINT cast would round it
+      """-- FLOOR(epoch), not CAST: Spark's epoch-second derivation
+         -- truncates the sub-second fraction while DuckDB's BIGINT cast
+         -- would round it
          WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user_id,
                            CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS t
                     FROM events),
@@ -242,6 +290,13 @@ object StreamsQ {
            ON c.event_type = 'click'
           AND p.user_id = c.user_id
           AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
-         WHERE p.event_type = 'purchase'"""
+         WHERE p.event_type = 'purchase'""",
+    "q154_stream_stream_full_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                COALESCE(p.user_id, c.user_id) AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""
   )
 }

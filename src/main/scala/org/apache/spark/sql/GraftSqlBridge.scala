@@ -47,6 +47,17 @@ object GraftSqlBridge {
     internal.SQLConf.withExistingConf(cloned)(f(cloned))
   }
 
+  /** Fork the session: an independent-conf clone sharing the SparkContext
+    * and cached data. Streaming fixtures use it to pin their own
+    * shuffle-partition count for the life of a query — a `spark.conf.set`
+    * on the shared session would transiently re-plan every concurrent
+    * query, and `withScopedConf`'s thread-local clone does not reach the
+    * streaming engine's micro-batch threads (the engine re-clones the
+    * session the query was STARTED from, which is exactly what this
+    * forwarder provides). */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Register a session-scoped SQL function whose body is composed from
     * Column expressions (stays fully codegen'd — this is NOT a UDF). */
   def registerSqlFunction(spark: SparkSession, name: String,

@@ -953,4 +953,57 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZSet.consolidate(d2("MS_KEYS"))
       .filter(org.apache.spark.sql.functions.col("k") === "b").count() === 0)
   }
+
+  test("full snapshot through the delta path: TPC-H Q3 on a capped fixture") {
+    // q128's bench entry bootstraps its snapshot (batch-priced, like
+    // q130); the full-load-THROUGH-the-delta-path coverage it used to
+    // carry lives here instead, on the sf0.001 fixture, so the compiled
+    // circuit's cold-start correctness stays proven without a 30 s bulk
+    // load in the bench.
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val c = graft.Tables.load(spark, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = graft.Tables.load(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("o_orderstatus"))
+    val li = graft.Tables.load(spark, d, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_shipdate"), col("l_quantity"))
+    assert(li.count() <= 50000L, "capped fixture: full-load coverage must stay cheap")
+    c.limit(0).createOrReplaceTempView("CF3")
+    o.limit(0).createOrReplaceTempView("OF3")
+    li.limit(0).createOrReplaceTempView("LF3")
+    def q3(ct: String, ot: String, lt: String) =
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                   * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                   AS revenue
+          FROM $ct
+          JOIN $ot ON c_custkey = o_custkey
+          JOIN $lt ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1997-06-17'
+            AND l_shipdate > TIMESTAMP '1997-06-17'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+    val circuit = SqlIncremental.compile(spark, q3("CF3", "OF3", "LF3"),
+      Set("CF3", "OF3", "LF3"))
+    val r = new Runner(spark, circuit,
+      Map("CF3" -> c.limit(0), "OF3" -> o.limit(0), "LF3" -> li.limit(0)))
+    // the ENTIRE snapshot as one wave of deltas — no bootstrap
+    r.step(Map("CF3" -> ZSet.fromRows(c), "OF3" -> ZSet.fromRows(o),
+      "LF3" -> ZSet.fromRows(li)))
+    c.createOrReplaceTempView("CB3")
+    o.createOrReplaceTempView("OB3")
+    li.createOrReplaceTempView("LB3")
+    val want = spark.sql(q3("CB3", "OB3", "LB3"))
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+    // and a follow-up retraction over the delta-loaded state still tracks
+    r.step(Map("OF3" -> ZSet.negate(ZSet.fromRows(
+      o.filter(col("o_orderstatus") === "F")))))
+    o.filter(col("o_orderstatus") =!= "F").createOrReplaceTempView("OB3")
+    val want2 = spark.sql(q3("CB3", "OB3", "LB3"))
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want2))
+  }
 }
