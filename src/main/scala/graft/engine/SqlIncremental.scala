@@ -915,20 +915,18 @@ object SqlIncremental {
     val nullableProbe = probes.filter(_.nullable).map(_.name).toSet
     val nullableSub = lq.plan.output.zip(names)
       .collect { case (o, n) if o.nullable => n }.toSet
-    if (math.max(nullableProbe.size, nullableSub.size) > 3)
+    val maskable = names.filter(n => nullableProbe(n) || nullableSub(n))
+    if (maskable.size > 31)
       throw new UnsupportedPlanException(
-        s"NOT IN over ${math.max(nullableProbe.size, nullableSub.size)} " +
-          "nullable columns needs 2^k NULL-pattern mask fan-out; declare " +
-          "some columns NOT NULL (supported: ≤3 nullable per side)")
+        s"NOT IN over ${maskable.size} nullable columns exceeds the " +
+          "NULL-pattern bitmask width (31); declare some columns NOT NULL")
     def subsets(xs: List[String]): List[Set[String]] = xs match {
       case Nil => List(Set.empty)
       case h :: t => val ts = subsets(t); ts ++ ts.map(_ + h)
     }
-    val maskable = names.filter(n => nullableProbe(n) || nullableSub(n))
     val bit: Map[String, Int] =
       maskable.zipWithIndex.map { case (n, i) => n -> (1 << i) }.toMap
     def maskOf(s: Set[String]): Int = s.foldLeft(0)(_ | bit(_))
-    val masks = subsets(maskable.toList)
     val keyName: Map[String, String] =
       names.zipWithIndex.map { case (n, i) => n -> s"__nk$i" }.toMap
     val subAll = inColumns(lq, probes, sources)
@@ -947,6 +945,7 @@ object SqlIncremental {
     def expand(inc: Inc, types: Seq[org.apache.spark.sql.types.DataType],
                nullableSelf: Set[String], nullableOther: Set[String],
                bitsName: String, keep: Seq[String]): Inc = inc.linear { df =>
+      val masks = subsets(maskable.toList)
       val structs = masks.map { m =>
         val valid = (
           maskable.filterNot(m).filter(nullableSelf).map(col(_).isNotNull) ++
@@ -975,12 +974,72 @@ object SqlIncremental {
           names.map(n => col(s"__ex.${keyName(n)}")): _*).as("__nh"): _*)
     }
 
+    /** PATTERN-GROUPED expansion — the many-nullable-columns path. The
+      * static enumeration explodes every row into all valid masks, 2^k in
+      * the nullable-column count; but the only masks that can ever match
+      * are M = ownPattern ∪ Q for NULL patterns Q actually PRESENT on the
+      * other side. So each side joins (unit-key bilinear) against the
+      * other side's maintained distinct-pattern relation — one row per
+      * pattern in the data, a handful for real mostly-non-NULL schemas —
+      * and masks only those unions. Union collisions (different Q, same
+      * M) are re-set-normalized by the caller's distinct, so each
+      * (row, M) appears exactly once, as in the static enumeration. A
+      * pattern never seen contributes nothing — exactly the rows the
+      * static path exploded and never matched. Fan-out per row is
+      * #present-patterns, not 2^k; a NEW pattern arriving on one side
+      * re-expands the other side's tuples against just that pattern
+      * delta (bilinear), so steps stay delta-proportional. */
+    def expandPat(tuples: Inc,
+                  types: Seq[org.apache.spark.sql.types.DataType],
+                  nullableSelf: Set[String], bitsName: String,
+                  keep: Seq[String], otherPatterns: Inc): Inc = {
+      val withBits = tuples.select(names.map(col) :+
+        bitsOf(nullableSelf).as(bitsName) :+ lit(1).as("__one"): _*)
+      withBits.join(otherPatterns, Seq("__one")).linear { df =>
+        val masked = graft.zset.ZSet.map(df)(
+          names.map(col) ++ Seq(col(bitsName),
+            col(bitsName).bitwiseOR(col("__opat")).as("__mask")): _*)
+        val keyed = graft.zset.ZSet.map(masked)(
+          (keep.map(col) :+ col("__mask")) ++
+            names.zip(types).map { case (n, t) =>
+              if (!bit.contains(n)) col(n).as(keyName(n))
+              else when(col("__mask").bitwiseAND(lit(bit(n))) =!= 0,
+                lit(null).cast(t)).otherwise(col(n)).as(keyName(n))
+            } :+ col(bitsName): _*)
+        // same join-key shape as the static path: one 64-bit hash of
+        // (mask, masked tuple) — see the narrow-key rationale above
+        graft.zset.ZSet.map(keyed)(
+          (keep.map(col) :+ col("__mask")) ++
+            names.map(n => col(keyName(n))) ++
+            Seq(col(bitsName),
+              xxhash64(col("__mask") +:
+                names.map(n => col(keyName(n))): _*).as("__nh")): _*)
+      }
+    }
+
     // distinct probe tuples (weight-1 set relation; NULLs are values here)
     val probeTuples = node.select(names.map(col): _*).distinct
-    val probeExp = expand(probeTuples, probes.map(_.dataType),
-      nullableProbe, nullableSub, "__pbits", keep = names)
-    val subExp = expand(subAll, lq.plan.output.map(_.dataType),
-      nullableSub, nullableProbe, "__qbits", keep = Nil)
+    // ≤3 nullable per side: static 2^k ≤ 8 mask enumeration, no extra
+    // stateful nodes; beyond that, pattern-grouped (data-proportional)
+    val (probeExp, subExpRaw) =
+      if (math.max(nullableProbe.size, nullableSub.size) <= 3) (
+        expand(probeTuples, probes.map(_.dataType),
+          nullableProbe, nullableSub, "__pbits", keep = names),
+        expand(subAll, lq.plan.output.map(_.dataType),
+          nullableSub, nullableProbe, "__qbits", keep = Nil))
+      else {
+        val subTuples = subAll.distinct
+        val one = lit(1).as("__one")
+        val subPat = subTuples
+          .select(bitsOf(nullableSub).as("__opat"), one).distinct
+        val probePat = probeTuples
+          .select(bitsOf(nullableProbe).as("__opat"), one).distinct
+        (expandPat(probeTuples, probes.map(_.dataType),
+          nullableProbe, "__pbits", keep = names, subPat).distinct,
+         expandPat(subTuples, lq.plan.output.map(_.dataType),
+           nullableSub, "__qbits", keep = Nil, probePat).distinct)
+      }
+    val subExp = subExpRaw
       .select(col("__nh") +: col("__mask").as("__smask") +:
         col("__qbits") +:
         names.zipWithIndex.map { case (n, i) => col(keyName(n)).as(s"__sk$i") }: _*)

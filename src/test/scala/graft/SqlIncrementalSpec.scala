@@ -732,6 +732,67 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
   }
 
+  test("NOT IN over 5 nullable columns takes the pattern-grouped mask circuit") {
+    // beyond the ≤3-per-side static 2^k enumeration: masks come from the
+    // OTHER side's distinct present NULL patterns (a unit-key bilinear
+    // join), so 5 nullable columns cost #patterns-in-data fan-out, not 32
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE P5 (a BIGINT NULL, b BIGINT NULL, c BIGINT NULL, d BIGINT NULL, f BIGINT NULL, tag VARCHAR NOT NULL);
+        |CREATE TABLE S5 (v BIGINT NULL, w BIGINT NULL, x BIGINT NULL, y BIGINT NULL, z BIGINT NULL);
+        |CREATE VIEW N5 AS SELECT tag FROM P5
+        |  WHERE (a, b, c, d, f) NOT IN (SELECT v, w, x, y, z FROM S5)""".stripMargin)
+    val pt = StructType(Seq(StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType), StructField("d", LongType),
+      StructField("f", LongType), StructField("tag", StringType)))
+    val st = StructType(Seq(StructField("v", LongType), StructField("w", LongType),
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("z", LongType)))
+    val r = e.incrementalRunner("N5")
+    def passed: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
+      .collect().map(_.getString(0)).toSet
+    // empty subquery: everything passes, NULL probes included
+    r.step(Map("P5" -> z(pt,
+      Seq(1L, 2L, 3L, 4L, 5L, "t1", 1L),
+      Seq(1L, 2L, 3L, 4L, 6L, "t2", 1L),
+      Seq(null, 2L, 3L, 4L, 5L, "t3", 1L),
+      Seq(1L, null, null, 4L, 5L, "t4", 1L),
+      Seq(null, null, null, null, null, "t5", 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("t1", "t2", "t3", "t4", "t5"))
+    // (1,2,3,4,5): exact-kills t1; t3/t4/t5 have no definite difference
+    // (their non-NULL columns all agree) → blocked; t2 differs on f
+    r.step(Map("S5" -> z(st, Seq(1L, 2L, 3L, 4L, 5L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("t2"))
+    // a NEW subquery NULL pattern arrives: (NULL,NULL,NULL,NULL,6) agrees
+    // with t2 on the only mutually non-NULL column (f=6) → t2 blocked;
+    // the pattern-grouped probe expansion must re-derive against the new
+    // pattern delta
+    r.step(Map("S5" -> z(st, Seq(null, null, null, null, 6L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set.empty[String])
+    // retract the all-but-z-NULL row: its pattern leaves with it, t2 back
+    r.step(Map("S5" -> z(st, Seq(null, null, null, null, 6L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("t2"))
+    // Spark SQL (itself null-aware for NOT IN) agrees on the net state
+    import spark.implicits._
+    Seq((Some(1L), Some(2L), Some(3L), Some(4L), Some(5L), "t1"),
+      (Some(1L), Some(2L), Some(3L), Some(4L), Some(6L), "t2"),
+      (Option.empty[Long], Some(2L), Some(3L), Some(4L), Some(5L), "t3"),
+      (Some(1L), Option.empty[Long], Option.empty[Long], Some(4L), Some(5L), "t4"),
+      (Option.empty[Long], Option.empty[Long], Option.empty[Long],
+        Option.empty[Long], Option.empty[Long], "t5"))
+      .toDF("a", "b", "c", "d", "f", "tag").createOrReplaceTempView("P5_F")
+    Seq((Some(1L), Some(2L), Some(3L), Some(4L), Some(5L)))
+      .toDF("v", "w", "x", "y", "z").createOrReplaceTempView("S5_F")
+    val want = spark.sql(
+      """SELECT tag FROM P5_F
+        |WHERE (a, b, c, d, f) NOT IN (SELECT v, w, x, y, z FROM S5_F)""".stripMargin)
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+  }
+
   test("uncorrelated EXISTS gates on a maintained global count (empty→nonempty→empty)") {
     val e = new Engine(spark)
     e.executeScript(
