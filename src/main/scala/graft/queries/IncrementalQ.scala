@@ -803,6 +803,46 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // RETRIEVAL-INDEX MAINTENANCE, INDEXED (q132's 100 TB shape): the
+    // same exact ANN top-5 standing view, maintained by the TopKInc
+    // operator instead of per-step re-evaluation. Inserts score only the
+    // DELTA against the broadcast probes and merge into the maintained
+    // top-k (exact: an insert either beats the old kth or doesn't); a
+    // full corpus re-score happens ONLY when a retraction removes a
+    // current top hit, and then only for the hit probes. A wave whose
+    // removals miss every top hit touches no state at all
+    // (IncrementalTopKSpec asserts the rescan counter is 0). This is the
+    // honest exactness boundary: gating the REFILL through LSH/IVF
+    // buckets would skip state, but a far bucket can still hold the true
+    // next-best vector, so bucket-restricted refill is approximate by
+    // construction — the bucketed candidate paths stay on the batch side
+    // (Similarity.lshTopK / ivfTopK, q79).
+    "q155_incremental_ann_indexed" -> ((s, d) => {
+      val Sim = graft.pipeline.Similarity
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val probes = broadcast(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .withColumn("__nq", Sim.norm2(col("q_vec"))))
+      def score(rows: org.apache.spark.sql.DataFrame) =
+        rows.withColumn("__nc", Sim.norm2(col("embedding")))
+          .crossJoin(probes)
+          .withColumn("cos",
+            Sim.dot(col("embedding"), col("q_vec")) /
+              (col("__nc") * col("__nq")))
+          .select(col("q_id"), col("vec_id"), col("cos"))
+      val circuit = source("E").topKPerGroup(score, Seq("vec_id"),
+        Seq("q_id"), Seq(col("cos").desc, col("vec_id").asc), 5)
+      val r = new Runner(s, circuit, Map("E" -> emb.limit(0)))
+      r.bootstrap(Map("E" -> emb.filter(col("vec_id") % 11 =!= 5)))
+      // insert-only wave: merges into the index, no state scan
+      r.step(Map("E" -> ZSet.fromRows(emb.filter(col("vec_id") % 11 === 5))))
+      // takedown wave removing current top hits: restricted re-score
+      r.step(Map("E" -> ZSet.negate(ZSet.fromRows(
+        emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // MULTI-SINK standing maintenance under one oracle: a single Runner
     // maintains TWO views over the same document stream — per-content-key
     // dedup groups and per-token-bucket corpus stats — sharing the parsed
@@ -1132,6 +1172,26 @@ object IncrementalQ {
          GROUP BY l_returnflag""",
     // final corpus = all embeddings minus the retracted slab; identical
     // cosine arithmetic and tie-break as q75
+    "q155_incremental_ann_indexed" -> {
+      // same net corpus as q132 (bootstrap ∪ insert − takedown); the two
+      // queries must agree with the oracle AND each other — Reeval vs
+      // TopKInc is a pure execution-strategy choice
+      val dotQ =
+        """list_reduce(list_transform(list_zip(e.embedding, q.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"""
+      val normE = """SQRT(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      val normQ = """SQRT(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      s"""SELECT q_id, rank, vec_id, cos FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   ($dotQ) / ($normE * $normQ) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($dotQ) / ($normE * $normQ) DESC, e.vec_id ASC) AS rank
+            FROM (SELECT * FROM embeddings
+                  WHERE NOT (vec_id % 9 = 4 AND vec_id >= 3)) e,
+                 (SELECT * FROM embeddings WHERE vec_id < 3) q) t
+          WHERE rank <= 5"""
+    },
+
     "q132_incremental_ann" -> {
       val dotQ =
         """list_reduce(list_transform(list_zip(e.embedding, q.embedding),

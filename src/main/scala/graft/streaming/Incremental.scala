@@ -244,6 +244,37 @@ object Incremental {
       * eval is TakeOrdered-shaped: per-partition top-k + a k-row reduce. */
     def reevaluate(eval: DataFrame => DataFrame): Inc = Reeval(this, eval)
 
+    /** Incremental per-group exact top-k with a MONOTONE-REMOVAL shortcut
+      * — the retrieval-index-maintenance shape (standing exact-ANN views).
+      * The child must maintain SET semantics (presence weights 0/1 — a
+      * keyed corpus; compose `.distinct` upstream otherwise). `score`
+      * maps its plain rows to scored candidate rows, one per (group, row)
+      * pair — e.g. cosine of each vector against a broadcast probe set —
+      * and this operator maintains the exact top-k per group under
+      * `orderBy` (which must be a TOTAL order: include a tiebreaker).
+      * `idCols` are the child columns that identify a row inside the
+      * output (e.g. vec_id), used to detect when a removal hits a current
+      * top hit.
+      *
+      * Per step: inserted rows are scored (delta-proportional) and MERGED
+      * with the surviving previous top-k — exact, because removing a
+      * non-top-k row can never change a top-k (every row that outranked
+      * it still does), and an inserted row either beats the old kth or
+      * doesn't. Only when a removal hits a CURRENT top-k row does the
+      * operator fall back to a full re-score over consolidated state —
+      * and then only for the hit groups. A no-top-hit wave therefore
+      * NEVER scans state (contrast `reevaluate`, which re-scores one full
+      * pass per step): this is the honest exactness boundary — bucketed
+      * (LSH/IVF) gating of the fallback would skip state, but a far
+      * bucket can still hold the true next-best row, so any
+      * bucket-restricted refill is approximate by construction. The
+      * per-step rescan count is observable via `TopKInc.lastRescanGroups`
+      * (asserted 0 for no-hit waves in IncrementalTopKSpec). */
+    def topKPerGroup(score: DataFrame => DataFrame, idCols: Seq[String],
+                     groupCols: Seq[String], orderBy: Seq[Column], k: Int,
+                     rankCol: String = "rank"): Inc =
+      TopKInc(this, score, idCols, groupCols, orderBy, k, rankCol)
+
     /** Incremental partitioned window aggregate
       * (DBSPWindowAggregateOperator.java:34-39 participates in incremental
       * circuits via OptimizeIncrementalVisitor:53-93): a delta only changes
@@ -494,6 +525,68 @@ object Incremental {
       ZSet.minus(
         out(ZSet.plus(ctx.valueOf(child), ctx.deltaOf(child))),
         ZSet.consolidate(ctx.traceOf(this)))
+  }
+
+  /** See the `topKPerGroup` combinator's doc. State: the child's integral
+    * (which the Runner keeps anyway for any bilinear consumer) plus this
+    * node's own output trace (≤ k rows per group — the "index"). The
+    * hit-group set is collected eagerly (it is bounded by the output
+    * trace, k·|groups| rows), so the no-hit path never even PLANS a join
+    * against consolidated state. */
+  private[streaming] final case class TopKInc(child: Inc,
+      score: DataFrame => DataFrame, idCols: Seq[String],
+      groupCols: Seq[String], orderBy: Seq[Column], k: Int,
+      rankCol: String) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def valueDeps: Seq[Inc] = kids
+    override private[streaming] def ownTrace: Boolean = true
+    private def rank(rows: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+      rows.withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) <= k)
+    }
+    def batch(in: Inputs): DataFrame =
+      ZSet.fromRows(rank(score(ZSet.toRows(ZSet.consolidate(child.batch(in))))))
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
+      val dS = ZSet.consolidate(ctx.deltaOf(child))
+      val removedIds = dS.filter(col(ZSet.W) < 0)
+        .select(idCols.map(col): _*).distinct()
+      val inserted = ZSet.toRows(dS) // positive delta rows, plain
+      val prevOut = ZSet.consolidate(ctx.traceOf(this))
+      val prevRows = ZSet.toRows(prevOut)
+      val groupSchema = org.apache.spark.sql.types.StructType(
+        groupCols.map(n => prevRows.schema(n)))
+      // groups whose CURRENT top-k lost a member — tiny by construction
+      // (own trace ⋈ delta removals), collected so the branch is real
+      val hitKeys = prevRows
+        .join(removedIds, idCols, "left_semi")
+        .select(groupCols.map(col): _*).distinct().collect()
+      TopKInc.lastRescanGroups = hitKeys.length.toLong
+      // surviving previous top-k ∪ scored inserts (delta-proportional)
+      val cand = prevRows.drop(rankCol).unionByName(score(inserted))
+      val out =
+        if (hitKeys.isEmpty) rank(cand)
+        else {
+          val hit = broadcast(prevRows.sparkSession.createDataFrame(
+            java.util.Arrays.asList(hitKeys: _*), groupSchema))
+          // fallback, restricted to the hit groups: one consolidated
+          // pass over state — the irreducible exact-refill cost
+          val full = ZSet.toRows(ZSet.consolidate(
+            ZSet.plus(ctx.valueOf(child), ctx.deltaOf(child))))
+          rank(cand.join(hit, groupCols.toSeq, "left_anti"))
+            .unionByName(
+              rank(score(full).join(hit, groupCols.toSeq, "left_semi")))
+        }
+      ZSet.consolidate(ZSet.minus(ZSet.fromRows(out), prevOut))
+    }
+  }
+
+  private[graft] object TopKInc {
+    /** Groups fully re-scored in the LAST step (−1 = no step yet):
+      * per-JVM observability for specs and GRAFT_STEP_DEBUG sessions — a
+      * wave whose removals miss every current top hit must report 0. */
+    @volatile private[graft] var lastRescanGroups: Long = -1L
   }
 
   private[streaming] final case class WindowAgg(child: Inc, partKeys: Seq[String],
@@ -1064,6 +1157,8 @@ object Incremental {
           case AggLinear(c, k, cs) => AggLinear(subst(c), k, cs)
           case AggGlobal(c, a, o)  => AggGlobal(subst(c), a, o)
           case Reeval(c, f)     => Reeval(subst(c), f)
+          case TopKInc(c, sc, ic, gc, ob, kk, rc) =>
+            TopKInc(subst(c), sc, ic, gc, ob, kk, rc)
           case WindowAgg(c, k, f) => WindowAgg(subst(c), k, f)
           case Refold(c, f)     => Refold(subst(c), f)
           case ClosureInc(c, s2, d2) => ClosureInc(subst(c), s2, d2)

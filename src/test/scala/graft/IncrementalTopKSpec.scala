@@ -1,0 +1,119 @@
+package graft
+
+import graft.streaming.Incremental
+import graft.streaming.Incremental.{Runner, source}
+import graft.zset.ZSet
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** TopKInc — incremental per-group exact top-k with the monotone-removal
+  * shortcut (the retrieval-index-maintenance operator behind
+  * q155_incremental_ann_indexed). The axis under test beyond batch ≡
+  * incremental equivalence: a wave whose removals miss every current top
+  * hit must NOT re-score state (TopKInc.lastRescanGroups == 0), and a
+  * top-hit removal must re-score ONLY the hit groups. */
+class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .appName("inc-topk")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+
+  private def z(rows: Seq[Any]*): DataFrame =
+    spark.createDataFrame(
+      rows.map(r => Row(r: _*)).asJava,
+      StructType(schema.fields :+ StructField(ZSet.W, LongType)))
+
+  private def empty: DataFrame =
+    spark.createDataFrame(Seq.empty[Row].asJava, schema)
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  /** Two score groups over one corpus: "hi" ranks by v descending, "lo"
+    * by −v — so the hi top-k is the largest values, the lo top-k the
+    * smallest, and one removal can hit either, both, or neither. */
+  private def score(rows: DataFrame): DataFrame =
+    rows.select(lit("hi").as("g"), col("id"), col("v").as("s"))
+      .unionByName(
+        rows.select(lit("lo").as("g"), col("id"), (-col("v")).as("s")))
+
+  private def topMap(r: Runner): Map[(String, Long), Long] =
+    ZSet.toRows(ZSet.consolidate(r.output)).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getInt(3).toLong).toMap
+
+  private def rescans: Long = Incremental.TopKInc.lastRescanGroups
+
+  test("insert waves merge without scanning state; top-hit removal rescans only hit groups") {
+    val circuit = source("C").topKPerGroup(score, Seq("id"), Seq("g"),
+      Seq(col("s").desc, col("id").asc), k = 2)
+    val r = new Runner(spark, circuit, Map("C" -> empty))
+    // wave 1: pure inserts over empty state — no removal, no rescan
+    r.step(Map("C" -> z((1L to 6L).map(i => Seq[Any](i, i.toDouble, 1L)): _*)))
+    assert(rescans === 0L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("hi", 6L) -> 1L, ("hi", 5L) -> 2L,
+      ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
+    // wave 2: one insert that takes hi rank 1 — still no rescan (merge)
+    r.step(Map("C" -> z(Seq[Any](7L, 7.0, 1L))))
+    assert(rescans === 0L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("hi", 7L) -> 1L, ("hi", 6L) -> 2L,
+      ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
+    // wave 3: remove a row in NEITHER top-2 (id 4) — the no-top-hit wave:
+    // zero rescans AND a physically empty emitted delta
+    val d3 = r.step(Map("C" -> z(Seq[Any](4L, 4.0, -1L))))
+    assert(rescans === 0L)
+    assert(ZSet.consolidate(d3).count() === 0L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    // wave 4: remove the hi top-1 (id 7) — exactly ONE group re-scored,
+    // and the refill promotes id 5 back into hi
+    r.step(Map("C" -> z(Seq[Any](7L, 7.0, -1L))))
+    assert(rescans === 1L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("hi", 6L) -> 1L, ("hi", 5L) -> 2L,
+      ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
+    // wave 5: one wave hitting BOTH groups (hi's 6 and lo's 1) plus an
+    // unrelated insert — both groups re-scored, result exact
+    r.step(Map("C" -> z(Seq[Any](6L, 6.0, -1L), Seq[Any](1L, 1.0, -1L),
+      Seq[Any](8L, 0.5, 1L))))
+    assert(rescans === 2L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("hi", 5L) -> 1L, ("hi", 3L) -> 2L,
+      ("lo", 8L) -> 1L, ("lo", 2L) -> 2L))
+  }
+
+  test("batch-priced bootstrap seeds the index; the first delta stays merge-only") {
+    val circuit = source("C").topKPerGroup(score, Seq("id"), Seq("g"),
+      Seq(col("s").desc, col("id").asc), k = 2)
+    val r = new Runner(spark, circuit, Map("C" -> empty))
+    r.bootstrap(Map("C" -> spark.createDataFrame(
+      (1L to 20L).map(i => Row(i, i.toDouble)).asJava, schema)))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("hi", 20L) -> 1L, ("hi", 19L) -> 2L,
+      ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
+    r.step(Map("C" -> z(Seq[Any](21L, 21.0, 1L))))
+    assert(rescans === 0L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    // retract a bootstrap-era top hit: the fallback reads the
+    // bootstrap-seeded trace correctly
+    r.step(Map("C" -> z(Seq[Any](1L, 1.0, -1L))))
+    assert(rescans === 1L)
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("hi", 21L) -> 1L, ("hi", 20L) -> 2L,
+      ("lo", 2L) -> 1L, ("lo", 3L) -> 2L))
+  }
+}
