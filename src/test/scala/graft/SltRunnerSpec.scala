@@ -85,6 +85,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("orderlimit.test", 550)
   }
 
+  test("recursive.test: WITH RECURSIVE grammar (sequences, hierarchy, DAG paths)") {
+    check("recursive.test", 120)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

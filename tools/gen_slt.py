@@ -1978,13 +1978,151 @@ def gen_orderlimit():
     return f
 
 
+def gen_recursive():
+    """WITH RECURSIVE grammar — the one construct family the corpus
+    lacked (the engine supports it four ways: q58/q59 native, q85/q86
+    fixpoint/standing). Counting sequences, pair-state recursion,
+    hierarchy walks over a two-root forest, and path enumeration /
+    reachability over a layered DAG. Only UNION ALL recursion is emitted:
+    Spark has no UNION-distinct recursion yet
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), and every shape here is
+    acyclic/depth-bounded, so UNION ALL terminates in both engines;
+    set-collapse is exercised through outer DISTINCT/GROUP BY instead."""
+    f = File("recursive.test")
+
+    # employee forest: two roots, three levels, deterministic salaries
+    f.statement("CREATE TABLE emp(id INTEGER, mgr INTEGER, sal INTEGER)")
+    emps = []
+    nid = 1
+    for _root in range(2):
+        rid = nid; nid += 1
+        emps.append((rid, "NULL", 100 + 13 * rid))
+        for c in range(3):
+            cid = nid; nid += 1
+            emps.append((cid, rid, 100 + 13 * cid))
+            for _g in range(2 + (c % 2)):
+                gid = nid; nid += 1
+                emps.append((gid, cid, 100 + 13 * gid))
+    for (i, m, s) in emps:
+        f.statement(f"INSERT INTO emp VALUES({i},{m},{s})")
+    roots = [i for (i, m, _s) in emps if m == "NULL"]
+
+    # layered DAG (5 layers x 4 nodes, edges only forward one layer):
+    # path counts stay bounded, UNION ALL recursion terminates
+    f.statement("CREATE TABLE dag(src INTEGER, dst INTEGER, w INTEGER)")
+    layers, per = 5, 4
+    def node(l, i):
+        return 10 * l + i
+    for l in range(layers - 1):
+        for i in range(per):
+            outs = (i, (i + 1) % per) if (i + l) % 2 == 0 else (i,)
+            for j in outs:
+                f.statement(
+                    f"INSERT INTO dag VALUES({node(l, i)},{node(l + 1, j)},"
+                    f"{1 + (i + j + l) % 5})")
+
+    # 1) counting sequences: starts x steps x stops, three query forms
+    for start in (0, 1, 5):
+        for step in (1, 2, 3):
+            for stop in (10, 25, 60):
+                rec = (f"WITH RECURSIVE r(n) AS (SELECT {start} UNION ALL "
+                       f"SELECT n+{step} FROM r WHERE n+{step} <= {stop}) ")
+                f.query(rec + "SELECT n FROM r ORDER BY n", "I", "nosort")
+                f.query(rec + "SELECT count(*), sum(n), min(n), max(n) FROM r",
+                        "IIII", "nosort")
+                f.query(rec + f"SELECT n, n*n, n % 7 FROM r "
+                        f"WHERE n % 2 = {start % 2} ORDER BY n",
+                        "III", "nosort")
+
+    # 2) pair-state recursion (fibonacci mod m, running products mod m)
+    for mod in (97, 31, 10):
+        f.query(
+            f"WITH RECURSIVE fib(i,a,b) AS (SELECT 1, 0, 1 UNION ALL "
+            f"SELECT i+1, b, (a+b) % {mod} FROM fib WHERE i < 15) "
+            f"SELECT i, a FROM fib ORDER BY i", "II", "nosort")
+        f.query(
+            f"WITH RECURSIVE pw(i,p) AS (SELECT 1, 2 UNION ALL "
+            f"SELECT i+1, (p*3) % {mod} FROM pw WHERE i < 12) "
+            f"SELECT i, p FROM pw ORDER BY i", "II", "nosort")
+
+    # 3) hierarchy walks: subtree of each root under a depth cap
+    for root in roots:
+        for cap in (1, 2, 3):
+            rec = (f"WITH RECURSIVE sub(id, sal, depth) AS ("
+                   f"SELECT id, sal, 0 FROM emp WHERE id = {root} "
+                   f"UNION ALL SELECT e.id, e.sal, s.depth+1 FROM emp e "
+                   f"JOIN sub s ON e.mgr = s.id WHERE s.depth < {cap}) ")
+            f.query(rec + "SELECT id, sal, depth FROM sub ORDER BY depth, id",
+                    "III", "nosort")
+            f.query(rec + "SELECT depth, count(*), sum(sal) FROM sub "
+                    "GROUP BY depth ORDER BY depth", "III", "nosort")
+            f.query(rec + "SELECT count(*), sum(sal) FROM sub "
+                    "WHERE sal % 2 = 0", "II", "nosort")
+    # chain-to-root length per employee (whole forest at once)
+    f.query(
+        "WITH RECURSIVE up(id, anc, depth) AS ("
+        "SELECT id, mgr, 1 FROM emp WHERE mgr IS NOT NULL "
+        "UNION ALL SELECT u.id, e.mgr, u.depth+1 FROM up u "
+        "JOIN emp e ON u.anc = e.id WHERE e.mgr IS NOT NULL) "
+        "SELECT id, max(depth) FROM up GROUP BY id ORDER BY id",
+        "II", "nosort")
+    # ancestors-with-salary filter threaded through the recursion
+    for thr in (150, 250, 350):
+        f.query(
+            f"WITH RECURSIVE sub(id, sal) AS ("
+            f"SELECT id, sal FROM emp WHERE mgr IS NULL "
+            f"UNION ALL SELECT e.id, e.sal FROM emp e "
+            f"JOIN sub s ON e.mgr = s.id WHERE e.sal > {thr}) "
+            f"SELECT id, sal FROM sub ORDER BY id", "II", "nosort")
+
+    # 4) DAG path enumeration from each source-layer node
+    for i in range(per):
+        st = node(0, i)
+        rec = (f"WITH RECURSIVE p(s,d,len,cost) AS ("
+               f"SELECT src, dst, 1, w FROM dag WHERE src = {st} "
+               f"UNION ALL SELECT p.s, e.dst, p.len+1, p.cost+e.w "
+               f"FROM p JOIN dag e ON p.d = e.src) ")
+        f.query(rec + "SELECT d, len, cost FROM p ORDER BY d, len, cost",
+                "III", "nosort")
+        f.query(rec + "SELECT d, count(*), min(cost), max(cost) FROM p "
+                "GROUP BY d ORDER BY d", "IIII", "nosort")
+        f.query(rec + "SELECT DISTINCT d FROM p WHERE len >= 3 ORDER BY d",
+                "I", "nosort")
+        # cost-bounded recursion (the WHERE prunes inside the fixpoint)
+        f.query(
+            f"WITH RECURSIVE p(s,d,cost) AS ("
+            f"SELECT src, dst, w FROM dag WHERE src = {st} "
+            f"UNION ALL SELECT p.s, e.dst, p.cost+e.w "
+            f"FROM p JOIN dag e ON p.d = e.src WHERE p.cost + e.w <= 9) "
+            f"SELECT d, cost FROM p ORDER BY d, cost", "II", "nosort")
+    # whole-graph closure, set-collapsed by the outer aggregate
+    f.query(
+        "WITH RECURSIVE p(s,d) AS (SELECT src, dst FROM dag UNION ALL "
+        "SELECT p.s, e.dst FROM p JOIN dag e ON p.d = e.src) "
+        "SELECT s, count(DISTINCT d) FROM p GROUP BY s ORDER BY s",
+        "II", "nosort")
+    f.query(
+        "WITH RECURSIVE p(s,d,len) AS (SELECT src, dst, 1 FROM dag "
+        "UNION ALL SELECT p.s, e.dst, p.len+1 FROM p JOIN dag e ON p.d = e.src) "
+        "SELECT len, count(*) FROM p GROUP BY len ORDER BY len",
+        "II", "nosort")
+    # recursive result joined back to a base table
+    f.query(
+        "WITH RECURSIVE p(s,d) AS (SELECT src, dst FROM dag UNION ALL "
+        "SELECT p.s, e.dst FROM p JOIN dag e ON p.d = e.src) "
+        "SELECT p.s, sum(g.w) FROM (SELECT DISTINCT s, d FROM p) p "
+        "JOIN dag g ON p.d = g.src GROUP BY p.s ORDER BY p.s",
+        "II", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
               gen_grouping, gen_string, gen_select8, gen_winjoin,
-              gen_orderlimit):
+              gen_orderlimit, gen_recursive):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
