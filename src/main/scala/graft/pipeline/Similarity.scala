@@ -163,6 +163,50 @@ object Similarity {
       .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
   }
 
+  /** Build a FROZEN IVF probe scorer for standing retrieval views (the
+    * score function of `Inc.topKPerGroup` / q156): the coarse quantizer
+    * is trained ONCE on `train` and captured as a local model (16×dim —
+    * collected at build time, the production cadence: retraining per
+    * delta would move every bucket boundary), and each probe pre-ranks
+    * its `nProbe` nearest centroids into a local probe-bucket table. The
+    * returned function assigns its input rows to their nearest centroid
+    * (one broadcast argmin) and joins them against the probe buckets —
+    * so a candidate flows ONLY to probes that probe its bucket: an
+    * insert into an unprobed bucket reaches nobody, and a probe re-ranks
+    * only candidates from buckets it probes. With nProbe = nCentroids
+    * the probed buckets cover the corpus and results equal exact
+    * brute-force (the q79 axis, standing); smaller nProbe trades recall
+    * for bucket-local work (gating + recall spec'd, not oracle'd). */
+  def ivfProbeScorer(train: DataFrame, probes: DataFrame, nCentroids: Int,
+                     nProbe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qIdCol: String = "q_id", qVecCol: String = "q_vec")
+      : DataFrame => DataFrame = {
+    val spark = train.sparkSession
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema))
+    }
+    val cLocal = localize(ivfCentroids(train, nCentroids, idCol, vecCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("__d").asc, col("cid").asc)
+    val pbLocal = localize(
+      probes.withColumn("__nq", norm2(col(qVecCol)))
+        .crossJoin(cLocal)
+        .withColumn("__d", -cosine(col(qVecCol), col("cvec")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nProbe)
+        .select(col(qIdCol), col(qVecCol), col("__nq"), col("cid")))
+    rows =>
+      assign(rows, cLocal, idCol, vecCol)
+        .withColumn("__nc", norm2(col(vecCol)))
+        .join(pbLocal, "cid")
+        .withColumn("cos",
+          dot(col(vecCol), col(qVecCol)) / (col("__nc") * col("__nq")))
+        .select(col(qIdCol), col(idCol), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the
     * embedding-space analogue of Dedup.nearDuplicates). Buckets above
     * `maxBucket` are dropped before the self-join — a degenerate corpus

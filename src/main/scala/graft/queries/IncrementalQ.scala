@@ -843,6 +843,40 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // RETRIEVAL-INDEX MAINTENANCE, IVF-BUCKETED (the r8-verdict ask made
+    // honest): the coarse quantizer is trained ONCE on the bootstrap
+    // corpus and FROZEN (production IVF cadence — retraining would move
+    // every bucket boundary per wave); each probe pre-ranks its nProbe
+    // nearest centroids, and the TopKInc score function assigns rows to
+    // their nearest centroid and joins them against the probe-bucket
+    // table — so an insert reaches ONLY the probes that probe its
+    // bucket, and a probe re-ranks ONLY candidates from its probed
+    // buckets ("re-rank only probes whose candidate buckets changed").
+    // Here nProbe = nCentroids, so probed buckets cover the corpus and
+    // the maintained view must equal the exact brute-force oracle (the
+    // q79 axis, now standing); the realistic nProbe < nCentroids
+    // configuration is bucket-gating- and recall-spec'd in
+    // IncrementalTopKSpec/PipelineSpec.
+    "q156_incremental_ann_ivf" -> ((s, d) => {
+      val Sim = graft.pipeline.Similarity
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val boot = emb.filter(col("vec_id") % 11 =!= 5)
+      val probes = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val nCentroids = 16
+      val score = Sim.ivfProbeScorer(boot, probes, nCentroids,
+        nProbe = nCentroids)
+      val circuit = source("E").topKPerGroup(score, Seq("vec_id"),
+        Seq("q_id"), Seq(col("cos").desc, col("vec_id").asc), 5)
+      val r = new Runner(s, circuit, Map("E" -> emb.limit(0)))
+      r.bootstrap(Map("E" -> boot))
+      r.step(Map("E" -> ZSet.fromRows(emb.filter(col("vec_id") % 11 === 5))))
+      r.step(Map("E" -> ZSet.negate(ZSet.fromRows(
+        emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // MULTI-SINK standing maintenance under one oracle: a single Runner
     // maintains TWO views over the same document stream — per-content-key
     // dedup groups and per-token-bucket corpus stats — sharing the parsed
@@ -1172,6 +1206,25 @@ object IncrementalQ {
          GROUP BY l_returnflag""",
     // final corpus = all embeddings minus the retracted slab; identical
     // cosine arithmetic and tie-break as q75
+    // IVF probing every centroid covers the whole corpus → the standing
+    // view must equal the exact brute-force ranking over the net rows
+    "q156_incremental_ann_ivf" -> {
+      val dotQ =
+        """list_reduce(list_transform(list_zip(e.embedding, q.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"""
+      val normE = """SQRT(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      val normQ = """SQRT(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"""
+      s"""SELECT q_id, rank, vec_id, cos FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   ($dotQ) / ($normE * $normQ) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ($dotQ) / ($normE * $normQ) DESC, e.vec_id ASC) AS rank
+            FROM (SELECT * FROM embeddings
+                  WHERE NOT (vec_id % 9 = 4 AND vec_id >= 3)) e,
+                 (SELECT * FROM embeddings WHERE vec_id < 3) q) t
+          WHERE rank <= 5"""
+    },
+
     "q155_incremental_ann_indexed" -> {
       // same net corpus as q132 (bootstrap ∪ insert − takedown); the two
       // queries must agree with the oracle AND each other — Reeval vs

@@ -246,6 +246,11 @@ object Incremental {
 
     /** Incremental per-group exact top-k with a MONOTONE-REMOVAL shortcut
       * — the retrieval-index-maintenance shape (standing exact-ANN views).
+      * The reference maintains ORDER BY/LIMIT views by re-aggregating the
+      * sorted state per step (visitSort, CalciteToDBSPCompiler.java:
+      * 980-1048 — the `reevaluate` analogue here); this operator refines
+      * that with the monotonicity argument below so steady-state waves
+      * never touch state at all.
       * The child must maintain SET semantics (presence weights 0/1 — a
       * keyed corpus; compose `.distinct` upstream otherwise). `score`
       * maps its plain rows to scored candidate rows, one per (group, row)

@@ -96,6 +96,74 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("lo", 8L) -> 1L, ("lo", 2L) -> 2L))
   }
 
+  test("bucketed score gates deltas: an insert reaches only probes of its bucket") {
+    // disjoint hand-made buckets (ids 0-4 mod 10 → probe A, 5-9 → B):
+    // the IVF/LSH gating shape with none of the kmeans nondeterminism —
+    // proves the TopKInc × bucketed-score composition routes a delta
+    // ONLY to the probes whose candidate buckets changed
+    def bucketScore(rows: DataFrame): DataFrame =
+      rows.filter(col("id") % 10 < 5)
+        .select(lit("A").as("g"), col("id"), col("v").as("s"))
+        .unionByName(rows.filter(col("id") % 10 >= 5)
+          .select(lit("B").as("g"), col("id"), col("v").as("s")))
+    val circuit = source("C").topKPerGroup(bucketScore, Seq("id"), Seq("g"),
+      Seq(col("s").desc, col("id").asc), k = 2)
+    val r = new Runner(spark, circuit, Map("C" -> empty))
+    r.step(Map("C" -> z(Seq[Any](1L, 1.0, 1L), Seq[Any](2L, 2.0, 1L),
+      Seq[Any](3L, 3.0, 1L), Seq[Any](4L, 4.0, 1L),
+      Seq[Any](15L, 15.0, 1L), Seq[Any](16L, 16.0, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("A", 4L) -> 1L, ("A", 3L) -> 2L,
+      ("B", 16L) -> 1L, ("B", 15L) -> 2L))
+    // insert into B's bucket: the emitted delta carries ONLY B rows —
+    // probe A's standing result is untouched, and nothing rescanned
+    val d2 = r.step(Map("C" -> z(Seq[Any](25L, 25.0, 1L))))
+    assert(rescans === 0L)
+    val d2Groups = ZSet.consolidate(d2).select(col("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(d2Groups === Set("B"))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(topMap(r) === Map(("A", 4L) -> 1L, ("A", 3L) -> 2L,
+      ("B", 25L) -> 1L, ("B", 16L) -> 2L))
+    // remove a non-top B row: no rescan, physically empty delta
+    val d3 = r.step(Map("C" -> z(Seq[Any](15L, 15.0, -1L))))
+    assert(rescans === 0L)
+    assert(ZSet.consolidate(d3).count() === 0L)
+    // remove B's top-1: exactly the one hit group rescans; A untouched
+    val d4 = r.step(Map("C" -> z(Seq[Any](25L, 25.0, -1L))))
+    assert(rescans === 1L)
+    assert(ZSet.consolidate(d4).select(col("g")).distinct()
+      .collect().map(_.getString(0)).toSet === Set("B"))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+  }
+
+  test("ivfProbeScorer: full probing equals brute force; partial probing keeps recall") {
+    import graft.pipeline.Similarity
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def hits(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id"), col("vec_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = hits(Similarity.bruteForceTopK(emb, probes, 5))
+    // nProbe = nCentroids: probed buckets cover the corpus → identical
+    val full = Similarity.ivfProbeScorer(emb, probes, 8, nProbe = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    def topkOf(score: DataFrame => DataFrame): DataFrame =
+      score(emb).withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 5)
+    assert(hits(topkOf(full)) === brute)
+    // nProbe = 2 of 8: bucket-local work, recall bounded below
+    val part = Similarity.ivfProbeScorer(emb, probes, 8, nProbe = 2)
+    val got = hits(topkOf(part))
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF nProbe=2 recall $recall")
+  }
+
   test("batch-priced bootstrap seeds the index; the first delta stays merge-only") {
     val circuit = source("C").topKPerGroup(score, Seq("id"), Seq("g"),
       Seq(col("s").desc, col("id").asc), k = 2)
