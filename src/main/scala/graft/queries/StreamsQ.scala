@@ -166,6 +166,54 @@ object StreamsQ {
     "q145_stream_stream_left_join" -> ((s, d) =>
       attributionJoin(s, d, "left_outer")),
 
+    // STREAMING DEDUPLICATION through the state store: dropDuplicates on
+    // a key subset keeps the first-seen row per key across micro-batches
+    // — the continuous-ingest dedup every training pipeline runs in
+    // front of its corpus. Output is restricted to the key columns
+    // (which row of a key "arrived first" inside one micro-batch is
+    // parallelism-dependent, the key SET is not), so the oracle is the
+    // batch DISTINCT. At 100 TB/day the subset would include the
+    // event-time column or use dropDuplicatesWithinWatermark so state
+    // evicts by watermark instead of growing with key cardinality.
+    "q157_stream_dedup" -> ((s, d) => {
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(col("user_id"), col("event_type"), tsEpochSec.as("t"))
+        .orderBy(col("t"), col("user_id")), "q157")
+      val rows = ev.map(r => (r.getLong(0), r.getString(1))).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val dedup = mem.toDF().toDF("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+      drive(f, mem,
+        dedup.writeStream.outputMode("append").format("memory"),
+        rows, Seq.empty, parts = 4)
+    }),
+
+    // STREAM-STATIC JOIN: each micro-batch enriches against a static
+    // dimension (re-planned per batch, broadcast here — the lookup-table
+    // enrichment shape). No state, no watermark: rows emit as they
+    // arrive; the oracle is the batch join.
+    "q158_stream_static_join" -> ((s, d) => {
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val nat = Tables.load(f, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(col("event_id"), col("user_id"), tsEpochSec.as("t"))
+        .orderBy(col("t"), col("event_id")), "q158")
+      val rows = ev.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val mem = MemoryStream[(Long, Long)]
+      val joined = mem.toDF().toDF("event_id", "user_id")
+        .join(broadcast(nat), col("user_id") % 25 === col("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("n_name"))
+      drive(f, mem,
+        joined.writeStream.outputMode("append").format("memory"),
+        rows, Seq.empty, parts = 4)
+    }),
+
     // Stream-stream FULL OUTER interval join: BOTH unmatched sides emit
     // NULL-padded on watermark crossing — unattributed purchases AND
     // clicks that never converted, in one standing join (the complete
@@ -291,6 +339,11 @@ object StreamsQ {
           AND p.user_id = c.user_id
           AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
          WHERE p.event_type = 'purchase'""",
+    "q157_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
+    "q158_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, n.n_name
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
     "q154_stream_stream_full_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
                 COALESCE(p.user_id, c.user_id) AS user_id
