@@ -20,7 +20,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
     val ev = Tables.load(spark, d, "events")
-      .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+      // NTZ-safe epoch seconds (wall-clock diff, never session-tz routed)
+      .withColumn("ts_sec", expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
       .rangeBetween(-3600, 0)
     val feats = ev.select(

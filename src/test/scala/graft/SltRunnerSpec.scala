@@ -89,6 +89,14 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("recursive.test", 120)
   }
 
+  test("bagset.test: EXCEPT ALL / INTERSECT ALL bag-semantics chains") {
+    check("bagset.test", 250)
+  }
+
+  test("lateral.test: correlated LATERAL derived tables") {
+    check("lateral.test", 65)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -2116,13 +2116,130 @@ def gen_recursive():
     return f
 
 
+def gen_bagset():
+    """Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL (and
+    mixes with UNION ALL and the distinct forms), which select4's
+    distinct-semantics chains deliberately excluded. Duplicate-heavy
+    tables with NULL keys: bag subtraction must cancel multiplicities
+    one-for-one and NULLs compare as values. Every chain is explicitly
+    parenthesized (the two engines agree on INTERSECT precedence, but
+    frozen expectations should not depend on it)."""
+    f = File("bagset.test")
+    f.statement("CREATE TABLE b1(k INTEGER, v INTEGER)")
+    f.statement("CREATE TABLE b2(k INTEGER, v INTEGER)")
+    for i in range(36):
+        k = maybe_null(i % 6, i % 9)           # k NULL every 9th row
+        v = maybe_null(100 + (i % 4) * 10, (i + 5) % 11)
+        f.statement(f"INSERT INTO b1 VALUES({k},{v})")
+    for i in range(28):
+        k = maybe_null(i % 7, i % 8)
+        v = maybe_null(100 + (i % 5) * 10, (i + 3) % 10)
+        f.statement(f"INSERT INTO b2 VALUES({k},{v})")
+    srcs = ["SELECT k, v FROM b1", "SELECT k, v FROM b2",
+            "SELECT k, v FROM b1 WHERE v >= 110",
+            "SELECT k, v FROM b2 WHERE k IS NOT NULL",
+            "SELECT v, k FROM b1 WHERE k < 4"]
+    ops = ["UNION ALL", "EXCEPT ALL", "INTERSECT ALL", "EXCEPT", "INTERSECT"]
+    # two-term forms: every op over every source pair
+    for a in srcs:
+        for b in srcs:
+            for op in ops[1:3]:
+                f.query(f"({a}) {op} ({b})", "II", "rowsort")
+    # three-term explicit chains: bag ops composed both ways
+    for a, b, c in [(srcs[0], srcs[1], srcs[2]), (srcs[1], srcs[0], srcs[3]),
+                    (srcs[2], srcs[3], srcs[0]), (srcs[3], srcs[2], srcs[1])]:
+        for o1 in ops:
+            for o2 in ops:
+                f.query(f"(({a}) {o1} ({b})) {o2} ({c})", "II", "rowsort")
+                f.query(f"({a}) {o1} (({b}) {o2} ({c}))", "II", "rowsort")
+    # aggregates over bag-op results (multiplicities must survive into
+    # the aggregate — the place EXCEPT vs EXCEPT ALL differ loudest)
+    for a, b in [(srcs[0], srcs[1]), (srcs[1], srcs[2]), (srcs[0], srcs[3])]:
+        for op in ["EXCEPT ALL", "INTERSECT ALL"]:
+            f.query(f"SELECT count(*), count(k), count(v) FROM "
+                    f"(({a}) {op} ({b}))", "III", "nosort")
+            f.query(f"SELECT k, count(*) FROM (({a}) {op} ({b})) "
+                    f"GROUP BY k ORDER BY k NULLS FIRST", "II", "nosort")
+    return f
+
+
+def gen_lateral():
+    """Correlated LATERAL derived tables — the decorrelation grammar the
+    corpus lacked. Only engine-agreed shapes are emitted (each class
+    hand-verified Spark-vs-DuckDB): comma-LATERAL correlated filters and
+    projections, ORDER BY + LIMIT laterals (explicit NULLS placement and
+    full tiebreaks), LEFT JOIN LATERAL with aggregates (the empty-group
+    row padding both engines agree on — comma-LATERAL over sum/max of an
+    empty group is NOT agreed and not emitted), chained laterals, and
+    windows inside laterals."""
+    f = File("lateral.test")
+    f.statement("CREATE TABLE L1(a INTEGER, b INTEGER)")
+    f.statement("CREATE TABLE L2(a INTEGER, b INTEGER)")
+    for i in range(22):
+        a = maybe_null(i % 6, (i + 2) % 9)
+        b = maybe_null(100 + 7 * (i % 8), i % 7)
+        f.statement(f"INSERT INTO L1 VALUES({a},{b})")
+    for i in range(30):
+        a = maybe_null(i % 8, (i + 4) % 10)
+        b = maybe_null(100 + 5 * (i % 11), (i + 1) % 8)
+        f.statement(f"INSERT INTO L2 VALUES({a},{b})")
+    corr = ["L2.a = x.a", "L2.a >= x.a", "L2.a < x.a",
+            "L2.b > x.b", "L2.a = x.a AND L2.b >= x.b"]
+    # correlated filter + projection laterals
+    for c in corr:
+        for proj in ["L2.b AS yb", "L2.b + x.a AS yb", "L2.a * 10 + L2.b % 10 AS yb"]:
+            f.query(f"SELECT x.a, x.b, y.yb FROM L1 x, "
+                    f"LATERAL (SELECT {proj} FROM L2 WHERE {c}) y",
+                    "III", "rowsort")
+    # top-k-per-row laterals (explicit NULLS placement + full tiebreak)
+    for c in corr[:4]:
+        for lim in (1, 2):
+            for d in ("DESC NULLS LAST", "ASC NULLS FIRST"):
+                f.query(
+                    f"SELECT x.a, y.b FROM L1 x, LATERAL ("
+                    f"SELECT b FROM L2 WHERE {c} "
+                    f"ORDER BY b {d}, a NULLS FIRST LIMIT {lim}) y",
+                    "II", "rowsort")
+    # LEFT JOIN LATERAL aggregates: empty groups pad with NULLs
+    for c in corr:
+        for ag in ["sum(L2.b) AS s", "max(L2.b) AS s", "count(*) AS s",
+                   "count(L2.b) AS s", "min(L2.a) + count(*) AS s"]:
+            f.query(f"SELECT x.a, x.b, y.s FROM L1 x LEFT JOIN LATERAL ("
+                    f"SELECT {ag} FROM L2 WHERE {c}) y ON true",
+                    "III", "rowsort")
+    # count(*) comma-laterals (always one row — engine-agreed)
+    for c in corr:
+        f.query(f"SELECT x.a, y.c FROM L1 x, LATERAL ("
+                f"SELECT count(*) AS c FROM L2 WHERE {c}) y",
+                "II", "rowsort")
+    # chained laterals: second lateral consumes the first
+    for c in corr[:3]:
+        f.query(f"SELECT x.a, z.w FROM L1 x, "
+                f"LATERAL (SELECT b FROM L2 WHERE {c}) y, "
+                f"LATERAL (SELECT y.b - x.a AS w) z",
+                "II", "rowsort")
+    # windows inside laterals (fully ordered, deterministic)
+    for c in corr[:3]:
+        f.query(f"SELECT x.a, y.r, y.b FROM L1 x, LATERAL ("
+                f"SELECT b, row_number() OVER (ORDER BY b NULLS FIRST, a "
+                f"NULLS FIRST) AS r FROM L2 WHERE {c}) y",
+                "III", "rowsort")
+    # laterals under outer aggregation
+    for c in corr[:3]:
+        f.query(f"SELECT x.a, count(*), sum(y.yb) FROM L1 x, LATERAL ("
+                f"SELECT L2.b AS yb FROM L2 WHERE {c}) y "
+                f"GROUP BY x.a ORDER BY x.a NULLS FIRST",
+                "III", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
               gen_grouping, gen_string, gen_select8, gen_winjoin,
-              gen_orderlimit, gen_recursive):
+              gen_orderlimit, gen_recursive, gen_bagset, gen_lateral):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
