@@ -96,6 +96,34 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("lo", 8L) -> 1L, ("lo", 2L) -> 2L))
   }
 
+  test("checkpoint/restore carries the top-k index; post-restore waves stay gated") {
+    def build() = source("C").topKPerGroup(score, Seq("id"), Seq("g"),
+      Seq(col("s").desc, col("id").asc), k = 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_topk_ckpt_").toString
+    val r1 = new Runner(spark, build(), Map("C" -> empty))
+    r1.step(Map("C" -> z((1L to 6L).map(i => Seq[Any](i, i.toDouble, 1L)): _*)))
+    r1.checkpoint(ckpt)
+    val out1 = canon(ZSet.toRows(ZSet.consolidate(r1.output)))
+    // simulated restart: a NEW runner over a freshly-built circuit (new
+    // node ids, same DFS shape) restores the durable traces
+    val r2 = new Runner(spark, build(), Map("C" -> empty))
+    r2.restore(ckpt)
+    assert(canon(ZSet.toRows(ZSet.consolidate(r2.output))) === out1)
+    // post-restore no-top-hit wave still takes the gated path off the
+    // RESTORED output trace: zero rescans, physically empty delta
+    val d = r2.step(Map("C" -> z(Seq[Any](4L, 4.0, -1L))))
+    assert(rescans === 0L)
+    assert(ZSet.consolidate(d).count() === 0L)
+    // and a top-hit removal refills correctly from the restored child
+    // integral (hi's 6 leaves; 5 promotes)
+    r2.step(Map("C" -> z(Seq[Any](6L, 6.0, -1L))))
+    assert(rescans === 1L)
+    assert(canon(ZSet.consolidate(r2.output)) === canon(r2.recompute))
+    assert(topMap(r2) === Map(("hi", 5L) -> 1L, ("hi", 3L) -> 2L,
+      ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
+  }
+
   test("bucketed score gates deltas: an insert reaches only probes of its bucket") {
     // disjoint hand-made buckets (ids 0-4 mod 10 → probe A, 5-9 → B):
     // the IVF/LSH gating shape with none of the kmeans nondeterminism —
