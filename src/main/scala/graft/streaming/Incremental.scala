@@ -259,7 +259,9 @@ object Incremental {
       * `orderBy` (which must be a TOTAL order: include a tiebreaker).
       * `idCols` are the child columns that identify a row inside the
       * output (e.g. vec_id), used to detect when a removal hits a current
-      * top hit.
+      * top hit. Group keys and id columns must be NON-NULL: hit-group
+      * routing uses equi semi/anti joins, which would silently misroute
+      * NULL-keyed groups (same caveat as Spark's own keyed-state ops).
       *
       * Per step: inserted rows are scored (delta-proportional) and MERGED
       * with the surviving previous top-k — exact, because removing a
