@@ -97,6 +97,14 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("lateral.test", 65)
   }
 
+  test("temporal.test: DATE/TIMESTAMP grammar (extract, trunc, intervals)") {
+    check("temporal.test", 130)
+  }
+
+  test("scalarexpr.test: CASE/NULLIF/COALESCE/IN-list/3VL scalar grammar") {
+    check("scalarexpr.test", 95)
+  }
+
   test("pg_timestamp.test: postgres-derived timestamp vectors") {
     check("pg_timestamp.test", 38)
   }

@@ -2233,13 +2233,356 @@ def gen_lateral():
     return f
 
 
+def gen_temporal():
+    """DATE/TIMESTAMP grammar — the corpus had only the 27+44 fixed
+    pg_date/pg_timestamp vectors; this generates a systematic temporal
+    grammar. Only engine-agreed spellings are emitted (each class probed
+    Spark-vs-DuckDB): EXTRACT over the agreed unit set, date_trunc
+    re-cast to DATE (DuckDB keeps DATE, Spark promotes to TIMESTAMP —
+    the cast unifies), date ± INTERVAL re-cast to DATE (DuckDB promotes
+    to TIMESTAMP), month-arithmetic end-of-month clamping, last_day /
+    make_date, temporal CASE/GREATEST/LEAST/COALESCE, windows ordered
+    by date, and month-key joins. NOT emitted (probed disagreements):
+    EXTRACT(DOW) (origin differs), bare date+interval, bare
+    EXTRACT(SECOND) (Spark returns DECIMAL), date subtraction."""
+    f = File("temporal.test")
+    f.statement("CREATE TABLE td(id INTEGER, d DATE, ts TIMESTAMP, g INTEGER, v INTEGER)")
+    # deterministic variety: year/quarter boundaries, the 2024 leap day,
+    # end-of-month days (clamping), NULLs on a 9-cycle
+    base = ["2023-12-31", "2024-01-01", "2024-02-29", "2024-01-31",
+            "2021-06-15", "2020-01-01", "2024-07-04", "2022-09-30",
+            "2024-03-31", "2019-11-17", "2024-12-31", "2023-01-01"]
+    times = ["00:00:00", "23:59:59", "12:30:45", "06:07:08", "18:00:00"]
+    for i in range(40):
+        if i % 9 == 4:
+            d, ts = "NULL", "NULL"
+        else:
+            d = f"'{base[i % len(base)]}'"
+            ts = f"'{base[(i * 7 + 3) % len(base)]} {times[i % len(times)]}'"
+        f.statement(f"INSERT INTO td VALUES({i},{d},{ts},{i % 5},{100 + i * 7})")
+    f.statement("CREATE TABLE th(hd DATE, hv INTEGER)")
+    for i in range(14):
+        d = "NULL" if i % 11 == 7 else f"'{base[(i * 5 + 1) % len(base)]}'"
+        f.statement(f"INSERT INTO th VALUES({d},{1000 + i * 13})")
+
+    d_units = ["YEAR", "MONTH", "DAY", "QUARTER", "WEEK", "DOY"]
+    ts_units = ["YEAR", "MONTH", "DAY", "HOUR", "MINUTE"]
+    wheres = ["", " WHERE d IS NOT NULL", " WHERE v % 2 = 0",
+              " WHERE d >= DATE '2023-01-01'",
+              " WHERE d BETWEEN DATE '2021-01-01' AND DATE '2024-02-29'"]
+    # EXTRACT matrix over date and timestamp columns
+    for u in d_units:
+        for w in wheres:
+            f.query(f"SELECT id, EXTRACT({u} FROM d) FROM td{w}", "II", "rowsort")
+    for u in ts_units:
+        for w in wheres[:3]:
+            f.query(f"SELECT id, EXTRACT({u} FROM ts) FROM td{w}", "II", "rowsort")
+    f.query("SELECT id, CAST(EXTRACT(SECOND FROM ts) AS BIGINT) FROM td", "II", "rowsort")
+    # date_trunc (re-cast to DATE where DuckDB stays DATE)
+    for u in ["year", "quarter", "month", "week"]:
+        for w in wheres[:3]:
+            f.query(f"SELECT id, CAST(date_trunc('{u}', d) AS DATE) FROM td{w}",
+                    "IT", "rowsort")
+    f.query("SELECT id, CAST(date_trunc('day', ts) AS DATE) FROM td", "IT", "rowsort")
+    for u in ["hour", "minute"]:
+        f.query(f"SELECT id, date_trunc('{u}', ts) FROM td", "IT", "rowsort")
+    # interval arithmetic incl. end-of-month clamping (re-cast: DuckDB
+    # promotes date+interval to TIMESTAMP, Spark keeps DATE)
+    for n, unit in [(1, "DAY"), (3, "DAY"), (45, "DAY"), (1, "MONTH"),
+                    (13, "MONTH"), (2, "MONTH"), (1, "YEAR"), (2, "YEAR")]:
+        for op in ["+", "-"]:
+            f.query(f"SELECT id, CAST(d {op} INTERVAL {n} {unit} AS DATE) FROM td",
+                    "IT", "rowsort")
+    for n, unit in [(90, "MINUTE"), (36, "HOUR"), (1, "DAY")]:
+        for op in ["+", "-"]:
+            f.query(f"SELECT id, ts {op} INTERVAL {n} {unit} FROM td", "IT", "rowsort")
+    # last_day / make_date / casts
+    f.query("SELECT id, last_day(d) FROM td", "IT", "rowsort")
+    f.query("SELECT id, last_day(CAST(ts AS DATE)) FROM td", "IT", "rowsort")
+    f.query("SELECT id, make_date(2020 + g, g + 1, 2 * g + 1) FROM td", "IT", "rowsort")
+    f.query("SELECT id, CAST(ts AS DATE) FROM td", "IT", "rowsort")
+    f.query("SELECT id, CAST(d AS TIMESTAMP) FROM td", "IT", "rowsort")
+    f.query("SELECT id, CAST(d AS VARCHAR(30)) FROM td", "IT", "rowsort")
+    # temporal predicates projected as I (3VL: NULL dates stay NULL)
+    preds = ["d > DATE '2023-06-01'", "d = DATE '2024-02-29'",
+             "d BETWEEN DATE '2021-01-01' AND DATE '2024-02-29'",
+             "ts >= TIMESTAMP '2024-01-01 00:00:00'",
+             "d < CAST(ts AS DATE)"]
+    for p in preds:
+        f.query(f"SELECT id, {p} FROM td", "II", "rowsort")
+        f.query(f"SELECT count(*) FROM td WHERE {p}", "I", "nosort")
+    # temporal CASE / GREATEST / LEAST / COALESCE
+    for e in ["CASE WHEN v % 2 = 0 THEN d ELSE last_day(d) END",
+              "CASE g WHEN 0 THEN d WHEN 2 THEN DATE '1999-12-31' ELSE CAST(ts AS DATE) END",
+              "GREATEST(d, DATE '2023-01-01')", "LEAST(d, DATE '2023-01-01')",
+              "GREATEST(d, CAST(ts AS DATE))", "COALESCE(d, DATE '1970-01-01')",
+              "COALESCE(d, CAST(ts AS DATE), DATE '1970-01-01')",
+              "NULLIF(d, DATE '2024-02-29')"]:
+        f.query(f"SELECT id, {e} FROM td", "IT", "rowsort")
+    # grouped temporal aggregates (month/year buckets, min/max dates)
+    for key in ["EXTRACT(YEAR FROM d)", "EXTRACT(MONTH FROM d)",
+                "EXTRACT(QUARTER FROM d)",
+                "CAST(date_trunc('month', d) AS DATE)"]:
+        kf = "T" if "date_trunc" in key else "I"
+        f.query(f"SELECT {key} AS k, count(*), count(d) FROM td GROUP BY k",
+                f"{kf}II", "rowsort")
+        f.query(f"SELECT {key} AS k, min(d), max(d) FROM td GROUP BY k",
+                f"{kf}TT", "rowsort")
+        f.query(f"SELECT {key} AS k, sum(v) FROM td GROUP BY k "
+                f"HAVING count(*) > 2", f"{kf}I", "rowsort")
+    f.query("SELECT min(d), max(d), count(d), count(*) FROM td", "TTII", "nosort")
+    f.query("SELECT min(ts), max(ts) FROM td", "TT", "nosort")
+    # windows ordered by date (id tiebreak keeps them deterministic)
+    for e in ["row_number() OVER (ORDER BY d NULLS FIRST, id)",
+              "lag(d, 1) OVER (ORDER BY id)",
+              "lead(d, 2) OVER (ORDER BY id)",
+              "min(d) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+              "max(d) OVER (PARTITION BY g ORDER BY id ROWS UNBOUNDED PRECEDING)",
+              "count(d) OVER (PARTITION BY g)"]:
+        fmt = "II" if e.startswith(("row_number", "count")) else "IT"
+        f.query(f"SELECT id, {e} FROM td", fmt, "rowsort")
+    # ORDER BY dates with explicit NULL placement + pagination
+    for dir_ in ["ASC NULLS FIRST", "DESC NULLS LAST"]:
+        for lim in ["", " LIMIT 7", " LIMIT 5 OFFSET 3"]:
+            f.query(f"SELECT id, d FROM td ORDER BY d {dir_}, id{lim}",
+                    "IT", "nosort")
+    # month-key join between the two date tables
+    for jt in ["JOIN", "LEFT JOIN"]:
+        f.query("SELECT td.id, th.hv FROM td "
+                f"{jt} th ON date_trunc('month', td.d) = date_trunc('month', th.hd)",
+                "II", "rowsort")
+        f.query("SELECT td.id, th.hv FROM td "
+                f"{jt} th ON EXTRACT(YEAR FROM td.d) = EXTRACT(YEAR FROM th.hd) "
+                "AND td.v < th.hv", "II", "rowsort")
+    # date filters driving aggregates over the join
+    f.query("SELECT EXTRACT(YEAR FROM td.d) AS y, count(*) FROM td "
+            "JOIN th ON td.d >= th.hd GROUP BY y", "II", "rowsort")
+    # --- volume tier: systematic cross-products over the same grammar ---
+    # nested extract-over-shift (clamping visible through the unit matrix)
+    for u in ["MONTH", "DAY", "QUARTER", "DOY"]:
+        for n, iu in [(1, "DAY"), (45, "DAY"), (1, "MONTH"), (13, "MONTH"),
+                      (2, "YEAR")]:
+            for op in ["+", "-"]:
+                f.query(f"SELECT id, EXTRACT({u} FROM CAST(d {op} INTERVAL "
+                        f"{n} {iu} AS DATE)) FROM td", "II", "rowsort")
+    # predicate × projection cross: every temporal predicate under every
+    # WHERE (projection keeps 3VL visible, the filter pins TRUE-only rows)
+    for p in preds:
+        for w in wheres[1:]:
+            f.query(f"SELECT id, {p} FROM td{w}", "II", "rowsort")
+            f.query(f"SELECT count(*), count(d) FROM td{w} AND ({p})"
+                    if w else f"SELECT count(*), count(d) FROM td WHERE {p}",
+                    "II", "nosort")
+    # interval arithmetic under filters and grouped
+    for n, unit in [(7, "DAY"), (30, "DAY"), (3, "MONTH"), (11, "MONTH")]:
+        for w in wheres[:4]:
+            f.query(f"SELECT id, CAST(d + INTERVAL {n} {unit} AS DATE), "
+                    f"CAST(d - INTERVAL {n} {unit} AS DATE) FROM td{w}",
+                    "ITT", "rowsort")
+        f.query(f"SELECT EXTRACT(YEAR FROM CAST(d + INTERVAL {n} {unit} AS DATE)) AS y, "
+                f"count(*), min(d), max(d) FROM td GROUP BY y", "IITT", "rowsort")
+    # extract-key aggregates × having thresholds
+    for key in ["EXTRACT(YEAR FROM d)", "EXTRACT(MONTH FROM d)",
+                "EXTRACT(QUARTER FROM d)", "EXTRACT(DOY FROM d) % 10"]:
+        for hv in [1, 2, 4]:
+            f.query(f"SELECT {key} AS k, count(*), sum(v) FROM td "
+                    f"GROUP BY k HAVING count(*) >= {hv}", "III", "rowsort")
+        f.query(f"SELECT {key} AS k, g, count(*) FROM td GROUP BY k, g",
+                "III", "rowsort")
+    # CASE/coalesce over dates × filters
+    for e in ["CASE WHEN v % 3 = 0 THEN d WHEN v % 3 = 1 THEN last_day(d) END",
+              "COALESCE(NULLIF(d, DATE '2024-01-31'), DATE '1970-01-01')",
+              "LEAST(GREATEST(d, DATE '2021-01-01'), DATE '2024-06-30')"]:
+        for w in wheres:
+            f.query(f"SELECT id, {e} FROM td{w}", "IT", "rowsort")
+    # window matrix over dates: function × partitioning
+    for e, fmt in [("row_number() OVER ({})", "II"),
+                   ("rank() OVER ({})", "II"),
+                   ("lag(d, 1) OVER ({})", "IT"),
+                   ("lead(d, 1) OVER ({})", "IT"),
+                   ("min(d) OVER ({} ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)", "IT"),
+                   ("count(d) OVER ({} ROWS UNBOUNDED PRECEDING)", "II")]:
+        for part in ["ORDER BY d NULLS FIRST, id", "PARTITION BY g ORDER BY d NULLS FIRST, id",
+                     "PARTITION BY EXTRACT(YEAR FROM d) ORDER BY id"]:
+            f.query(f"SELECT id, {e.format(part)} FROM td", fmt, "rowsort")
+    # join grammar × date keys (equi on derived units, theta on raw dates)
+    for on in ["EXTRACT(MONTH FROM td.d) = EXTRACT(MONTH FROM th.hd)",
+               "EXTRACT(QUARTER FROM td.d) = EXTRACT(QUARTER FROM th.hd) "
+               "AND EXTRACT(YEAR FROM td.d) = EXTRACT(YEAR FROM th.hd)",
+               "td.d = th.hd", "td.d < th.hd AND td.v % 3 = 0",
+               "last_day(td.d) = last_day(th.hd)"]:
+        for jt in ["JOIN", "LEFT JOIN"]:
+            f.query(f"SELECT td.id, th.hv FROM td {jt} th ON {on}", "II", "rowsort")
+            f.query(f"SELECT count(*), count(th.hv) FROM td {jt} th ON {on}",
+                    "II", "nosort")
+    # pagination over derived temporal orderings
+    for key in ["last_day(d)", "CAST(d + INTERVAL 1 MONTH AS DATE)",
+                "EXTRACT(DOY FROM d)"]:
+        for lim, off in [(6, 0), (5, 4), (8, 10)]:
+            kf = "I" if key.startswith("EXTRACT") else "T"
+            f.query(f"SELECT id, {key} FROM td ORDER BY {key} ASC NULLS FIRST, "
+                    f"id LIMIT {lim} OFFSET {off}", f"I{kf}", "nosort")
+    return f
+
+
+def gen_scalarexpr():
+    """Scalar-expression grammar — CASE (both forms, nested), NULLIF /
+    COALESCE chains, IN / NOT IN value lists WITH NULLs (3VL), BETWEEN,
+    arithmetic with NULL propagation, bitwise AND/OR, GREATEST/LEAST
+    (both engines skip NULLs), and three-valued boolean combinations
+    projected as I columns (bool→1/0, NULL stays NULL). Every predicate
+    also runs as a WHERE filter (TRUE-only semantics) so the projection
+    and filter views of the same 3VL expression are both pinned.
+    NOT emitted (probed disagreements): `^` (DuckDB power), `//`
+    (DuckDB-only), bare sign() (Spark DOUBLE), CAST(double AS INT)
+    (round vs trunc)."""
+    f = File("scalarexpr.test")
+    f.statement("CREATE TABLE sx(id INTEGER, a INTEGER, b INTEGER, c INTEGER)")
+    for i in range(48):
+        a = maybe_null((i * 7) % 23 - 11, (i + 2) % 9)
+        b = maybe_null((i * 5) % 17 - 8, (i + 5) % 11)
+        c = maybe_null(i % 6, (i + 3) % 13)
+        f.statement(f"INSERT INTO sx VALUES({i},{a},{b},{c})")
+
+    # CASE — searched, simple, nested, with NULL branches
+    cases = [
+        "CASE WHEN a > b THEN a ELSE b END",
+        "CASE WHEN a > b THEN 'gt' WHEN a = b THEN 'eq' ELSE 'other' END",
+        "CASE WHEN a IS NULL THEN -99 WHEN a > 0 THEN a ELSE -a END",
+        "CASE c WHEN 0 THEN 'zero' WHEN 3 THEN 'three' ELSE 'rest' END",
+        "CASE c WHEN 0 THEN a WHEN 1 THEN b END",
+        "CASE WHEN a > 0 THEN CASE WHEN b > 0 THEN 'pp' ELSE 'p-' END "
+        "ELSE CASE WHEN b > 0 THEN '-p' ELSE '--' END END",
+        "CASE WHEN a + b > 0 THEN a + b END",
+    ]
+    for e in cases:
+        fmt = "IT" if "'" in e else "II"
+        f.query(f"SELECT id, {e} FROM sx", fmt, "rowsort")
+    # NULLIF / COALESCE chains
+    for e in ["NULLIF(a, b)", "NULLIF(c, 0)", "COALESCE(a, b, c)",
+              "COALESCE(a, -1)", "COALESCE(NULLIF(a, b), c, -7)",
+              "NULLIF(COALESCE(a, 0), COALESCE(b, 0))"]:
+        f.query(f"SELECT id, {e} FROM sx", "II", "rowsort")
+    # GREATEST / LEAST (both engines skip NULL arguments)
+    for e in ["GREATEST(a, b)", "LEAST(a, b)", "GREATEST(a, b, c)",
+              "LEAST(a, b, 0)", "GREATEST(a, b, NULL)"]:
+        f.query(f"SELECT id, {e} FROM sx", "II", "rowsort")
+    # arithmetic with NULL propagation (+ - * % mod abs floor-div image)
+    for e in ["a + b", "a - b", "a * b - c", "a % (abs(b) + 1)",
+              "mod(a, (abs(b) + 1))", "abs(a - b)",
+              "CAST(sign(a) AS BIGINT)", "CAST(floor(a / 4) AS BIGINT)",
+              "a & b", "a | b", "(a & 15) | (b & 3)",
+              "a * 1000 + COALESCE(b, 0)"]:
+        f.query(f"SELECT id, {e} FROM sx", "II", "rowsort")
+    # predicates: projected as I (3VL visible) AND as WHERE (TRUE-only)
+    preds = [
+        "a > b", "a = b", "a <> b", "a >= 0 AND b < 0",
+        "a > 0 OR b > 0", "NOT (a > b)",
+        "a IN (1, 3, 5, 7, 11)", "a IN (1, 3, NULL)",
+        "a NOT IN (1, 3, 5)", "a NOT IN (1, 3, NULL)",
+        "a BETWEEN b AND c", "a BETWEEN -5 AND 5",
+        "a NOT BETWEEN 0 AND 10",
+        "a IS NULL", "a IS NOT NULL",
+        "(a > b) = (b > c)",
+        "(a > 0 AND b > 0) OR (a IS NULL AND c > 2)",
+        "a IS DISTINCT FROM b", "a IS NOT DISTINCT FROM b",
+    ]
+    for p in preds:
+        f.query(f"SELECT id, {p} FROM sx", "II", "rowsort")
+        f.query(f"SELECT count(*) FROM sx WHERE {p}", "I", "nosort")
+    # 3VL through aggregation: CASE and predicates inside SUM/COUNT
+    for e in ["sum(CASE WHEN a > b THEN 1 ELSE 0 END)",
+              "count(CASE WHEN a > 0 THEN 1 END)",
+              "sum(CASE WHEN a IS NULL THEN c END)",
+              "count(NULLIF(c, 0))", "sum(COALESCE(a, 0) - COALESCE(b, 0))"]:
+        f.query(f"SELECT {e} FROM sx", "I", "nosort")
+        f.query(f"SELECT c, {e} FROM sx GROUP BY c", "II", "rowsort")
+    # expression composition: predicates × scalar wrappers in one list
+    wraps = ["abs({})", "COALESCE({}, -1)", "{} + c", "CASE WHEN {} > 0 THEN {} END"]
+    bases = ["a + b", "a - 2 * b", "GREATEST(a, b)", "NULLIF(a, c)"]
+    for wb in wraps:
+        for base_e in bases:
+            e = wb.replace("{}", f"({base_e})")
+            f.query(f"SELECT id, {e} FROM sx", "II", "rowsort")
+    # scalar expressions as join predicates / keys
+    f.statement("CREATE TABLE sy(k INTEGER, w INTEGER)")
+    for i in range(20):
+        k = maybe_null(i % 7 - 3, (i + 1) % 8)
+        w = maybe_null(i * 11 % 19, i % 10)
+        f.statement(f"INSERT INTO sy VALUES({k},{w})")
+    for on in ["COALESCE(sx.a, 0) = sy.k", "abs(sx.a % 7) = abs(sy.k)",
+               "CASE WHEN sx.a > 0 THEN sx.c ELSE -sx.c END = sy.k"]:
+        f.query(f"SELECT sx.id, sy.w FROM sx JOIN sy ON {on}", "II", "rowsort")
+        f.query(f"SELECT sx.id, sy.w FROM sx LEFT JOIN sy ON {on}", "II", "rowsort")
+    # --- volume tier: systematic cross-products over the same grammar ---
+    # every predicate × scalar filter (projection under filter: both 3VL
+    # views at once), plus the grouped count per filter
+    sfilters = ["c IS NOT NULL", "id % 2 = 0", "a > -5", "b BETWEEN -4 AND 8"]
+    for p in preds:
+        for sf_ in sfilters:
+            f.query(f"SELECT id, {p} FROM sx WHERE {sf_}", "II", "rowsort")
+            f.query(f"SELECT count(*) FROM sx WHERE ({sf_}) AND ({p})",
+                    "I", "nosort")
+    # every CASE form under every filter and grouped by c
+    for e in cases:
+        fmt = "IT" if "'" in e else "II"
+        for sf_ in sfilters:
+            f.query(f"SELECT id, {e} FROM sx WHERE {sf_}", fmt, "rowsort")
+        if "'" not in e:
+            f.query(f"SELECT c, count(*), sum({e}) FROM sx GROUP BY c",
+                    "III", "rowsort")
+            f.query(f"SELECT c, min({e}), max({e}) FROM sx GROUP BY c "
+                    "HAVING count(*) > 2", "III", "rowsort")
+    # arithmetic matrix × filters, and as ORDER keys with pagination
+    ariths = ["a + b - c", "a * c % 13", "abs(a) - abs(b)",
+              "(a & 7) * 4 + (b & 3)", "COALESCE(a, 0) * COALESCE(b, 1)",
+              "mod(a * a, 11)"]
+    for e in ariths:
+        for sf_ in sfilters:
+            f.query(f"SELECT id, {e} FROM sx WHERE {sf_}", "II", "rowsort")
+        f.query(f"SELECT id, {e} FROM sx ORDER BY {e} ASC NULLS FIRST, id "
+                "LIMIT 9 OFFSET 5", "II", "nosort")
+        f.query(f"SELECT {e} AS k, count(*) FROM sx GROUP BY k", "II", "rowsort")
+    # IN-list size/content matrix (NULL membership × NOT × composition)
+    for lst in ["(0)", "(1, 2)", "(1, 2, NULL)", "(-11, -4, 3, 10)",
+                "(1, 3, 5, 7, 9, 11)", "(NULL)"]:
+        for neg in ["IN", "NOT IN"]:
+            f.query(f"SELECT id, a {neg} {lst} FROM sx", "II", "rowsort")
+            f.query(f"SELECT count(*) FROM sx WHERE a {neg} {lst}", "I", "nosort")
+        f.query(f"SELECT id, (a + b) IN {lst} FROM sx", "II", "rowsort")
+    # boolean algebra over predicate pairs (3VL truth-table coverage)
+    bpairs = [("a > b", "b > c"), ("a IS NULL", "b > 0"),
+              ("a IN (1, 3, 5)", "c = 2"), ("a BETWEEN -3 AND 3", "b <> c")]
+    for p1, p2 in bpairs:
+        for comb in [f"({p1}) AND ({p2})", f"({p1}) OR ({p2})",
+                     f"({p1}) = ({p2})", f"NOT ({p1}) OR NOT ({p2})",
+                     f"({p1}) AND NOT ({p2})"]:
+            f.query(f"SELECT id, {comb} FROM sx", "II", "rowsort")
+            f.query(f"SELECT count(*) FROM sx WHERE {comb}", "I", "nosort")
+    # scalar wrappers × window functions (expressions inside OVER)
+    for e in ["COALESCE(a, 0) + COALESCE(b, 0)", "abs(a % 5)",
+              "CASE WHEN a > 0 THEN a ELSE -a END"]:
+        for w in [f"sum({e}) OVER (PARTITION BY c ORDER BY id ROWS UNBOUNDED PRECEDING)",
+                  f"row_number() OVER (ORDER BY {e} NULLS FIRST, id)",
+                  f"max({e}) OVER (PARTITION BY c)"]:
+            f.query(f"SELECT id, {w} FROM sx", "II", "rowsort")
+    # expression-keyed joins × aggregates over the join
+    for on in ["COALESCE(sx.a, 0) = sy.k", "abs(sx.a % 7) = abs(sy.k)"]:
+        f.query(f"SELECT sy.k, count(*), sum(sx.c) FROM sx JOIN sy ON {on} "
+                "GROUP BY sy.k", "III", "rowsort")
+        f.query(f"SELECT count(*), count(sy.w) FROM sx LEFT JOIN sy ON {on} "
+                "AND sy.w > 5", "II", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
               gen_select5, gen_aggregate, gen_index, gen_evidence,
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
               gen_grouping, gen_string, gen_select8, gen_winjoin,
-              gen_orderlimit, gen_recursive, gen_bagset, gen_lateral):
+              gen_orderlimit, gen_recursive, gen_bagset, gen_lateral,
+              gen_temporal, gen_scalarexpr):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
