@@ -122,6 +122,61 @@ object RangeJoin {
       .drop(Bin)
   }
 
+  /** Pick a bin width from data statistics instead of a magic constant.
+    *
+    * Cost model (per batch): interval rows replicate to ~`len/w + 1`
+    * bins (shuffle cost `c_r·nI·len/w`), and each interval meets the
+    * points of the `len + w` value-window it shares bins with (in-bin
+    * candidate cost `c_p·nI·(len+w)·ρ`, where `ρ` = points per value
+    * unit). Minimizing the sum gives `w* = sqrt(k·len/ρ)` with
+    * `k = c_r/c_p` — the width SHRINKS as the corpus densifies, which is
+    * exactly what a fixed knob gets wrong at 10–100× data: occupancy
+    * per bin grows linearly while replication stays flat, so the join
+    * does ever more in-bin work.
+    *
+    * `replicationWeight` is `k`. Same-box A/B runs of the q112 range
+    * circuit (sf0.1 and a 10× replica, w ∈ {3, 41, 64}) showed the cost
+    * surface is FLAT across that range at local[32] — single-JVM
+    * shuffles are cheap, so the measurable local optimum is broad. The
+    * default k=1024 deliberately biases toward LOW replication
+    * (w ≈ 30× the equal-weight optimum): on a real cluster the
+    * replicated rows cross the network and shuffle volume — not in-bin
+    * CPU — is the scarce resource, and overshooting the width costs
+    * bounded extra in-bin compares while undershooting multiplies
+    * shuffle bytes.
+    *
+    * ρ is estimated LOCALLY — points per occupied probe-bin unit, not
+    * points over the global min..max span — because real corpora
+    * cluster in far-apart islands (time-partitioned epochs, key-offset
+    * shards): the global-range estimate can be 100× too sparse there,
+    * yielding a width so wide that every occupied bin is a hot bucket.
+    * The denser of (global, probe-local) wins, which also keeps the
+    * all-values-in-one-probe-bin corner dense rather than sparse.
+    *
+    * One aggregate pass per side; at 100 TB call it on a sample — the
+    * estimate only needs ρ and mean length to order of magnitude, and
+    * the width only changes the PLAN: results are identical at any
+    * width. */
+  def suggestBinWidth(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      replicationWeight: Double = 1024.0): Long = {
+    require(replicationWeight > 0, "replicationWeight must be positive")
+    val probeW = 1024L
+    val p = points.agg(
+      count(col(pointCol)).as("n"),
+      min(col(pointCol)).cast("double").as("lo"),
+      max(col(pointCol)).cast("double").as("hi"),
+      countDistinct(binColumn(col(pointCol), probeW)).as("occ")).head()
+    if (p.getLong(0) == 0) return 3600L // no data: the documented default
+    val n = p.getLong(0).toDouble
+    val rhoGlobal = n / math.max(1.0, p.getDouble(2) - p.getDouble(1))
+    val rhoLocal = n / (math.max(1L, p.getLong(3)).toDouble * probeW)
+    val rho = math.max(rhoGlobal, rhoLocal)
+    val iv = intervals.agg(avg(col(hiCol).cast("double") - col(loCol).cast("double"))).head()
+    val len = if (iv.isNullAt(0)) 1.0 else math.max(1.0, iv.getDouble(0))
+    math.max(1L, math.round(math.sqrt(replicationWeight * len / rho)))
+  }
+
   /** Interval-overlap join: pairs where `[aLo,aHi]` and `[bLo,bHi]`
     * intersect (inclusive ends), optionally conjoined with equality on
     * `keys`. Each qualifying pair is emitted exactly once — the pair is

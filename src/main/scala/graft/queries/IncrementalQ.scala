@@ -312,7 +312,15 @@ object IncrementalQ {
         .select(col("l_partkey"), col("l_quantity"))
       o.limit(0).createOrReplaceTempView("OX")
       li.limit(0).createOrReplaceTempView("LX")
-      s.conf.set("spark.graft.incremental.rangeBinWidth", "64")
+      // stats-derived width (w* = sqrt(k·len/ρ)) instead of a magic
+      // constant: the width shrinks as point density grows, so per-bin
+      // occupancy — the 10×-data cost driver — stays bounded. Width only
+      // changes the PLAN; the result is identical at any width.
+      val binW = graft.operators.RangeJoin.suggestBinWidth(
+        li.select(col("l_partkey").as("p")), "p",
+        o.select((col("o_custkey") * 10).as("lo"),
+          (col("o_custkey") * 10 + 50).as("hi")), "lo", "hi")
+      s.conf.set("spark.graft.incremental.rangeBinWidth", binW.toString)
       val circuit = graft.engine.SqlIncremental.compile(s,
         """SELECT o_orderkey, lo, hi FROM
              (SELECT o_orderkey, o_custkey * 10 AS lo,

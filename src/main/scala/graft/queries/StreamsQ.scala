@@ -220,7 +220,15 @@ object StreamsQ {
     // funnel ledger). Same state bound; Spark evicts each side's state by
     // its own watermark + window and pads whatever never matched.
     "q154_stream_stream_full_join" -> ((s, d) =>
-      attributionJoin(s, d, "full_outer"))
+      attributionJoin(s, d, "full_outer")),
+
+    // Stream-stream RIGHT OUTER interval join — the click-side ledger
+    // (every click, with its converting purchase or NULL), completing the
+    // inner/LEFT/FULL/RIGHT outer matrix over the same watermarked
+    // state-store join. Spark holds the right (click) row until the
+    // watermark proves no purchase can still match it, then pads.
+    "q159_stream_stream_right_join" -> ((s, d) =>
+      attributionJoin(s, d, "right_outer"))
   )
 
   /** Purchase←click attribution join (same user, click within the
@@ -349,6 +357,13 @@ object StreamsQ {
                 COALESCE(p.user_id, c.user_id) AS user_id
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""",
+    "q159_stream_stream_right_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                c.user_id AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""
   )

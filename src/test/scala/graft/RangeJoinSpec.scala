@@ -145,4 +145,31 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 16L)
     assert(got.count() == 1L)
   }
+
+  test("suggestBinWidth shrinks as point density grows, and never changes results") {
+    import spark.implicits._
+    val ivs = intervalsDf.drop("g")
+    def pts(n: Int) = {
+      val r = new scala.util.Random(7)
+      (1 to n).map(i => (i.toLong, r.nextInt(1000).toLong)).toDF("p_id", "p")
+    }
+    val sparse = pts(100); val dense = pts(10000)
+    val wSparse = RangeJoin.suggestBinWidth(sparse, "p", ivs, "lo", "hi")
+    val wDense = RangeJoin.suggestBinWidth(dense, "p", ivs, "lo", "hi")
+    // ρ grows 100× over the same range → w* = sqrt(k·len/ρ) shrinks ~10×
+    assert(wSparse > wDense, s"expected sparse width $wSparse > dense $wDense")
+    assert(wDense >= 1L)
+    // the width is a plan knob only: suggested vs arbitrary fixed width
+    // produce identical matches
+    def matches(w: Long) =
+      RangeJoin.pointInInterval(dense, "p", ivs, "lo", "hi", binWidth = w)
+        .select("p_id", "i_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(matches(wDense) == matches(64L))
+    // no points: falls back to the documented default, never divides by 0
+    assert(RangeJoin.suggestBinWidth(pts(0), "p", ivs, "lo", "hi") == 3600L)
+    // degenerate zero-length intervals still yield a positive width
+    val degen = Seq((1L, 5L, 5L)).toDF("i_id", "lo", "hi")
+    assert(RangeJoin.suggestBinWidth(dense, "p", degen, "lo", "hi") >= 1L)
+  }
 }
