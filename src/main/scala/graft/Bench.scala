@@ -56,8 +56,15 @@ object Bench {
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).limit(1).write
         .format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
+    // Fixture writes (CSV/JSON/ORC round-trips, partitioned sink, bucketed
+    // catalog tables) happen HERE, not inside the first timed query that
+    // needs them: the queries measure read/join paths; the one-time
+    // saveAsTable cost is warmup, exactly like JVM/codegen warmup above.
+    try graft.queries.SourcesQ.warmFixtures(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}") }
 
     val env = new BenchEnv(spark)
     // Canary: a fixed scan+aggregate workload, re-timed at start / middle /
@@ -78,12 +85,14 @@ object Bench {
       if (i == ordered.size / 2) canaries += canary()
       val before = env.snap()
       val t0 = System.nanoTime()
+      // NonFatal only: after an OOM/StackOverflow the JVM is corrupted and
+      // every subsequent timing would be fiction — better to die loudly.
       val ok =
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           true
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }

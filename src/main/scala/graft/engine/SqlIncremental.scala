@@ -72,6 +72,23 @@ object SqlIncremental {
     walk(inlineCtes(analyzed), byLower)
   }
 
+  /** Compile with per-call tuning overrides (e.g. the range-join bin
+    * width) instead of mutating the SHARED session conf — a `conf.set` on
+    * a session other queries are concurrently planning against would
+    * transiently re-plan them. Overrides are thread-local to this compile
+    * call and consulted before the session conf. */
+  def compile(spark: SparkSession, sql: String, sources: Set[String],
+              overrides: Map[String, String]): Inc = {
+    compileConf.set(overrides)
+    try compile(spark, sql, sources) finally compileConf.remove()
+  }
+
+  private val compileConf = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+  private def confGet(spark: SparkSession, key: String, default: String): String =
+    compileConf.get.getOrElse(key, spark.conf.get(key, default))
+
   /** Compile several views into circuits that SHARE structurally identical
     * sub-circuits — the reference's one-circuit-many-output-handles model
     * (MultiViewTests): two views over the same CTE/aggregate/join subtree
@@ -1391,9 +1408,9 @@ object SqlIncremental {
       return None
 
     val spark = org.apache.spark.sql.SparkSession.active
-    val w = spark.conf.get("spark.graft.incremental.rangeBinWidth", "3600").toLong
-    val maxBins = spark.conf
-      .get("spark.graft.incremental.rangeMaxBinsPerRow", "65536").toLong
+    val w = confGet(spark, "spark.graft.incremental.rangeBinWidth", "3600").toLong
+    val maxBins =
+      confGet(spark, "spark.graft.incremental.rangeMaxBinsPerRow", "65536").toLong
     require(w > 0, "spark.graft.incremental.rangeBinWidth must be positive")
     def reOuter(e: Expression): Column = toColumn(e.transform {
       case OuterReference(o) => UnresolvedAttribute.quoted(o.name)

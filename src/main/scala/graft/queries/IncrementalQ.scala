@@ -320,14 +320,14 @@ object IncrementalQ {
         li.select(col("l_partkey").as("p")), "p",
         o.select((col("o_custkey") * 10).as("lo"),
           (col("o_custkey") * 10 + 50).as("hi")), "lo", "hi")
-      s.conf.set("spark.graft.incremental.rangeBinWidth", binW.toString)
       val circuit = graft.engine.SqlIncremental.compile(s,
         """SELECT o_orderkey, lo, hi FROM
              (SELECT o_orderkey, o_custkey * 10 AS lo,
                      o_custkey * 10 + 50 AS hi FROM OX) o
            WHERE EXISTS (SELECT 1 FROM LX
                          WHERE l_partkey >= lo AND l_partkey <= hi)""",
-        Set("OX", "LX"))
+        Set("OX", "LX"),
+        Map("spark.graft.incremental.rangeBinWidth" -> binW.toString))
       val r = new Runner(s, circuit,
         Map("OX" -> o.limit(0), "LX" -> li.limit(0)))
       // batch-priced snapshot bootstrap (the r6-flagged wave-1 full

@@ -67,18 +67,19 @@ object SourcesQ {
   // SparkSession's in-memory catalog, so a cached name from a stopped
   // session would dangle. tableExists makes the check session-scoped;
   // the write is idempotent (mode overwrite).
-  // Creation is serialized per (session, dataset) — the bare
-  // check-then-act on tableExists would let two concurrent first callers
-  // race saveAsTable on the same names — and the temp dir is allocated
-  // once per dataset, reused across sessions (writes are idempotent,
-  // mode overwrite), instead of leaking a fresh dir per cache miss.
+  // Creation is serialized per DATASET (not per session): the temp dir is
+  // shared across sessions, so two sessions first-calling concurrently
+  // would otherwise race their mode-overwrite writes on the SAME path —
+  // one session's scan can then read the other's half-replaced files. A
+  // per-dataset lock makes every writer (and the tableExists check-then-
+  // act) mutually exclusive regardless of which session runs it.
   private val bucketLocks =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Object]
+    scala.collection.concurrent.TrieMap.empty[String, Object]
   private val bucketDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def bucketFixture(s: SparkSession, d: String): (String, String) = {
     val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
     val ot = s"graft_orders_b_$tag"; val ct = s"graft_customer_b_$tag"
-    val lock = bucketLocks.getOrElseUpdate((s, d), new Object)
+    val lock = bucketLocks.getOrElseUpdate(d, new Object)
     lock.synchronized {
       if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
         val base = bucketDirs.getOrElseUpdate(d, java.nio.file.Files
@@ -92,6 +93,18 @@ object SourcesQ {
       }
     }
     (ot, ct)
+  }
+
+  /** Pre-create every source/sink fixture OUTSIDE a timed region: the
+    * bench's warmup calls this so a fixture-creating query's first timed
+    * run measures its read/join path, not a load-sensitive `saveAsTable`
+    * (the r10 q134 finding: ~90% of its bench number was the bucketed
+    * fixture write landing inside the timer). Idempotent — each fixture
+    * memoizes per dataset. */
+  def warmFixtures(s: SparkSession, d: String): Unit = {
+    csvFixture(s, d); jsonFixture(s, d); orcFixture(s, d)
+    partFixture(s, d); bucketFixture(s, d)
+    ()
   }
 
   val defs: Map[String, QFn] = Map(

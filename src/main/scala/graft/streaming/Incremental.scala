@@ -74,7 +74,12 @@ object Incremental {
       childBytesOf: Inc => Long = _ => Long.MaxValue,
       untouched: Inc => Boolean = _ => false,
       deltaSchemaOf: mutable.LongMap[org.apache.spark.sql.types.StructType] =
-        mutable.LongMap.empty) {
+        mutable.LongMap.empty,
+      onRescanGroups: Long => Unit = _ => ()) {
+    /** Report how many groups a TopKInc node fully re-scored this step —
+      * routed to the OWNING Runner's counter (a JVM-global here would be
+      * clobbered by concurrent Runners in other queries/specs). */
+    private[streaming] def recordRescanGroups(n: Long): Unit = onRescanGroups(n)
     /** Conservative byte estimate of a node's stored trace (the Runner's
       * size bookkeeping; Long.MaxValue when unknown) — drives small-regime
       * decisions (ClosureInc's driver kernel). */
@@ -261,7 +266,10 @@ object Incremental {
       * output (e.g. vec_id), used to detect when a removal hits a current
       * top hit. Group keys and id columns must be NON-NULL: hit-group
       * routing uses equi semi/anti joins, which would silently misroute
-      * NULL-keyed groups (same caveat as Spark's own keyed-state ops).
+      * NULL-keyed groups (same caveat as Spark's own keyed-state ops) —
+      * the operator ENFORCES this per row with an in-column raise_error,
+      * so NULL-keyed input fails loudly instead of producing a stale
+      * top-k.
       *
       * Per step: inserted rows are scored (delta-proportional) and MERGED
       * with the surviving previous top-k — exact, because removing a
@@ -275,8 +283,9 @@ object Incremental {
       * (LSH/IVF) gating of the fallback would skip state, but a far
       * bucket can still hold the true next-best row, so any
       * bucket-restricted refill is approximate by construction. The
-      * per-step rescan count is observable via `TopKInc.lastRescanGroups`
-      * (asserted 0 for no-hit waves in IncrementalTopKSpec). */
+      * per-step rescan count is observable via the owning
+      * `Runner.lastRescanGroups` (asserted 0 for no-hit waves in
+      * IncrementalTopKSpec). */
     def topKPerGroup(score: DataFrame => DataFrame, idCols: Seq[String],
                      groupCols: Seq[String], orderBy: Seq[Column], k: Int,
                      rankCol: String = "rank"): Inc =
@@ -547,6 +556,22 @@ object Incremental {
     def kids: Seq[Inc] = Seq(child)
     override private[streaming] def valueDeps: Seq[Inc] = kids
     override private[streaming] def ownTrace: Boolean = true
+    /** The non-NULL key contract, enforced PER ROW: hit-group routing
+      * uses equi semi/anti joins, so a NULL group or id key would
+      * silently misroute (a removal never matches, leaving a stale
+      * top-k). Raise at execution instead — the guard lives INSIDE the
+      * key column so the optimizer cannot prune it (RangeJoin's binSeq
+      * pattern). */
+    private def guardKeys(rows: DataFrame, cols: Seq[String],
+                          what: String): DataFrame =
+      cols.foldLeft(rows) { (d, c) =>
+        d.withColumn(c, when(col(c).isNull, raise_error(lit(
+            s"topKPerGroup: NULL $what key '$c' — NULL group/id keys " +
+              "misroute through the hit-group equi joins; filter or " +
+              "COALESCE them upstream"))).otherwise(col(c)))
+      }
+    private def scored(rows: DataFrame): DataFrame =
+      guardKeys(score(guardKeys(rows, idCols, "id")), groupCols, "group")
     private def rank(rows: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
@@ -554,9 +579,9 @@ object Incremental {
         .filter(col(rankCol) <= k)
     }
     def batch(in: Inputs): DataFrame =
-      ZSet.fromRows(rank(score(ZSet.toRows(ZSet.consolidate(child.batch(in))))))
+      ZSet.fromRows(rank(scored(ZSet.toRows(ZSet.consolidate(child.batch(in))))))
     private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
-      val dS = ZSet.consolidate(ctx.deltaOf(child))
+      val dS = guardKeys(ZSet.consolidate(ctx.deltaOf(child)), idCols, "id")
       val removedIds = dS.filter(col(ZSet.W) < 0)
         .select(idCols.map(col): _*).distinct()
       val inserted = ZSet.toRows(dS) // positive delta rows, plain
@@ -569,9 +594,9 @@ object Incremental {
       val hitKeys = prevRows
         .join(removedIds, idCols, "left_semi")
         .select(groupCols.map(col): _*).distinct().collect()
-      TopKInc.lastRescanGroups = hitKeys.length.toLong
+      ctx.recordRescanGroups(hitKeys.length.toLong)
       // surviving previous top-k ∪ scored inserts (delta-proportional)
-      val cand = prevRows.drop(rankCol).unionByName(score(inserted))
+      val cand = prevRows.drop(rankCol).unionByName(scored(inserted))
       val out =
         if (hitKeys.isEmpty) rank(cand)
         else {
@@ -583,17 +608,10 @@ object Incremental {
             ZSet.plus(ctx.valueOf(child), ctx.deltaOf(child))))
           rank(cand.join(hit, groupCols.toSeq, "left_anti"))
             .unionByName(
-              rank(score(full).join(hit, groupCols.toSeq, "left_semi")))
+              rank(scored(full).join(hit, groupCols.toSeq, "left_semi")))
         }
       ZSet.consolidate(ZSet.minus(ZSet.fromRows(out), prevOut))
     }
-  }
-
-  private[graft] object TopKInc {
-    /** Groups fully re-scored in the LAST step (−1 = no step yet):
-      * per-JVM observability for specs and GRAFT_STEP_DEBUG sessions — a
-      * wave whose removals miss every current top hit must report 0. */
-    @volatile private[graft] var lastRescanGroups: Long = -1L
   }
 
   private[streaming] final case class WindowAgg(child: Inc, partKeys: Seq[String],
@@ -1257,10 +1275,20 @@ object Incremental {
       }
     }
 
+    /** Groups fully re-scored by THIS Runner's TopKInc nodes in its last
+      * step (−1 = no step yet; summed across TopKInc nodes) — spec /
+      * GRAFT_STEP_DEBUG observability: a wave whose removals miss every
+      * current top hit must report 0. Per-Runner by construction (the
+      * StepCtx routes the count here), so concurrent Runners in other
+      * queries or suites cannot clobber each other's reading. */
+    @volatile private var rescanned: Long = -1L
+    def lastRescanGroups: Long = rescanned
+
     private def stepAllImpl(deltas: Inputs): Map[String, DataFrame] = {
       val unknown = deltas.keySet -- integrated.keySet
       require(unknown.isEmpty, s"deltas for undeclared inputs: $unknown")
       started = true
+      rescanned = 0L
       val active = deltas.keySet
       def touchedNode(n: Inc): Boolean = sourcesBelow(n.id).exists(active)
 
@@ -1334,7 +1362,8 @@ object Incremental {
             inputDeltaBytes.getOrElse(s, 0L)))
           .foldLeft(0L)(satAdd),
         n => !touchedNode(n),
-        deltaSchemas)
+        deltaSchemas,
+        n => rescanned += n)
 
       // Settle the compactions now that they're materialized: re-anchor,
       // release every constituent they folded in, reset bookkeeping.

@@ -25,6 +25,12 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val n = args(2).toInt
+    // documents.text distinctness relies on one vowel permutation per
+    // replica; silently wrapping at N > perms would alias replica i and
+    // i+perms into EXACT duplicates and corrupt the near-dup workloads.
+    require(n >= 1 && n <= 10,
+      s"N=$n out of range: 1..10 replicas supported (one distinct vowel " +
+        "permutation per replica keeps documents exact-dup-free)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

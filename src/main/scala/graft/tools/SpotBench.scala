@@ -27,14 +27,20 @@ object SpotBench {
     graft.Tables.all.foreach { t =>
       try graft.Tables.load(spark, sfDir, t).limit(1).write
         .format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
+    // same warmup contract as graft.Bench: fixtures exist before timing
+    try graft.queries.SourcesQ.warmFixtures(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[spot] fixture warmup failed: ${e.getMessage}") }
     val results = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
+      // NonFatal only: an OOM/StackOverflow leaves the JVM corrupted —
+      // timings taken after one would be fiction, so let it propagate.
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[spot] $name FAILED: ${e.getMessage}"); false }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

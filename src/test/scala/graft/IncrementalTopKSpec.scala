@@ -13,7 +13,7 @@ import org.scalatest.BeforeAndAfterAll
   * shortcut (the retrieval-index-maintenance operator behind
   * q155_incremental_ann_indexed). The axis under test beyond batch ≡
   * incremental equivalence: a wave whose removals miss every current top
-  * hit must NOT re-score state (TopKInc.lastRescanGroups == 0), and a
+  * hit must NOT re-score state (Runner.lastRescanGroups == 0), and a
   * top-hit removal must re-score ONLY the hit groups. */
 class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -55,7 +55,7 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     ZSet.toRows(ZSet.consolidate(r.output)).collect()
       .map(x => (x.getString(0), x.getLong(1)) -> x.getInt(3).toLong).toMap
 
-  private def rescans: Long = Incremental.TopKInc.lastRescanGroups
+  private def rescans(r: Runner): Long = r.lastRescanGroups
 
   test("insert waves merge without scanning state; top-hit removal rescans only hit groups") {
     val circuit = source("C").topKPerGroup(score, Seq("id"), Seq("g"),
@@ -63,26 +63,26 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = new Runner(spark, circuit, Map("C" -> empty))
     // wave 1: pure inserts over empty state — no removal, no rescan
     r.step(Map("C" -> z((1L to 6L).map(i => Seq[Any](i, i.toDouble, 1L)): _*)))
-    assert(rescans === 0L)
+    assert(rescans(r) === 0L)
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     assert(topMap(r) === Map(("hi", 6L) -> 1L, ("hi", 5L) -> 2L,
       ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
     // wave 2: one insert that takes hi rank 1 — still no rescan (merge)
     r.step(Map("C" -> z(Seq[Any](7L, 7.0, 1L))))
-    assert(rescans === 0L)
+    assert(rescans(r) === 0L)
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     assert(topMap(r) === Map(("hi", 7L) -> 1L, ("hi", 6L) -> 2L,
       ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
     // wave 3: remove a row in NEITHER top-2 (id 4) — the no-top-hit wave:
     // zero rescans AND a physically empty emitted delta
     val d3 = r.step(Map("C" -> z(Seq[Any](4L, 4.0, -1L))))
-    assert(rescans === 0L)
+    assert(rescans(r) === 0L)
     assert(ZSet.consolidate(d3).count() === 0L)
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     // wave 4: remove the hi top-1 (id 7) — exactly ONE group re-scored,
     // and the refill promotes id 5 back into hi
     r.step(Map("C" -> z(Seq[Any](7L, 7.0, -1L))))
-    assert(rescans === 1L)
+    assert(rescans(r) === 1L)
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     assert(topMap(r) === Map(("hi", 6L) -> 1L, ("hi", 5L) -> 2L,
       ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
@@ -90,7 +90,7 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unrelated insert — both groups re-scored, result exact
     r.step(Map("C" -> z(Seq[Any](6L, 6.0, -1L), Seq[Any](1L, 1.0, -1L),
       Seq[Any](8L, 0.5, 1L))))
-    assert(rescans === 2L)
+    assert(rescans(r) === 2L)
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     assert(topMap(r) === Map(("hi", 5L) -> 1L, ("hi", 3L) -> 2L,
       ("lo", 8L) -> 1L, ("lo", 2L) -> 2L))
@@ -113,12 +113,12 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     // post-restore no-top-hit wave still takes the gated path off the
     // RESTORED output trace: zero rescans, physically empty delta
     val d = r2.step(Map("C" -> z(Seq[Any](4L, 4.0, -1L))))
-    assert(rescans === 0L)
+    assert(rescans(r2) === 0L)
     assert(ZSet.consolidate(d).count() === 0L)
     // and a top-hit removal refills correctly from the restored child
     // integral (hi's 6 leaves; 5 promotes)
     r2.step(Map("C" -> z(Seq[Any](6L, 6.0, -1L))))
-    assert(rescans === 1L)
+    assert(rescans(r2) === 1L)
     assert(canon(ZSet.consolidate(r2.output)) === canon(r2.recompute))
     assert(topMap(r2) === Map(("hi", 5L) -> 1L, ("hi", 3L) -> 2L,
       ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
@@ -146,7 +146,7 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     // insert into B's bucket: the emitted delta carries ONLY B rows —
     // probe A's standing result is untouched, and nothing rescanned
     val d2 = r.step(Map("C" -> z(Seq[Any](25L, 25.0, 1L))))
-    assert(rescans === 0L)
+    assert(rescans(r) === 0L)
     val d2Groups = ZSet.consolidate(d2).select(col("g")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(d2Groups === Set("B"))
@@ -155,11 +155,11 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", 25L) -> 1L, ("B", 16L) -> 2L))
     // remove a non-top B row: no rescan, physically empty delta
     val d3 = r.step(Map("C" -> z(Seq[Any](15L, 15.0, -1L))))
-    assert(rescans === 0L)
+    assert(rescans(r) === 0L)
     assert(ZSet.consolidate(d3).count() === 0L)
     // remove B's top-1: exactly the one hit group rescans; A untouched
     val d4 = r.step(Map("C" -> z(Seq[Any](25L, 25.0, -1L))))
-    assert(rescans === 1L)
+    assert(rescans(r) === 1L)
     assert(ZSet.consolidate(d4).select(col("g")).distinct()
       .collect().map(_.getString(0)).toSet === Set("B"))
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
@@ -202,14 +202,43 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topMap(r) === Map(("hi", 20L) -> 1L, ("hi", 19L) -> 2L,
       ("lo", 1L) -> 1L, ("lo", 2L) -> 2L))
     r.step(Map("C" -> z(Seq[Any](21L, 21.0, 1L))))
-    assert(rescans === 0L)
+    assert(rescans(r) === 0L)
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     // retract a bootstrap-era top hit: the fallback reads the
     // bootstrap-seeded trace correctly
     r.step(Map("C" -> z(Seq[Any](1L, 1.0, -1L))))
-    assert(rescans === 1L)
+    assert(rescans(r) === 1L)
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
     assert(topMap(r) === Map(("hi", 21L) -> 1L, ("hi", 20L) -> 2L,
       ("lo", 2L) -> 1L, ("lo", 3L) -> 2L))
+  }
+
+  /** raise_error surfaces through task/job wrapping — search the whole
+    * cause chain for the guard's message. */
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+
+  test("NULL id or group key fails loudly instead of silently misrouting") {
+    // NULL id in the child delta: the per-row guard raises at execution
+    val circuit = source("C").topKPerGroup(score, Seq("id"), Seq("g"),
+      Seq(col("s").desc, col("id").asc), k = 2)
+    val r = new Runner(spark, circuit, Map("C" -> empty))
+    val e1 = intercept[Exception] {
+      r.step(Map("C" -> z(Seq[Any](1L, 1.0, 1L), Seq[Any](null, 2.0, 1L))))
+    }
+    assert(messageChain(e1).contains("NULL id key"), messageChain(e1))
+    // NULL group key PRODUCED BY the score function: guarded on the score
+    // output, same loud failure
+    def nullGroupScore(rows: DataFrame): DataFrame =
+      rows.select(when(col("id") % 2 === 0, lit(null).cast("string"))
+        .otherwise(lit("g1")).as("g"), col("id"), col("v").as("s"))
+    val c2 = source("C").topKPerGroup(nullGroupScore, Seq("id"), Seq("g"),
+      Seq(col("s").desc, col("id").asc), k = 2)
+    val r2 = new Runner(spark, c2, Map("C" -> empty))
+    val e2 = intercept[Exception] {
+      r2.step(Map("C" -> z(Seq[Any](1L, 1.0, 1L), Seq[Any](2L, 2.0, 1L))))
+    }
+    assert(messageChain(e2).contains("NULL group key"), messageChain(e2))
   }
 }
