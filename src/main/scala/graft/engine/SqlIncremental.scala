@@ -89,6 +89,16 @@ object SqlIncremental {
   private def confGet(spark: SparkSession, key: String, default: String): String =
     compileConf.get.getOrElse(key, spark.conf.get(key, default))
 
+  /** Which multi-column NULL-aware NOT IN lowering the last compile ON
+    * THIS THREAD chose — `"static-mask"` (≤3 nullable columns per side)
+    * or `"pattern-grouped"` (beyond that). Circuit-shape observability so
+    * a gate query exercising the pattern-grouped branch can PROVE the
+    * branch was taken (thread-local, so concurrent compiles in other
+    * queries cannot clobber the reading). */
+  private val notInStrategyTL = new ThreadLocal[String]
+  private[graft] def lastNotInStrategy: Option[String] =
+    Option(notInStrategyTL.get)
+
   /** Compile several views into circuits that SHARE structurally identical
     * sub-circuits — the reference's one-circuit-many-output-handles model
     * (MultiViewTests): two views over the same CTE/aggregate/join subtree
@@ -1039,12 +1049,15 @@ object SqlIncremental {
     // ≤3 nullable per side: static 2^k ≤ 8 mask enumeration, no extra
     // stateful nodes; beyond that, pattern-grouped (data-proportional)
     val (probeExp, subExpRaw) =
-      if (math.max(nullableProbe.size, nullableSub.size) <= 3) (
-        expand(probeTuples, probes.map(_.dataType),
+      if (math.max(nullableProbe.size, nullableSub.size) <= 3) {
+        notInStrategyTL.set("static-mask")
+        (expand(probeTuples, probes.map(_.dataType),
           nullableProbe, nullableSub, "__pbits", keep = names),
         expand(subAll, lq.plan.output.map(_.dataType),
           nullableSub, nullableProbe, "__qbits", keep = Nil))
+      }
       else {
+        notInStrategyTL.set("pattern-grouped")
         val subTuples = subAll.distinct
         val one = lit(1).as("__one")
         val subPat = subTuples

@@ -194,6 +194,62 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // PATTERN-GROUPED multi-column NOT IN (SqlIncremental.expandPat): 4
+    // nullable columns per side exceed the static 2^k mask enumeration's
+    // ≤3-column guard, so each side expands against the OTHER side's
+    // maintained distinct-NULL-pattern relation — fan-out per row is
+    // #present-patterns, not 2^4. The waves drive the regimes that branch
+    // is responsible for: empty subquery (all probes pass), first pattern
+    // arrival (probe tuples re-expand against just the new patterns), and
+    // a retraction removing every subquery row of one pattern family. The
+    // compile-time strategy probe PROVES the run took the pattern-grouped
+    // branch rather than silently falling back.
+    "q160_incremental_notin_pattern" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_partkey"), col("l_quantity"))
+      val su = Tables.load(s, d, "supplier").select(col("s_suppkey"))
+      li.limit(0).createOrReplaceTempView("LP")
+      su.limit(0).createOrReplaceTempView("SP")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH ot AS (SELECT l_orderkey, l_linenumber,
+                              NULLIF(l_suppkey % 13, 5) AS a,
+                              NULLIF(l_partkey % 11, 7) AS b,
+                              NULLIF(l_suppkey % 7, 3) AS c,
+                              NULLIF(l_partkey % 5, 2) AS e
+                       FROM LP),
+                it AS (SELECT NULLIF(s_suppkey % 13, 5) AS w,
+                              NULLIF(s_suppkey % 11, 3) AS x,
+                              NULLIF(s_suppkey % 7, 1) AS y,
+                              NULLIF(s_suppkey % 5, 4) AS z
+                       FROM SP)
+           SELECT l_orderkey, l_linenumber, a, b, c, e FROM ot
+           WHERE (a, b, c, e) NOT IN (SELECT w, x, y, z FROM it)""",
+        Set("LP", "SP"))
+      require(graft.engine.SqlIncremental.lastNotInStrategy
+          .contains("pattern-grouped"),
+        s"q160 must exercise the pattern-grouped NOT IN branch, got " +
+          s"${graft.engine.SqlIncremental.lastNotInStrategy}")
+      val r = new Runner(s, circuit,
+        Map("LP" -> li.limit(0), "SP" -> su.limit(0)))
+      // wave 1: probes only, subquery EMPTY — every probe tuple passes
+      r.step(Map("LP" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      // wave 2: first subquery patterns arrive (even suppliers) — probe
+      // tuples re-expand against exactly the arriving pattern set
+      r.step(Map("SP" -> ZSet.fromRows(su.filter(col("s_suppkey") % 2 === 0))))
+      // wave 3: inserts + retractions on BOTH sides — odd suppliers bring
+      // new patterns while the %13=5 family (the w-NULL patterns) retracts
+      // wholesale, re-admitting previously-blocked probe tuples
+      r.step(Map("LP" -> ZSet.plus(
+        ZSet.fromRows(
+          li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40)),
+        ZSet.negate(ZSet.fromRows(li.filter(col("l_quantity") < 10)))),
+        "SP" -> ZSet.plus(
+          ZSet.fromRows(su.filter(col("s_suppkey") % 2 === 1)),
+          ZSet.negate(ZSet.fromRows(su.filter(col("s_suppkey") % 13 === 5))))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Uncorrelated EXISTS standing view: existence is a maintained global
     // count gate; the waves flip it empty→non-empty and then shrink (but
     // keep) the witness set.
@@ -993,6 +1049,28 @@ object IncrementalQ {
            SELECT 1 FROM it
            WHERE (it.x = ot.a OR it.x IS NULL OR ot.a IS NULL)
              AND (it.y = ot.b OR it.y IS NULL OR ot.b IS NULL))""",
+    "q160_incremental_notin_pattern" ->
+      """WITH ot AS (SELECT l_orderkey, l_linenumber,
+                            NULLIF(l_suppkey % 13, 5) AS a,
+                            NULLIF(l_partkey % 11, 7) AS b,
+                            NULLIF(l_suppkey % 7, 3) AS c,
+                            NULLIF(l_partkey % 5, 2) AS e
+                     FROM lineitem
+                     WHERE l_quantity >= 10 AND l_quantity < 40),
+              it AS (SELECT NULLIF(s_suppkey % 13, 5) AS w,
+                            NULLIF(s_suppkey % 11, 3) AS x,
+                            NULLIF(s_suppkey % 7, 1) AS y,
+                            NULLIF(s_suppkey % 5, 4) AS z
+                     FROM supplier WHERE s_suppkey % 13 <> 5)
+         -- 3VL NOT IN ≡ "no subquery row maybe-matches" (some column
+         -- differs definitely), spelled NOT EXISTS for DuckDB
+         SELECT l_orderkey, l_linenumber, a, b, c, e FROM ot
+         WHERE NOT EXISTS (
+           SELECT 1 FROM it
+           WHERE (it.w = ot.a OR it.w IS NULL OR ot.a IS NULL)
+             AND (it.x = ot.b OR it.x IS NULL OR ot.b IS NULL)
+             AND (it.y = ot.c OR it.y IS NULL OR ot.c IS NULL)
+             AND (it.z = ot.e OR it.z IS NULL OR ot.e IS NULL))""",
     "q101_incremental_exists_uncorr" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity < 20

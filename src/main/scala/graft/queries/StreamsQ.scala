@@ -191,6 +191,44 @@ object StreamsQ {
         rows, Seq.empty, parts = 4)
     }),
 
+    // WATERMARK-EVICTING STREAMING DEDUP — the 100 TB/day deployment
+    // shape q157's doc names: dropDuplicatesWithinWatermark keyed on
+    // (user_id, event_type, event-time-second) evicts a key's state once
+    // the watermark passes its event time + the 1 h delay, so the store
+    // holds ~1 h of keys instead of growing with key cardinality forever.
+    // The fixture feeds EVERY event twice (adjacent, hence inside the
+    // delay), so the operator has real duplicates to suppress; events are
+    // fed time-ordered, so no row is ever late, and the sentinel batches
+    // push the watermark past all real state, exercising eviction. The
+    // event time rides as its NTZ-safe epoch-second long (`t`), so no
+    // value routes through the session timezone; the oracle is the batch
+    // DISTINCT over the same triple.
+    "q161_stream_dedup_watermark" -> ((s, d) => {
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(col("user_id"), col("event_type"), tsEpochSec.as("t"))
+        .orderBy(col("t"), col("user_id"), col("event_type")), "q161")
+      val base = ev.map(r => (new java.sql.Timestamp(r.getLong(2) * 1000L),
+        r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val rows = base.flatMap(x => Seq(x, x))
+      val lastMs = base.last._1.getTime
+      val sent1 =
+        (new java.sql.Timestamp(lastMs + 1000L * 3600 * 24), -1L, SENT, 0L)
+      val sent2 =
+        (new java.sql.Timestamp(sent1._1.getTime + 60000L), -1L, SENT, 0L)
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+      val dedup = mem.toDF().toDF("ts", "user_id", "event_type", "t")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "t")
+      val table = drive(f, mem,
+        dedup.writeStream.outputMode("append").format("memory"),
+        rows, Seq(sent1, sent2), parts = 4)
+      table.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_type"), col("t"))
+    }),
+
     // STREAM-STATIC JOIN: each micro-batch enriches against a static
     // dimension (re-planned per batch, broadcast here — the lookup-table
     // enrichment shape). No state, no watermark: rows emit as they
@@ -349,6 +387,12 @@ object StreamsQ {
          WHERE p.event_type = 'purchase'""",
     "q157_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    "q161_stream_dedup_watermark" ->
+      """-- FLOOR(epoch), not CAST: Spark's epoch-second derivation
+         -- truncates the sub-second fraction, DuckDB's cast would round
+         SELECT DISTINCT user_id, event_type,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+         FROM events""",
     "q158_stream_static_join" ->
       """SELECT e.event_id, e.user_id, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",
