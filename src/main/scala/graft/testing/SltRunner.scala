@@ -35,18 +35,28 @@ object SltRunner {
     var dirty = true
   }
 
+  /** Query executor: (session, sql, registered table names) → result
+    * rows. The default runs plain `spark.sql`; a family whose semantics
+    * need a graft lowering (e.g. DISTINCT recursion over cyclic graphs,
+    * where the native UNION ALL loop would not terminate) passes an
+    * executor that routes through the engine instead. */
+  type Exec = (SparkSession, String, Set[String]) => Seq[Row]
+  private val sparkSqlExec: Exec = (s, q, _) => s.sql(q).collect().toSeq
+
   def runFile(spark: SparkSession, path: java.nio.file.Path): Outcome =
     run(spark, new String(java.nio.file.Files.readAllBytes(path), "UTF-8"),
       path.getFileName.toString)
 
-  def runResource(spark: SparkSession, resource: String): Outcome = {
+  def runResource(spark: SparkSession, resource: String,
+                  exec: Exec = sparkSqlExec): Outcome = {
     val in = getClass.getResourceAsStream(resource)
     require(in != null, s"missing resource $resource")
     val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    run(spark, text, resource)
+    run(spark, text, resource, exec)
   }
 
-  def run(spark: SparkSession, text: String, name: String): Outcome = {
+  def run(spark: SparkSession, text: String, name: String,
+          exec: Exec = sparkSqlExec): Outcome = {
     val lines = text.split("\n", -1)
     val tables = mutable.Map.empty[String, Table]
     // view name → defining SELECT; re-created (in definition order) after
@@ -137,7 +147,7 @@ object SltRunner {
             try {
               tables.foreach { case (tn, t) => register(tn, t) }
               refreshViews()
-              val rows = spark.sql(sql.toString).collect().toSeq
+              val rows = exec(spark, sql.toString, tables.keySet.toSet)
               val got = SltHash.toLines(rows, fmt, order)
               val hashRe = "(\\d+) values hashing to ([0-9a-f]{32})".r
               exp match {

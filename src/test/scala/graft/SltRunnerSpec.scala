@@ -93,6 +93,27 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("bagset.test", 250)
   }
 
+  test("recursive_distinct.test: DISTINCT recursion over CYCLIC graphs " +
+    "through the closure-circuit lowering") {
+    // Routed through SqlIncremental (NOT spark.sql): these graphs are
+    // cyclic, so the native UNION ALL UnionLoop would never terminate —
+    // the lowering's SET fixpoint (anchor ∪ anchor∘E⁺ under distinct) is
+    // what makes the queries well-defined, and DuckDB's UNION recursion
+    // froze the same set fixpoint at generation time.
+    val engineExec: graft.testing.SltRunner.Exec = (s, q, srcs) => {
+      val inc = graft.engine.SqlIncremental.compile(s, q, srcs)
+      val in = srcs.map(n => n -> graft.zset.ZSet.fromRows(s.table(n))).toMap
+      graft.zset.ZSet.toRows(graft.zset.ZSet.consolidate(inc.batch(in)))
+        .collect().toSeq
+    }
+    val o = graft.testing.SltRunner.runResource(
+      spark, "/slt/recursive_distinct.test", engineExec)
+    assert(o.failed.isEmpty,
+      s"recursive_distinct.test: ${o.failed.size} failures; first: " +
+        o.failed.take(3).mkString("\n"))
+    assert(o.passed >= 70, s"only ${o.passed} records passed")
+  }
+
   test("lateral.test: correlated LATERAL derived tables") {
     check("lateral.test", 65)
   }

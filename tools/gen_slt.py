@@ -2575,6 +2575,105 @@ def gen_scalarexpr():
     return f
 
 
+def gen_recursive_distinct():
+    """DISTINCT-recursion (set-fixpoint) grammar over CYCLIC graphs —
+    the family the UNION ALL corpus cannot express: `SELECT DISTINCT ...
+    FROM <recursive CTE>` in the linear transitive-closure shape, which
+    graft's SqlIncremental lowers to an incremental closure circuit
+    whose SET fixpoint terminates on cycles (Spark's native UnionLoop
+    counts paths and would not). Expected results are frozen from
+    DuckDB's UNION (distinct) recursion — the same set fixpoint — via
+    query_oracle, because DuckDB's UNION ALL recursion would not
+    terminate on these graphs either. The runner spec routes this file
+    through SqlIncremental.compile + batch evaluation, NOT spark.sql
+    (see SltRunnerSpec). Deterministic edges only: no rng, so this
+    generator's position in the run order cannot shift other files."""
+    f = File("recursive_distinct.test")
+    f.out += ["# CYCLIC-graph DISTINCT recursion: execute through the",
+              "# graft closure-circuit lowering, NOT plain spark.sql",
+              "# (the native UNION ALL loop would not terminate).", ""]
+
+    graphs = {}
+    # ring: 9-node directed cycle + 3 chords — one strongly connected core
+    n = 9
+    graphs["ring"] = [(i, (i + 1) % n, 1 + i % 4) for i in range(n)] + \
+        [(0, 4, 5), (3, 8, 2), (6, 2, 3)]
+    # twocyc: a 5-cycle and a 4-cycle, one-way bridge, self-loop tail
+    graphs["twocyc"] = \
+        [(i, (i + 1) % 5, 1 + i % 3) for i in range(5)] + \
+        [(10 + i, 10 + (i + 1) % 4, 2 + i % 2) for i in range(4)] + \
+        [(2, 10, 4), (13, 20, 2), (20, 20, 1)]
+    # mesh: functional digraph on 11 nodes, extra out-edges on evens
+    mesh = []
+    for i in range(11):
+        mesh.append((i, (2 * i + 1) % 11, 1 + i % 5))
+        if i % 2 == 0:
+            mesh.append((i, (3 * i + 2) % 11, 1 + (i + 2) % 4))
+    graphs["mesh"] = mesh
+
+    for t, edges in graphs.items():
+        f.statement(f"CREATE TABLE {t}(src INTEGER, dst INTEGER, w INTEGER)")
+        for s, d, w in edges:
+            f.statement(f"INSERT INTO {t} VALUES({s},{d},{w})")
+
+    def rec(anchor, step, outer, fmt):
+        spark_sql = (f"WITH RECURSIVE r(s,d) AS ({anchor} UNION ALL {step}) "
+                     f"{outer}")
+        oracle_sql = (f"WITH RECURSIVE r(s,d) AS ({anchor} UNION {step}) "
+                      f"{outer}")
+        f.query_oracle(spark_sql, oracle_sql, fmt, "rowsort")
+
+    for t, edges in graphs.items():
+        nodes = sorted({s for s, _d, _w in edges})
+        anchors = nodes[:3] + nodes[-1:]
+        fwd = f"SELECT r.s, e.dst FROM r JOIN {t} e ON r.d = e.src"
+        # 1) plain TC (anchor ≡ edge relation → the closure node alone),
+        #    under three outer spellings incl. rename/reorder layers
+        rec(f"SELECT src, dst FROM {t}", fwd,
+            "SELECT DISTINCT s, d FROM r", "II")
+        rec(f"SELECT src, dst FROM {t}", fwd,
+            "SELECT DISTINCT d AS y, s AS x FROM r", "II")
+        rec(f"SELECT src, dst FROM {t}", fwd,
+            "SELECT s, count(*) FROM (SELECT DISTINCT s, d FROM r) q "
+            "GROUP BY s", "II")
+        # 2) anchored closures: reachability from one source node, the
+        #    same three outer spellings plus a filter ABOVE the distinct
+        for k in anchors:
+            anc = f"SELECT src, dst FROM {t} WHERE src = {k}"
+            rec(anc, fwd, "SELECT DISTINCT s, d FROM r", "II")
+            rec(anc, fwd, "SELECT DISTINCT d AS reach, s AS frm FROM r", "II")
+            rec(anc, fwd,
+                f"SELECT d FROM (SELECT DISTINCT s, d FROM r) q "
+                f"WHERE s = {k}", "I")
+        # 3) filtered edge relation inside the recursion (cheap-edge
+        #    closure): anchor full and anchor pinned
+        for c in (2, 3):
+            filt = (f"SELECT r.s, e.dst FROM r JOIN (SELECT src, dst "
+                    f"FROM {t} WHERE w <= {c}) e ON r.d = e.src")
+            rec(f"SELECT src, dst FROM {t}", filt,
+                "SELECT DISTINCT s, d FROM r", "II")
+            rec(f"SELECT src, dst FROM {t} WHERE src = {anchors[0]}", filt,
+                "SELECT DISTINCT s, d FROM r", "II")
+        # 4) flipped equality spelling in the join condition
+        rec(f"SELECT src, dst FROM {t}",
+            f"SELECT r.s, e.dst FROM r JOIN {t} e ON e.src = r.d",
+            "SELECT DISTINCT s, d FROM r", "II")
+        # 5) reverse reachability (ancestors): join on e.dst, emit e.src
+        rec(f"SELECT dst, src FROM {t}",
+            f"SELECT r.s, e.src FROM r JOIN {t} e ON r.d = e.dst",
+            "SELECT DISTINCT s, d FROM r", "II")
+        for k in anchors[:2]:
+            rec(f"SELECT dst, src FROM {t} WHERE dst = {k}",
+                f"SELECT r.s, e.src FROM r JOIN {t} e ON r.d = e.dst",
+                "SELECT DISTINCT s, d FROM r", "II")
+        # 6) aggregates over an anchored closure
+        for k in anchors[:2]:
+            rec(f"SELECT src, dst FROM {t} WHERE src = {k}", fwd,
+                "SELECT count(*), min(d), max(d) FROM "
+                "(SELECT DISTINCT s, d FROM r) q", "III")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
@@ -2582,7 +2681,7 @@ def main():
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
               gen_grouping, gen_string, gen_select8, gen_winjoin,
               gen_orderlimit, gen_recursive, gen_bagset, gen_lateral,
-              gen_temporal, gen_scalarexpr):
+              gen_temporal, gen_scalarexpr, gen_recursive_distinct):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
