@@ -207,6 +207,39 @@ object Similarity {
         .select(col(qIdCol), col(idCol), col("cos"))
   }
 
+  /** REQUANTIZE a standing IVF retrieval view — the maintenance operation
+    * the frozen-quantizer design (ivfProbeScorer / q156) defers: as the
+    * corpus drifts, the bootstrap-time centroids stop matching the data,
+    * so recall at fixed nProbe decays. This retrains the coarse quantizer
+    * on the runner's CURRENT integrated corpus, rebuilds the probe scorer
+    * and its top-k circuit, and bootstraps a NEW runner from that same
+    * state — by construction identical to a fresh bootstrap at the
+    * current state (asserted in IncrementalTopKSpec), so delta stepping
+    * resumes under the new buckets with no other discontinuity: with
+    * nProbe = nCentroids the standing results are invariant across the
+    * requantize (exactness does not depend on the quantizer). Cost is one
+    * consolidated scan of input state plus the bootstrap — the periodic
+    * re-index every production vector store schedules; the old runner
+    * keeps serving until the new one is live (blue/green swap). */
+  def requantizeIvf(old: graft.streaming.Incremental.Runner,
+                    sourceName: String, probes: DataFrame,
+                    nCentroids: Int, nProbe: Int, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qIdCol: String = "q_id", qVecCol: String = "q_vec")
+      : graft.streaming.Incremental.Runner = {
+    import graft.streaming.Incremental
+    val state = old.inputState(sourceName)
+    val score =
+      ivfProbeScorer(state, probes, nCentroids, nProbe, idCol, vecCol,
+        qIdCol, qVecCol)
+    val circuit = Incremental.source(sourceName).topKPerGroup(score,
+      Seq(idCol), Seq(qIdCol), Seq(col("cos").desc, col(idCol).asc), k)
+    val fresh = new Incremental.Runner(old.spark, circuit,
+      Map(sourceName -> state.limit(0)))
+    fresh.bootstrap(Map(sourceName -> state))
+    fresh
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the
     * embedding-space analogue of Dedup.nearDuplicates). Buckets above
     * `maxBucket` are dropped before the self-join — a degenerate corpus

@@ -936,9 +936,17 @@ object IncrementalQ {
       val r = new Runner(s, circuit, Map("E" -> emb.limit(0)))
       r.bootstrap(Map("E" -> boot))
       r.step(Map("E" -> ZSet.fromRows(emb.filter(col("vec_id") % 11 === 5))))
-      r.step(Map("E" -> ZSet.negate(ZSet.fromRows(
+      // REQUANTIZE mid-stream (Similarity.requantizeIvf): retrain the
+      // coarse quantizer on the drifted corpus, re-bucket, resume — the
+      // final wave runs on the requantized runner, so the re-index
+      // operation itself sits under the hash-exact oracle (full probing
+      // makes the result quantizer-invariant; gating/recall axes are
+      // spec'd in IncrementalTopKSpec).
+      val r2 = Sim.requantizeIvf(r, "E", probes, nCentroids,
+        nProbe = nCentroids, k = 5)
+      r2.step(Map("E" -> ZSet.negate(ZSet.fromRows(
         emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3)))))
-      ZSet.toRows(ZSet.consolidate(r.output))
+      ZSet.toRows(ZSet.consolidate(r2.output))
     }),
 
     // MULTI-SINK standing maintenance under one oracle: a single Runner

@@ -1454,6 +1454,16 @@ object Incremental {
       ZSet.consolidate(rootOf(name).batch(integrated))
     def recompute: DataFrame = recompute(primary)
 
+    /** Consolidated positive rows of one source's integrated input — the
+      * current corpus a REBUILD bootstraps from (e.g. an IVF requantize:
+      * retrain the quantizer on this state, re-bucket, resume —
+      * Similarity.requantizeIvf). One consolidated scan of stored state;
+      * no trace is recomputed. */
+    def inputState(name: String): DataFrame = {
+      require(schemas.contains(name), s"unknown source $name")
+      ZSet.toRows(ZSet.consolidate(integrated(name)))
+    }
+
     /** One Spark job materializing every given cached plan (populates the
       * block-manager caches; InMemoryRelation's accumulators then carry the
       * sizes the consolidation heuristic reads — no per-state actions).

@@ -213,6 +213,46 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("lo", 2L) -> 1L, ("lo", 3L) -> 2L))
   }
 
+  test("requantizeIvf: retrain-and-resume equals fresh bootstrap; exact results invariant") {
+    import graft.pipeline.Similarity
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val nC = 8
+    def build(train: DataFrame) = {
+      val score = Similarity.ivfProbeScorer(train, probes, nC, nProbe = nC)
+      source("E").topKPerGroup(score, Seq("vec_id"), Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id").asc), k = 3)
+    }
+    // q156's shape: bootstrap, then the corpus drifts through two waves
+    val boot = emb.filter(col("vec_id") % 11 =!= 5)
+    val r0 = new Runner(spark, build(boot), Map("E" -> emb.limit(0)))
+    r0.bootstrap(Map("E" -> boot))
+    r0.step(Map("E" -> ZSet.fromRows(emb.filter(col("vec_id") % 11 === 5))))
+    r0.step(Map("E" -> ZSet.negate(ZSet.fromRows(
+      emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3)))))
+    val before = canon(ZSet.toRows(ZSet.consolidate(r0.output)))
+    // requantize at the drifted state: retrain quantizer, re-bucket, resume
+    val r1 = Similarity.requantizeIvf(r0, "E", probes, nC, nProbe = nC, k = 3)
+    // (a) full probing: standing results are INVARIANT across requantize
+    // (exactness does not depend on the quantizer)
+    assert(canon(ZSet.toRows(ZSet.consolidate(r1.output))) === before)
+    // (b) value-equal to a fresh bootstrap at the same state
+    val r2 = new Runner(spark, build(r0.inputState("E")),
+      Map("E" -> emb.limit(0)))
+    r2.bootstrap(Map("E" -> r0.inputState("E")))
+    assert(canon(ZSet.toRows(ZSet.consolidate(r1.output)))
+      === canon(ZSet.toRows(ZSet.consolidate(r2.output))))
+    // (c) delta stepping RESUMES under the new buckets: an insert-only
+    // wave takes the merge path (no rescans) and stays exact vs recompute
+    r1.step(Map("E" -> ZSet.fromRows(
+      emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3))))
+    assert(rescans(r1) === 0L)
+    assert(canon(ZSet.consolidate(r1.output)) === canon(r1.recompute))
+  }
+
   /** raise_error surfaces through task/job wrapping — search the whole
     * cause chain for the guard's message. */
   private def messageChain(t: Throwable): String =
