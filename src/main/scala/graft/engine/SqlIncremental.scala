@@ -65,6 +65,9 @@ object SqlIncremental {
   /** Compile a SQL query into an incremental circuit over `sources`
     * (names of tables registered as temp views). */
   def compile(spark: SparkSession, sql: String, sources: Set[String]): Inc = {
+    // clear the strategy probe so a compile that never reaches the NOT IN
+    // lowering cannot report a PREVIOUS compile's branch as its own
+    notInStrategyTL.remove()
     val analyzed = spark.sql(sql).queryExecution.analyzed
     // Spark lowercases temp-view names in analyzed plans; map back to the
     // declared source spelling so Runner input keys line up.
@@ -79,8 +82,10 @@ object SqlIncremental {
     * call and consulted before the session conf. */
   def compile(spark: SparkSession, sql: String, sources: Set[String],
               overrides: Map[String, String]): Inc = {
-    compileConf.set(overrides)
-    try compile(spark, sql, sources) finally compileConf.remove()
+    val prev = compileConf.get // restore, not clear: tolerate re-entrancy
+    compileConf.set(prev ++ overrides)
+    try compile(spark, sql, sources)
+    finally { if (prev.isEmpty) compileConf.remove() else compileConf.set(prev) }
   }
 
   private val compileConf = new ThreadLocal[Map[String, String]] {

@@ -228,16 +228,24 @@ object Similarity {
                     qIdCol: String = "q_id", qVecCol: String = "q_vec")
       : graft.streaming.Incremental.Runner = {
     import graft.streaming.Incremental
+    // persist the consolidated scan: quantizer training and the bootstrap
+    // both read it — without the cache each would re-derive the old
+    // runner's full input union
     val state = old.inputState(sourceName)
-    val score =
-      ivfProbeScorer(state, probes, nCentroids, nProbe, idCol, vecCol,
-        qIdCol, qVecCol)
-    val circuit = Incremental.source(sourceName).topKPerGroup(score,
-      Seq(idCol), Seq(qIdCol), Seq(col("cos").desc, col(idCol).asc), k)
-    val fresh = new Incremental.Runner(old.spark, circuit,
-      Map(sourceName -> state.limit(0)))
-    fresh.bootstrap(Map(sourceName -> state))
-    fresh
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val score =
+        ivfProbeScorer(state, probes, nCentroids, nProbe, idCol, vecCol,
+          qIdCol, qVecCol)
+      val circuit = Incremental.source(sourceName).topKPerGroup(score,
+        Seq(idCol), Seq(qIdCol), Seq(col("cos").desc, col(idCol).asc), k)
+      val fresh = new Incremental.Runner(old.spark, circuit,
+        Map(sourceName -> state.limit(0)))
+      fresh.bootstrap(Map(sourceName -> state))
+      // the caller decides when to retire the OLD runner (blue/green:
+      // it can keep serving until this one is live) — Runner.decommission
+      fresh
+    } finally state.unpersist(false) // bootstrap anchored its own caches
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the

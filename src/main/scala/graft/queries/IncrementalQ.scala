@@ -944,6 +944,7 @@ object IncrementalQ {
       // spec'd in IncrementalTopKSpec).
       val r2 = Sim.requantizeIvf(r, "E", probes, nCentroids,
         nProbe = nCentroids, k = 5)
+      r.decommission() // blue/green: the new index is live, release the old
       r2.step(Map("E" -> ZSet.negate(ZSet.fromRows(
         emb.filter(col("vec_id") % 9 === 4 && col("vec_id") >= 3)))))
       ZSet.toRows(ZSet.consolidate(r2.output))

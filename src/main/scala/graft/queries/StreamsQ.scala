@@ -172,9 +172,9 @@ object StreamsQ {
     // front of its corpus. Output is restricted to the key columns
     // (which row of a key "arrived first" inside one micro-batch is
     // parallelism-dependent, the key SET is not), so the oracle is the
-    // batch DISTINCT. At 100 TB/day the subset would include the
-    // event-time column or use dropDuplicatesWithinWatermark so state
-    // evicts by watermark instead of growing with key cardinality.
+    // batch DISTINCT. State here grows with key cardinality — q161 below
+    // is the 100 TB/day variant, where dropDuplicatesWithinWatermark
+    // evicts state by watermark instead.
     "q157_stream_dedup" -> ((s, d) => {
       val f = fork(s)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext

@@ -1551,6 +1551,15 @@ object Incremental {
       releaseAll()
     }
 
+    /** Release every cache this Runner holds (persisted state unions,
+      * retained deltas) WITHOUT writing anything durable. Call when the
+      * Runner is superseded — e.g. the old side of a blue/green
+      * requantize swap (Similarity.requantizeIvf) — so the stale index's
+      * storage doesn't stay resident for the rest of the session. The
+      * Runner must not be stepped afterwards; reading its outputs may
+      * recompute from full lineage instead of caches. */
+    def decommission(): Unit = releaseAll()
+
     /** Drop every cache reference (states now anchor on durable storage). */
     private def releaseAll(): Unit = {
       constituents.values.flatten.foreach(decref)

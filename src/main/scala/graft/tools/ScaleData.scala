@@ -25,12 +25,13 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val n = args(2).toInt
-    // documents.text distinctness relies on one vowel permutation per
-    // replica; silently wrapping at N > perms would alias replica i and
-    // i+perms into EXACT duplicates and corrupt the near-dup workloads.
+    // documents.text distinctness relies on one distinct text transform
+    // per replica (5 vowel rotations × 2 consonant layers below);
+    // silently wrapping past them would alias replicas into EXACT
+    // duplicates and corrupt the near-dup workloads.
     require(n >= 1 && n <= 10,
-      s"N=$n out of range: 1..10 replicas supported (one distinct vowel " +
-        "permutation per replica keeps documents exact-dup-free)")
+      s"N=$n out of range: 1..10 replicas supported (one distinct text " +
+        "transform per replica keeps documents pairwise non-duplicate)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,8 +44,16 @@ object ScaleData {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
-    val vowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
-      "aeiuo", "eioau", "iouea", "ouaie", "uaeoi")
+    // Replica text transforms must keep replicas pairwise NON-duplicate
+    // (exact or near): the five vowel ROTATIONS differ from each other at
+    // every vowel, and replicas 5-9 add a consonant rotation on top —
+    // two replicas therefore differ on every vowel occurrence or on
+    // every occurrence of 16 common consonants. (The r10-flagged table
+    // mixed non-rotation permutations like "aeiuo" that agree with the
+    // identity on a/e/i, so o/u-free documents aliased exactly.)
+    val vowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+    val cons = "bcdfghjklmnpqrst"
+    val consRot = cons.tail + cons.head
     def repl(t: String, keys: Seq[String],
              extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until n).map { i =>
@@ -62,9 +71,13 @@ object ScaleData {
     save("lineitem", repl("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
     save("events", repl("events", Seq("event_id", "user_id")))
-    save("documents", repl("documents", Seq("doc_id"), (d, i) =>
+    save("documents", repl("documents", Seq("doc_id"), (d, i) => {
+      val vowels =
+        translate(col("text"), "aeiou", vowelPerms(i % vowelPerms.length))
       d.withColumn("text",
-        translate(col("text"), "aeiou", vowelPerms(i % vowelPerms.length)))))
+        if (i < vowelPerms.length) vowels
+        else translate(vowels, cons, consRot))
+    }))
     save("embeddings", repl("embeddings", Seq("vec_id")))
     spark.stop()
   }

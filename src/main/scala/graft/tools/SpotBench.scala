@@ -29,10 +29,13 @@ object SpotBench {
         .format("noop").mode("overwrite").save()
       catch { case scala.util.control.NonFatal(_) => () }
     }
-    // same warmup contract as graft.Bench: fixtures exist before timing
-    try graft.queries.SourcesQ.warmFixtures(spark, sfDir)
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[spot] fixture warmup failed: ${e.getMessage}") }
+    // same warmup contract as graft.Bench: fixtures exist before timing —
+    // but only when a requested query actually reads one (a spot run of a
+    // non-source query should not pay seconds of fixture writes)
+    if (names.exists(graft.queries.SourcesQ.defs.contains))
+      try graft.queries.SourcesQ.warmFixtures(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[spot] fixture warmup failed: ${e.getMessage}") }
     val results = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

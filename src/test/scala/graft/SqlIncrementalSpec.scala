@@ -689,6 +689,8 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("q", LongType), StructField("tag", StringType)))
     val it = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
     val r = e.incrementalRunner("MNN")
+    assert(graft.engine.SqlIncremental.lastNotInStrategy
+      .contains("static-mask"))
     def passed: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
       .collect().map(_.getString(0)).toSet
     // empty subquery: everything passes, NULL probes included
@@ -749,6 +751,8 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("x", LongType), StructField("y", LongType),
       StructField("z", LongType)))
     val r = e.incrementalRunner("N5")
+    assert(graft.engine.SqlIncremental.lastNotInStrategy
+      .contains("pattern-grouped"))
     def passed: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
       .collect().map(_.getString(0)).toSet
     // empty subquery: everything passes, NULL probes included
