@@ -146,6 +146,69 @@ object StreamsQ {
       table.filter(col("user_id") =!= SENT)
     }),
 
+    // NATIVE SESSION WINDOWS (Streams.sessionWindowAgg): Spark's
+    // session_window state-merge operator — the built-in alternative to
+    // q114's hand-rolled flatMapGroupsWithState sessionize. Boundary
+    // semantics differ from q114 BY DESIGN: session_window starts a new
+    // session at a gap of EXACTLY 1 h (new event joins iff t < last + gap),
+    // so the oracle breaks on diff >= 3600 where q114's breaks on > 3600.
+    // Last-event time is recovered as window end − gap.
+    "q162_stream_session_window" -> ((s, d) => {
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(col("user_id").cast("string").as("k"), tsEpochSec.as("t"))
+        .orderBy(col("t")), "q162")
+      val rows = ev.map(r =>
+        (r.getString(0), new java.sql.Timestamp(r.getLong(1) * 1000L))).toSeq
+      val lastMs = rows.last._2.getTime
+      val sent1 = (SENT, new java.sql.Timestamp(lastMs + 1000L * 3600 * 24))
+      val sent2 = (SENT, new java.sql.Timestamp(sent1._2.getTime + 60000L))
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val agg = graft.streaming.Streams.sessionWindowAgg(
+        mem.toDF().toDF("k", "ts"), "ts", "k", gap = "1 hour")
+      val table = drive(f, mem,
+        agg.writeStream.outputMode("append").format("memory"),
+        rows, Seq(sent1, sent2), parts = 3)
+      table.filter(col("k") =!= SENT)
+        .select(col("k").as("user_id"),
+          unix_timestamp(col("s_start")).as("start_sec"),
+          (unix_timestamp(col("s_end")) - 3600L).as("end_sec"),
+          col("n"))
+    }),
+
+    // SLIDING (overlapping) windowed aggregate: window(ts, 2h, 1h) — each
+    // event lands in TWO hour-aligned windows, the moving-average shape
+    // tumbling q113 cannot express. Same watermark/append cadence; the
+    // oracle replicates each event into its two covering windows.
+    "q163_stream_sliding_agg" -> ((s, d) => {
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(tsEpochSec.as("t"),
+          col("user_id").cast("string").as("k"),
+          (col("event_id") % 97).cast("long").as("v"))
+        .orderBy(col("t")), "q163")
+      val rows = ev.map(r =>
+        (new java.sql.Timestamp(r.getLong(0) * 1000L), r.getString(1),
+          r.getLong(2))).toSeq
+      val lastMs = rows.last._1.getTime
+      val sent1 = new java.sql.Timestamp(lastMs + 1000L * 3600 * 24)
+      val sent2 = new java.sql.Timestamp(sent1.getTime + 60000L)
+      val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+      val agg = graft.streaming.Streams.windowedAgg(
+        mem.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "2 hours",
+        slide = Some("1 hour"), watermark = "0 seconds")
+      val table = drive(f, mem,
+        agg.writeStream.outputMode("append").format("memory"),
+        rows, Seq((sent1, SENT, 0L), (sent2, SENT, 0L)), parts = 3)
+      table.filter(col("k") =!= SENT)
+        .select(unix_timestamp(col("win_start")).as("win_start_sec"),
+          col("k").as("user_id"), col("n"), col("total"))
+    }),
+
     // Stream-stream interval join (Spark's watermarked state-store join —
     // the attribution shape: each purchase joined to the same user's
     // clicks in the preceding hour). Both sides are REAL MemoryStreams fed
@@ -393,6 +456,38 @@ object StreamsQ {
          SELECT DISTINCT user_id, event_type,
                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
          FROM events""",
+    "q162_stream_session_window" ->
+      """-- session_window boundary: a gap of EXACTLY 1h starts a NEW
+         -- session (Spark: event joins iff t < last + gap) -> brk >= 3600
+         WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user_id,
+                           CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+                    FROM events),
+              m AS (SELECT user_id, t,
+                           CASE WHEN t - lag(t) OVER w >= 3600
+                                  OR lag(t) OVER w IS NULL
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              g AS (SELECT user_id, t,
+                           SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM m)
+         SELECT user_id, MIN(t) AS start_sec, MAX(t) AS end_sec,
+                COUNT(*) AS n
+         FROM g GROUP BY user_id, sid""",
+    "q163_stream_sliding_agg" ->
+      """-- window(2h, slide 1h): each event belongs to the hour-aligned
+         -- window starting at its own hour and the one before
+         WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                             AS h,
+                           CAST(user_id AS VARCHAR) AS user_id,
+                           event_id % 97 AS v
+                    FROM events),
+              w AS (SELECT h AS win_start_sec, user_id, v FROM e
+                    UNION ALL
+                    SELECT h - 3600 AS win_start_sec, user_id, v FROM e)
+         SELECT win_start_sec, user_id, COUNT(*) AS n,
+                CAST(SUM(v) AS BIGINT) AS total
+         FROM w GROUP BY win_start_sec, user_id""",
     "q158_stream_static_join" ->
       """SELECT e.event_id, e.user_id, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""",

@@ -48,6 +48,25 @@ object Streams {
         col(keyCol), col("n"), col("total"))
   }
 
+  /** Native session-window aggregate (Spark's `session_window` — the
+    * state store MERGES overlapping per-key session windows, a different
+    * operator from `sessionize`'s hand-rolled flatMapGroupsWithState):
+    * events of a key belong to one session while each arrives strictly
+    * within `gap` of the previous (Spark's window end is last-event +
+    * gap, and a new event joins iff its time < that end — so a gap of
+    * EXACTLY `gap` starts a new session, the boundary the oracle must
+    * mirror). Append mode emits a session only once the watermark proves
+    * no event can extend it; state per key is bounded by the watermark,
+    * the 100 TB/day property. */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       gap: String, watermark: String = "0 seconds")
+      : DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("win.start").as("s_start"),
+        col("win.end").as("s_end"), col("n"))
+
   /** Per-key running totals via `mapGroupsWithState` — the minimal shape
     * of a custom stateful operator (the reference's aggregate operators
     * keep exactly this: a per-key accumulator advanced by each delta).
