@@ -250,6 +250,32 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // DISTINCT-aggregate + FILTER-clause aggregate as a compiled standing
+    // view: neither is weight-linear (a merged component sum cannot undo
+    // duplicate collapse or a filter), so the circuit takes the exact
+    // touched-group re-fold path — proven delta-correct here through
+    // insert + retraction waves that change both the distinct sets and
+    // the filtered sums of surviving groups.
+    "q164_incremental_distinct_agg" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+      li.limit(0).createOrReplaceTempView("LDA")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT l_suppkey,
+                  COUNT(DISTINCT l_partkey) AS n_parts,
+                  SUM(l_quantity) FILTER (WHERE l_quantity > 25) AS qty_hi,
+                  COUNT(*) AS n_rows
+           FROM LDA GROUP BY l_suppkey""",
+        Set("LDA"))
+      val r = new Runner(s, circuit, Map("LDA" -> li.limit(0)))
+      r.step(Map("LDA" -> ZSet.fromRows(li.filter(col("l_quantity") < 30))))
+      r.step(Map("LDA" -> ZSet.plus(
+        ZSet.fromRows(
+          li.filter(col("l_quantity") >= 30 && col("l_quantity") < 40)),
+        ZSet.negate(ZSet.fromRows(li.filter(col("l_quantity") < 10))))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // Uncorrelated EXISTS standing view: existence is a maintained global
     // count gate; the waves flip it empty→non-empty and then shrink (but
     // keep) the witness set.
@@ -1085,6 +1111,14 @@ object IncrementalQ {
          WHERE l_quantity < 20
            AND EXISTS (SELECT 1 FROM supplier
                        WHERE s_acctbal > 5000 AND s_suppkey % 2 = 0)""",
+    "q164_incremental_distinct_agg" ->
+      """SELECT l_suppkey,
+                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                CAST(SUM(l_quantity) FILTER (WHERE l_quantity > 25)
+                  AS DOUBLE) AS qty_hi,
+                COUNT(*) AS n_rows
+         FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 40
+         GROUP BY l_suppkey""",
     "q115_incremental_asof" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
                            MAX(value) AS purchase_value

@@ -209,6 +209,47 @@ object StreamsQ {
           col("k").as("user_id"), col("n"), col("total"))
     }),
 
+    // MULTI-STATEFUL STREAMING PIPELINE: watermarked dedup CHAINED into a
+    // tumbling windowed aggregate inside ONE streaming query — two state
+    // stores in series with watermark propagation between them (the
+    // continuous-ingest shape: dedup the firehose, then aggregate the
+    // clean stream; at 100 TB/day both stores stay watermark-bounded).
+    // Every event is fed twice, so the aggregate is only correct if the
+    // dedup stage actually suppressed the duplicates BEFORE counting.
+    "q165_stream_dedup_then_window" -> ((s, d) => {
+      val f = fork(s)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(tsEpochSec.as("t"),
+          col("user_id").cast("string").as("k"),
+          (col("event_id") % 97).cast("long").as("v"))
+        .orderBy(col("t"), col("k"), col("v")), "q165")
+      val base = ev.map(r => (new java.sql.Timestamp(r.getLong(0) * 1000L),
+        r.getString(1), r.getLong(2), r.getLong(0))).toSeq
+      val rows = base.flatMap(x => Seq(x, x))
+      val lastMs = base.last._1.getTime
+      val sent1 =
+        (new java.sql.Timestamp(lastMs + 1000L * 3600 * 24), SENT, 0L, 0L)
+      val sent2 =
+        (new java.sql.Timestamp(sent1._1.getTime + 60000L), SENT, 0L, 0L)
+      val mem = MemoryStream[(java.sql.Timestamp, String, Long, Long)]
+      val cleaned = mem.toDF().toDF("ts", "k", "v", "t")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("k", "v", "t")
+      val agg = cleaned
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        .select(col("win.start").as("win_start"), col("k"), col("n"),
+          col("total"))
+      val table = drive(f, mem,
+        agg.writeStream.outputMode("append").format("memory"),
+        rows, Seq(sent1, sent2), parts = 3)
+      table.filter(col("k") =!= SENT)
+        .select(unix_timestamp(col("win_start")).as("win_start_sec"),
+          col("k").as("user_id"), col("n"), col("total"))
+    }),
+
     // Stream-stream interval join (Spark's watermarked state-store join —
     // the attribution shape: each purchase joined to the same user's
     // clicks in the preceding hour). Both sides are REAL MemoryStreams fed
@@ -474,6 +515,16 @@ object StreamsQ {
          SELECT user_id, MIN(t) AS start_sec, MAX(t) AS end_sec,
                 COUNT(*) AS n
          FROM g GROUP BY user_id, sid""",
+    "q165_stream_dedup_then_window" ->
+      """-- dedup (distinct user/value/second triples) THEN hour-bucket agg
+         WITH e AS (SELECT DISTINCT
+                      CAST(user_id AS VARCHAR) AS user_id,
+                      event_id % 97 AS v,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+                    FROM events)
+         SELECT (t - t % 3600) AS win_start_sec, user_id,
+                COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
+         FROM e GROUP BY 1, 2""",
     "q163_stream_sliding_agg" ->
       """-- window(2h, slide 1h): each event belongs to the hour-aligned
          -- window starting at its own hour and the one before
