@@ -209,6 +209,38 @@ object StreamsQ {
           col("k").as("user_id"), col("n"), col("total"))
     }),
 
+    // transformWithState SESSIONIZATION (Streams.sessionizeTws): the same
+    // gap semantics as q114, re-expressed on Spark 4's arbitrary-state
+    // API — StatefulProcessor, typed ValueState, explicit event-time
+    // timers — over the RocksDB state store provider (the only store the
+    // API supports; set on the forked session). Same DuckDB
+    // gaps-and-islands oracle as q114: a green row certifies the modern
+    // state API end-to-end, including timer-driven close of quiet keys.
+    "q166_stream_session_tws" -> ((s, d) => {
+      val f = fork(s)
+      f.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = f.sqlContext
+      import f.implicits._
+      val ev = collectBounded(Tables.load(f, d, "events")
+        .select(col("user_id").cast("string").as("k"), tsEpochSec.as("t"))
+        .orderBy(col("t")), "q166")
+      val rows = ev.map(r =>
+        (r.getString(0), new java.sql.Timestamp(r.getLong(1) * 1000L))).toSeq
+      val lastMs = rows.last._2.getTime
+      val sent1 = (SENT, new java.sql.Timestamp(lastMs + 1000L * 3600 * 24))
+      val sent2 = (SENT, new java.sql.Timestamp(sent1._2.getTime + 60000L))
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val out = graft.streaming.Streams
+        .sessionizeTws(mem.toDS(), gapMs = 3600L * 1000L)
+        .toDF("user_id", "start_ms", "end_ms", "n")
+      val table = drive(f, mem,
+        out.writeStream.outputMode("append").format("memory"),
+        rows, Seq(sent1, sent2), parts = 3)
+      table.filter(col("user_id") =!= SENT)
+    }),
+
     // MULTI-STATEFUL STREAMING PIPELINE: watermarked dedup CHAINED into a
     // tumbling windowed aggregate inside ONE streaming query — two state
     // stores in series with watermark propagation between them (the
@@ -459,6 +491,23 @@ object StreamsQ {
       """-- FLOOR(epoch), not CAST: Spark's epoch-second derivation
          -- truncates the sub-second fraction while DuckDB's BIGINT cast
          -- would round it
+         WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user_id,
+                           CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS t
+                    FROM events),
+              m AS (SELECT user_id, t,
+                           CASE WHEN t - lag(t) OVER w > 3600000
+                                  OR lag(t) OVER w IS NULL
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              g AS (SELECT user_id, t,
+                           SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM m)
+         SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
+                COUNT(*) AS n
+         FROM g GROUP BY user_id, sid""",
+    "q166_stream_session_tws" ->
+      """-- same gaps-and-islands semantics as q114 (break on gap > 1h)
          WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user_id,
                            CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS t
                     FROM events),

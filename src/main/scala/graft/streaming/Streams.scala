@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Native Structured Streaming surface — the Spark-managed-state
   * counterpart to the Z-set Runner (Incremental.scala).
@@ -144,5 +146,67 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  /** [[sessionize]]'s semantics re-expressed on Spark 4's
+    * `transformWithState` arbitrary-state API — StatefulProcessor with a
+    * TYPED ValueState and explicit event-time TIMERS, the designated
+    * successor to flatMapGroupsWithState (finer state kinds, multiple
+    * named states per key, timer management decoupled from input arrival).
+    * In-batch gap splitting is identical; quiet keys close via a timer
+    * registered at session end + gap, deleted and re-registered as the
+    * session extends so a stale timer can never mis-fire (and a guard in
+    * the handler re-checks anyway). Requires the RocksDB state store
+    * provider — Spark supports transformWithState only there; fixtures
+    * set it on their forked session. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp),
+        (String, Long, Long, Long)] {
+    @transient private var sess: ValueState[Session] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState("session", Encoders.product[Session],
+        TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val ts = rows.map(_._2.getTime).toArray.sorted
+      val closed = Seq.newBuilder[(String, Long, Long, Long)]
+      var cur = if (sess.exists) Some(sess.get) else None
+      cur.foreach(s => getHandle.deleteTimer(s.end + gapMs))
+      ts.foreach { t =>
+        cur = cur match {
+          case Some(s) if t - s.end > gapMs =>
+            closed += ((key, s.start, s.end, s.n))
+            Some(Session(t, t, 1L))
+          case Some(s) =>
+            Some(Session(s.start, math.max(s.end, t), s.n + 1L))
+          case None => Some(Session(t, t, 1L))
+        }
+      }
+      val open = cur.get
+      sess.update(open)
+      getHandle.registerTimer(open.end + gapMs)
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(String, Long, Long, Long)] = {
+      if (sess.exists && sess.get.end + gapMs <= expired.getExpiryTimeInMs) {
+        val s = sess.get
+        sess.clear()
+        Iterator((key, s.start, s.end, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[(String, java.sql.Timestamp)],
+                    gapMs: Long, watermarkDelay: String = "0 seconds")
+      : Dataset[(String, Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(String, Long, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    events.withWatermark("_2", watermarkDelay)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(), outEnc)
   }
 }

@@ -250,6 +250,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization: exact gap extends, gap+1 closes, timer flushes quiet keys") {
+    // Spark supports transformWithState only on the RocksDB state store —
+    // forked session, like the q166 fixture
+    val f = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    f.conf.set("spark.sql.shuffle.partitions", "2")
+    f.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    implicit val sqlCtx = f.sqlContext
+    import f.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val out = graft.streaming.Streams.sessionizeTws(mem.toDS(), gapMs = 5000L)
+    val q = out.toDF("k", "start_ms", "end_ms", "n").writeStream
+      .outputMode("append").format("memory").queryName("sesstws").start()
+    try {
+      // gap of EXACTLY gapMs extends (sessionize's inclusive boundary)
+      mem.addData(("a", ts(1000L)), ("a", ts(6000L)))
+      q.processAllAvailable()
+      assert(f.table("sesstws").count() === 0)
+      // gap of gapMs+1 closes in-batch and opens a new session
+      mem.addData(("a", ts(11001L)))
+      q.processAllAvailable()
+      assert(f.table("sesstws").as[(String, Long, Long, Long)]
+        .collect().toSet === Set(("a", 1000L, 6000L, 2L)))
+      // advance the watermark far past a's open session: its TIMER (not
+      // any new 'a' event) must flush the session
+      mem.addData(("b", ts(100000L)))
+      q.processAllAvailable()
+      mem.addData(("b", ts(101000L)))
+      q.processAllAvailable()
+      assert(f.table("sesstws").as[(String, Long, Long, Long)]
+        .collect().toSet ===
+        Set(("a", 1000L, 6000L, 2L), ("a", 11001L, 11001L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream inner join on key (bilinear op, append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
