@@ -137,6 +137,55 @@ class WorkloadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0)
   }
 
+  test("nexmark q6: average selling price per seller over last 10 closed auctions") {
+    val q6 = nexmark.spark.sql(
+      """SELECT seller, AVG(final) AS avg_price FROM (
+        |  SELECT seller, final,
+        |         ROW_NUMBER() OVER (PARTITION BY seller
+        |                            ORDER BY expires DESC, aid DESC) AS rn
+        |  FROM (SELECT A.id AS aid, A.seller, A.expires, MAX(B.price) AS final
+        |        FROM auction A, bid B
+        |        WHERE A.id = B.auction
+        |          AND B.dateTime BETWEEN A.dateTime AND A.expires
+        |        GROUP BY A.id, A.seller, A.expires) wins
+        |) ranked WHERE rn <= 10 GROUP BY seller""".stripMargin)
+    val got = q6.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent recompute: all 4 auctions close (<10 per seller, all kept)
+    val bids = nexmark.spark.table("bid")
+      .filter(col("dateTime") <= to_timestamp(lit("2024-01-01 00:00:50")))
+    val sellers = Map(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 2L)
+    val want = bids.groupBy("auction").agg(max("price").as("final")).collect()
+      .map(r => sellers(r.getLong(0)) -> r.getLong(1)).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2.toDouble).sum / xs.length }
+    assert(got === want)
+  }
+
+  test("nexmark q7: highest bid per tumbling window") {
+    val bid = nexmark.spark.table("bid")
+    val w = bid.select(window(col("dateTime"), "10 seconds").as("w"),
+      col("auction"), col("bidder"), col("price"))
+    val mx = w.groupBy("w").agg(max("price").as("mx"))
+    val top = w.join(mx, "w").filter(col("price") === col("mx"))
+    // every emitted row carries its window's true max, every window emits
+    val windows = w.select("w").distinct().count()
+    assert(top.select("w").distinct().count() === windows)
+    assert(w.join(mx, "w").filter(col("price") > col("mx")).count() === 0)
+  }
+
+  test("nexmark q8: persons who opened an auction in their registration window") {
+    val p = nexmark.spark.table("person")
+      .select(col("id"), col("name"),
+        window(col("dateTime"), "10 seconds").as("w"))
+    val a = nexmark.spark.table("auction")
+      .select(col("seller"), window(col("dateTime"), "10 seconds").as("w"))
+    val got = p.join(a, p("id") === a("seller") && p("w") === a("w"))
+      .select(col("id"), col("name")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // fixture: persons register at 0/1/2s, all auctions open at 0s — every
+    // person is a seller (sellers {1,2,3}) in window [0,10)
+    assert(got === Set((1L, "alice"), (2L, "bob"), (3L, "carol")))
+  }
+
   // ---- taxi rolling-window feature (ComplexQueriesTest.java:42-61) -----
 
   test("taxi: trailing-1h trip count per pickup zone, 1 PRECEDING bound") {
