@@ -93,6 +93,49 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("bagset.test", 250)
   }
 
+  test("aggregate.test + subquery.test re-run through the incremental SQL compiler") {
+    // CROSS-CHECK the circuit compiler against the DuckDB-frozen grammar
+    // corpora: every query the compiler can lower is BATCH-evaluated as a
+    // circuit and must match the same frozen expectation spark.sql
+    // matches; shapes the compiler rejects (UnsupportedPlanException —
+    // e.g. ORDER BY, non-aggregate scalar subqueries) fall back to
+    // spark.sql so the record still verifies, and a counter proves the
+    // engine path carried real load rather than falling back throughout.
+    var viaEngine = 0
+    val hasOrderBy = "(?i)\\bORDER\\s+BY\\b".r
+    val exec: graft.testing.SltRunner.Exec = (s, q, srcs) => {
+      // Z-set circuit output is unordered; a nosort record with ORDER BY
+      // needs exact row order, so those stay on spark.sql
+      val incOpt =
+        if (hasOrderBy.findFirstIn(q).isDefined) None
+        else try Some(graft.engine.SqlIncremental.compile(s, q, srcs))
+        catch {
+          case _: graft.engine.SqlIncremental.UnsupportedPlanException =>
+            None
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      incOpt match {
+        case Some(inc) =>
+          viaEngine += 1
+          val in = srcs.map(n =>
+            n -> graft.zset.ZSet.fromRows(s.table(n))).toMap
+          graft.zset.ZSet.toRows(graft.zset.ZSet.consolidate(inc.batch(in)))
+            .collect().toSeq
+        case None => s.sql(q).collect().toSeq
+      }
+    }
+    for (file <- Seq("aggregate.test", "subquery.test")) {
+      viaEngine = 0
+      val o = graft.testing.SltRunner.runResource(spark, s"/slt/$file", exec)
+      assert(o.failed.isEmpty,
+        s"$file via engine: ${o.failed.size} failures; first: " +
+          o.failed.take(3).mkString("\n"))
+      assert(viaEngine >= 100,
+        s"$file: only $viaEngine queries took the engine path")
+      info(s"$file: $viaEngine of ${o.passed} queries via the circuit compiler")
+    }
+  }
+
   test("recursive_distinct.test: DISTINCT recursion over CYCLIC graphs " +
     "through the closure-circuit lowering") {
     // Routed through SqlIncremental (NOT spark.sql): these graphs are
