@@ -976,6 +976,30 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r2.output))
     }),
 
+    // STRATIFIED CAP as a standing view: keep at most K documents per
+    // (lang, source) stratum, chosen content-addressed (md5(text)
+    // ascending) so the kept set is deterministic, engine-independent,
+    // and stable under arrival order — the per-stratum quota every
+    // training-mix recipe enforces. TopKInc maintains it exactly:
+    // inserts merge delta-proportionally, and retracting a KEPT document
+    // refills from the stratum's next-by-hash (only hit strata re-score).
+    "q167_incremental_stratified_cap" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      def score(rows: DataFrame): DataFrame =
+        rows.select(col("lang"), col("source"), col("doc_id"),
+          md5(col("text")).as("h"))
+      val circuit = source("DC").topKPerGroup(score, Seq("doc_id"),
+        Seq("lang", "source"), Seq(col("h").asc, col("doc_id").asc),
+        k = 10, rankCol = "rk")
+      val r = new Runner(s, circuit, Map("DC" -> docs.limit(0)))
+      r.bootstrap(Map("DC" -> docs.filter(col("doc_id") % 4 =!= 3)))
+      r.step(Map("DC" -> ZSet.fromRows(docs.filter(col("doc_id") % 4 === 3))))
+      r.step(Map("DC" -> ZSet.negate(ZSet.fromRows(
+        docs.filter(col("doc_id") % 7 === 2)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
     // MULTI-SINK standing maintenance under one oracle: a single Runner
     // maintains TWO views over the same document stream — per-content-key
     // dedup groups and per-token-bucket corpus stats — sharing the parsed
@@ -1111,6 +1135,13 @@ object IncrementalQ {
          WHERE l_quantity < 20
            AND EXISTS (SELECT 1 FROM supplier
                        WHERE s_acctbal > 5000 AND s_suppkey % 2 = 0)""",
+    "q167_incremental_stratified_cap" ->
+      """SELECT lang, source, doc_id, h, rk FROM (
+           SELECT lang, source, doc_id, md5(text) AS h,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                         ORDER BY md5(text), doc_id) AS INTEGER) AS rk
+           FROM documents WHERE doc_id % 7 <> 2) ranked
+         WHERE rk <= 10""",
     "q164_incremental_distinct_agg" ->
       """SELECT l_suppkey,
                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
