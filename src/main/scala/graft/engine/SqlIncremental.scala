@@ -737,6 +737,28 @@ object SqlIncremental {
     case other => Seq(other)
   }
 
+  /** Materialize computed IN-probe expressions as linear helper columns
+    * (`__inpK`), returning the widened node and one probe attribute per
+    * expression (existing attributes pass through untouched). Callers
+    * drop the helpers by re-projecting to the original output names. */
+  private def projectProbes(n0: Inc, outerNames: Seq[String],
+                            vs: Seq[Expression])
+      : (Inc, Seq[AttributeReference]) = {
+    var k = -1
+    val probes = vs.map {
+      case a: AttributeReference => a
+      case e =>
+        k += 1
+        AttributeReference(s"__inp$k", e.dataType, e.nullable)()
+    }
+    val extra = vs.zip(probes).collect {
+      case (e, p) if !e.isInstanceOf[AttributeReference] =>
+        toColumn(e).as(p.name)
+    }
+    if (extra.isEmpty) (n0, probes)
+    else (n0.select(outerNames.map(col) ++ extra: _*), probes)
+  }
+
   /** Filter compilation with subquery-predicate lowering: conjuncts that
     * are EXISTS / [NOT] IN subqueries become semi/anti join circuit edges;
     * the rest apply as a plain filter. */
@@ -776,6 +798,27 @@ object SqlIncremental {
           node = nullAwareNotInMulti(node, outerNames, probes, lq, sources)
         else
           node = node.antiJoin(inColumns(lq, probes, sources), probes.map(_.name))
+      // COMPUTED probes — `a+7 IN (SELECT ...)`, `(a%6, b) NOT IN ...`:
+      // project each non-attribute probe as a linear helper column
+      // (__inpK), run the attribute paths against it, drop the helpers.
+      // The circuits only consume a probe's (name, type, nullability), so
+      // a synthetic attribute over the projected column is sufficient.
+      case InSubquery(vs, lq: ListQuery)
+          if vs.forall(v => !v.exists(_.isInstanceOf[SubqueryExpression])) =>
+        val (node2, probes) = projectProbes(node, outerNames, vs)
+        node = node2
+          .semiJoin(inColumns(lq, probes, sources), probes.map(_.name))
+          .select(outerNames.map(col): _*)
+      case Not(InSubquery(vs, lq: ListQuery))
+          if vs.forall(v => !v.exists(_.isInstanceOf[SubqueryExpression])) =>
+        val (node2, probes) = projectProbes(node, outerNames, vs)
+        node =
+          if (probes.exists(_.nullable) || lq.plan.output.exists(_.nullable))
+            // nullAwareNotInMulti's final projection drops the helpers
+            nullAwareNotInMulti(node2, outerNames, probes, lq, sources)
+          else node2
+            .antiJoin(inColumns(lq, probes, sources), probes.map(_.name))
+            .select(outerNames.map(col): _*)
       // comparisons against scalar subqueries (WHERE x > (SELECT AVG ...)):
       // join the subquery in as a __sqN column, compare, drop the helper
       case c if c.exists(_.isInstanceOf[ScalarSubquery]) => scalarConjs += c

@@ -734,6 +734,56 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
   }
 
+  test("COMPUTED probes in [NOT] IN lower via helper projections and step correctly") {
+    // the probe side is (p+1, q%4) — expressions, not columns — so the
+    // lowering projects __inp helpers and routes through the same
+    // null-aware mask circuit; waves must track Spark's own NOT IN
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE CP (p BIGINT NULL, q BIGINT NULL, tag VARCHAR NOT NULL);
+        |CREATE TABLE CI (x BIGINT NULL, y BIGINT NULL);
+        |CREATE VIEW CPN AS SELECT tag FROM CP
+        |  WHERE (p + 1, q % 4) NOT IN (SELECT x, y FROM CI);
+        |CREATE VIEW CPS AS SELECT tag FROM CP
+        |  WHERE p + 1 IN (SELECT x FROM CI)""".stripMargin)
+    val pt = StructType(Seq(StructField("p", LongType),
+      StructField("q", LongType), StructField("tag", StringType)))
+    val it = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val r = e.incrementalRunner(Seq("CPN", "CPS"))
+    def outOf(v: String): Set[String] = ZSet.toRows(ZSet.consolidate(r.output(v)))
+      .collect().map(_.getString(0)).toSet
+    r.stepAll(Map("CP" -> z(pt,
+      Seq(1L, 2L, "a", 1L),    // probe (2, 2)
+      Seq(2L, 6L, "b", 1L),    // probe (3, 2)
+      Seq(null, 2L, "c", 1L),  // probe (NULL, 2)
+      Seq(3L, null, "d", 1L)   // probe (4, NULL)
+    )))
+    assert(outOf("CPN") === Set("a", "b", "c", "d")) // empty subquery
+    assert(outOf("CPS") === Set.empty)
+    r.stepAll(Map("CI" -> z(it, Seq(2L, 2L, 1L))))  // kills a; c UNKNOWN
+    assert(outOf("CPN") === Set("b", "d"))
+    assert(outOf("CPS") === Set("a"))
+    r.stepAll(Map("CI" -> z(it, Seq(2L, 2L, -1L), Seq(3L, null, 1L))))
+    // (3,NULL): b=(3,2) p-part exact, q-part UNKNOWN → blocked;
+    // c=(NULL,2) UNKNOWN on both parts → blocked; a and d differ
+    // definitely on the p part → survive
+    assert(outOf("CPN") === Set("a", "d"))
+    assert(outOf("CPS") === Set("b"))
+    // Spark SQL agreement on the net state, both views
+    import spark.implicits._
+    Seq((Option(1L), Option(2L), "a"), (Some(2L), Some(6L), "b"),
+      (Option.empty[Long], Some(2L), "c"), (Some(3L), Option.empty[Long], "d"))
+      .toDF("p", "q", "tag").createOrReplaceTempView("CP_F")
+    Seq((Option(3L), Option.empty[Long])).toDF("x", "y")
+      .createOrReplaceTempView("CI_F")
+    val wantN = spark.sql("SELECT tag FROM CP_F " +
+      "WHERE (p + 1, q % 4) NOT IN (SELECT x, y FROM CI_F)")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output("CPN")))) === canon(wantN))
+    val wantS = spark.sql(
+      "SELECT tag FROM CP_F WHERE p + 1 IN (SELECT x FROM CI_F)")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output("CPS")))) === canon(wantS))
+  }
+
   test("NOT IN over 5 nullable columns takes the pattern-grouped mask circuit") {
     // beyond the ≤3-per-side static 2^k enumeration: masks come from the
     // OTHER side's distinct present NULL patterns (a unit-key bilinear
