@@ -737,6 +737,60 @@ object SqlIncremental {
     case other => Seq(other)
   }
 
+  private def splitOr(e: Expression): Seq[Expression] = e match {
+    case Or(a, b) => splitOr(a) ++ splitOr(b)
+    case other => Seq(other)
+  }
+
+  /** Rows of `n0` for which predicate `d` is TRUE — the recursive
+    * lowering behind arbitrary AND/OR trees over subquery predicates.
+    * A disjunction peels its passers off disjunct by disjunct: what
+    * remains after removing every disjunct's passers failed ALL of them
+    * (FALSE and UNKNOWN alike — exactly filter semantics), so the
+    * disjunction's passers are `n0 − remainder`. Multiplicities are
+    * preserved throughout: every branch is a per-row filter, so
+    * identical rows pass or fail together and Z-set subtraction never
+    * goes negative. Conjunctions inside a disjunct chain the filters;
+    * leaves reuse the [NOT] IN / EXISTS circuit builders (computed
+    * probes included) and plain predicates apply as `where`. */
+  private def passing(n0: Inc, outerNames: Seq[String], d: Expression,
+                      sources: Map[String, String]): Inc = d match {
+    case And(a, b) =>
+      passing(passing(n0, outerNames, a, sources), outerNames, b, sources)
+    case Or(_, _) =>
+      var fail = n0
+      splitOr(d).foreach { x =>
+        fail = fail.minus(passing(fail, outerNames, x, sources))
+      }
+      n0.minus(fail)
+    case InSubquery(Seq(v: AttributeReference), lq: ListQuery) =>
+      n0.semiJoin(inColumn(lq, v, sources), Seq(v.name))
+    case Not(InSubquery(Seq(v: AttributeReference), lq: ListQuery)) =>
+      if (v.nullable || lq.plan.output.head.nullable)
+        nullAwareNotIn(n0, outerNames, v, lq, sources)
+      else n0.antiJoin(inColumn(lq, v, sources), Seq(v.name))
+    case InSubquery(vs, lq: ListQuery)
+        if vs.forall(v => !v.exists(_.isInstanceOf[SubqueryExpression])) =>
+      val (n2, probes) = projectProbes(n0, outerNames, vs)
+      n2.semiJoin(inColumns(lq, probes, sources), probes.map(_.name))
+        .select(outerNames.map(col): _*)
+    case Not(InSubquery(vs, lq: ListQuery))
+        if vs.forall(v => !v.exists(_.isInstanceOf[SubqueryExpression])) =>
+      val (n2, probes) = projectProbes(n0, outerNames, vs)
+      if (probes.exists(_.nullable) || lq.plan.output.exists(_.nullable))
+        nullAwareNotInMulti(n2, outerNames, probes, lq, sources)
+      else n2.antiJoin(inColumns(lq, probes, sources), probes.map(_.name))
+        .select(outerNames.map(col): _*)
+    case ex: Exists =>
+      existsJoin(n0, outerNames, ex, sources, negate = false)
+    case Not(ex: Exists) =>
+      existsJoin(n0, outerNames, ex, sources, negate = true)
+    case p if !p.exists(_.isInstanceOf[SubqueryExpression]) =>
+      n0.where(toColumn(p))
+    case other => throw new UnsupportedPlanException(
+      s"unsupported subquery shape in filter predicate: $other")
+  }
+
   /** Materialize computed IN-probe expressions as linear helper columns
     * (`__inpK`), returning the widened node and one probe attribute per
     * expression (existing attributes pass through untouched). Callers
@@ -819,6 +873,12 @@ object SqlIncremental {
           else node2
             .antiJoin(inColumns(lq, probes, sources), probes.map(_.name))
             .select(outerNames.map(col): _*)
+      // DISJUNCTIONS over subquery predicates — `a IN (...) OR b IN (...)`
+      // or `(a IN (...) AND p) OR EXISTS(...)`: recursive lowering via
+      // iterative complement (see `passing`)
+      case c @ Or(_, _) if c.exists(_.isInstanceOf[SubqueryExpression]) &&
+          !c.exists(_.isInstanceOf[ScalarSubquery]) =>
+        node = passing(node, outerNames, c, sources)
       // comparisons against scalar subqueries (WHERE x > (SELECT AVG ...)):
       // join the subquery in as a __sqN column, compare, drop the helper
       case c if c.exists(_.isInstanceOf[ScalarSubquery]) => scalarConjs += c

@@ -1121,4 +1121,76 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want2 = spark.sql(q3("CB3", "OB3", "LB3"))
     assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want2))
   }
+
+  test("OR-disjunctions over subquery predicates lower via iterative complement") {
+    // `a IN (...) OR (b NOT IN (...) AND a > 0) OR a = 99` — a disjunction
+    // mixing an IN leaf, a conjunction containing a null-aware NOT IN, and
+    // a plain predicate. WHERE keeps TRUE rows only: a row where every
+    // disjunct is FALSE or UNKNOWN is blocked. The lowering peels each
+    // disjunct's passers off the not-yet-passing remainder (see
+    // SqlIncremental.passing), so multiplicities never go negative.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE DT (a BIGINT NULL, b BIGINT NULL, tag VARCHAR NOT NULL);
+        |CREATE TABLE D1 (x BIGINT NOT NULL);
+        |CREATE TABLE D2 (y BIGINT NULL);
+        |CREATE VIEW DV AS SELECT tag FROM DT
+        |  WHERE a IN (SELECT x FROM D1)
+        |     OR (b NOT IN (SELECT y FROM D2) AND a > 0)
+        |     OR a = 99""".stripMargin)
+    val dt = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("tag", StringType)))
+    val d1 = StructType(Seq(StructField("x", LongType)))
+    val d2 = StructType(Seq(StructField("y", LongType)))
+    val r = e.incrementalRunner("DV")
+    def passed: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
+      .collect().map(_.getString(0)).toSet
+    // both subqueries empty: NOT IN (empty) = TRUE, so disjunct 2 passes
+    // every a > 0 row; NULL `a` is UNKNOWN everywhere → blocked
+    r.step(Map("DT" -> z(dt,
+      Seq(1L, 10L, "a", 1L),
+      Seq(2L, 20L, "b", 1L),
+      Seq(null, 10L, "c", 1L),
+      Seq(-1L, null, "d", 1L),
+      Seq(99L, 30L, "e", 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("a", "b", "e"))
+    // D1 gains {2, -1}: "d" (a = -1) now passes via the IN disjunct
+    r.step(Map("D1" -> z(d1, Seq(2L, 1L), Seq(-1L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("a", "b", "d", "e"))
+    // D2 gains {10}: "a" loses disjunct 2 (10 NOT IN {10} = FALSE) and has
+    // no other disjunct → blocked; "b"/"e" keep it (20, 30 differ)
+    r.step(Map("D2" -> z(d2, Seq(10L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("b", "d", "e"))
+    // retract 2 from D1: "b" survives on disjunct 2 alone
+    r.step(Map("D1" -> z(d1, Seq(2L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("b", "d", "e"))
+    // NULL arrives in D2: every NOT IN goes UNKNOWN-at-best → "b" blocked
+    // ("e" keeps a = 99, "d" keeps the IN)
+    r.step(Map("D2" -> z(d2, Seq(null, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("d", "e"))
+    // retract the NULL: "b" returns
+    r.step(Map("D2" -> z(d2, Seq(null, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(passed === Set("b", "d", "e"))
+    // Spark SQL agreement on the net state (Spark lowers disjunctive
+    // subqueries natively in 4.x)
+    import spark.implicits._
+    Seq((Some(1L), Some(10L), "a"), (Some(2L), Some(20L), "b"),
+      (Option.empty[Long], Some(10L), "c"), (Some(-1L), Option.empty[Long], "d"),
+      (Some(99L), Some(30L), "e"))
+      .toDF("a", "b", "tag").createOrReplaceTempView("DT_F")
+    Seq(-1L).toDF("x").createOrReplaceTempView("D1_F")
+    Seq(Some(10L)).toDF("y").createOrReplaceTempView("D2_F")
+    val want = spark.sql(
+      """SELECT tag FROM DT_F
+        |WHERE a IN (SELECT x FROM D1_F)
+        |   OR (b NOT IN (SELECT y FROM D2_F) AND a > 0)
+        |   OR a = 99""".stripMargin)
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+  }
 }
