@@ -72,7 +72,7 @@ object SqlIncremental {
     // Spark lowercases temp-view names in analyzed plans; map back to the
     // declared source spelling so Runner input keys line up.
     val byLower = sources.map(s => s.toLowerCase -> s).toMap
-    walk(inlineCtes(analyzed), byLower)
+    walk(dedupJoinNames(inlineCtes(analyzed)), byLower)
   }
 
   /** Compile with per-call tuning overrides (e.g. the range-join bin
@@ -136,6 +136,103 @@ object SqlIncremental {
     * its trace) through a linear rename projection. */
   private val memo =
     new ThreadLocal[mutable.HashMap[LogicalPlan, (Inc, Seq[String])]]
+
+  /** Fresh-name counter for [[dedupJoinNames]] — global so rename targets
+    * are unique even across nested subquery compilations (an EXISTS
+    * lowering joins outer- and subquery-derived nodes, so their internal
+    * names share one namespace). */
+  private val dedupCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Rename right-side join columns whose names collide with the left
+    * side. The analyzed plan disambiguates by exprId, but the circuit
+    * world addresses columns BY NAME, so a self-join like
+    * `SELECT u.a, w.a FROM t u JOIN t w ON u.a = w.b` would be ambiguous
+    * after translation (previously rejected). This pre-pass puts a rename
+    * projection under the join's right input (`a` → `a__rN`) and lets
+    * Catalyst's `transformUpWithNewOutput` rewrite every ancestor
+    * reference to the fresh attribute, so the name-addressed lowering
+    * sees unique names throughout.
+    *
+    * Same-named equi keys stay un-renamed for inner/semi/anti joins —
+    * they merge USING-style into one value-equal column. OUTER joins
+    * rename them too: with a merged key, a query reading the inner
+    * side's key would see the preserved side's value where the correct
+    * answer is the NULL pad; as a renamed pair the inner side's key is
+    * its own column and pads correctly.
+    *
+    * Correlated subqueries are then re-anchored by exprId (their
+    * `OuterReference`s live inside the subquery plan, which
+    * `transformUpWithNewOutput` does not reach), and each subquery plan
+    * is deduplicated recursively for its own internal joins. */
+  private[graft] def dedupJoinNames(p: LogicalPlan): LogicalPlan = {
+    val mapping = mutable.Map.empty[ExprId, AttributeReference]
+    // fresh exprId → fresh name: `transformUpWithNewOutput` rewrites
+    // ancestor references to the new exprId but KEEPS the old attribute
+    // name (names are cosmetic in Catalyst's exprId world) — this
+    // lowering is name-addressed, so a second pass re-names those refs
+    val newName = mutable.Map.empty[ExprId, String]
+    val deduped0 = p.transformUpWithNewOutput {
+      case j @ Join(left, right, joinType, cond, _) =>
+        val leftNames = left.output.map(_.name.toLowerCase).toSet
+        val mergeable = joinType match {
+          case _: InnerLike | LeftSemi | LeftAnti => true
+          case _ => false
+        }
+        val keepSame: Set[ExprId] =
+          if (!mergeable) Set.empty
+          else analyzeCondition(cond, left, right)._1.collect {
+            case (a, b) if a.name.equalsIgnoreCase(b.name) => b.exprId
+          }.toSet
+        val clash = right.output.filter(a =>
+          leftNames.contains(a.name.toLowerCase) && !keepSame.contains(a.exprId))
+        if (clash.isEmpty) j -> Nil
+        else {
+          val renames: Map[ExprId, Alias] = clash.map(a => a.exprId ->
+            Alias(a, s"${a.name}__r${dedupCounter.incrementAndGet()}")()).toMap
+          val projList: Seq[NamedExpression] =
+            right.output.map(a => renames.getOrElse(a.exprId, a))
+          val newCond = cond.map(_.transformUp {
+            case a: AttributeReference if renames.contains(a.exprId) =>
+              renames(a.exprId).toAttribute
+          })
+          val attrMap = clash.map(a =>
+            (a: Attribute) -> (renames(a.exprId).toAttribute: Attribute))
+          mapping ++= renames.map { case (id, al) => id ->
+            al.toAttribute.asInstanceOf[AttributeReference] }
+          newName ++= renames.values.map(al => al.exprId -> al.name)
+          // semi/anti output is the left side alone: the renamed attrs
+          // never escape, so nothing upstream needs remapping
+          val visible = joinType match {
+            case LeftSemi | LeftAnti => Nil
+            case _ => attrMap
+          }
+          j.copy(right = Project(projList, right), condition = newCond) -> visible
+        }
+    }
+    val deduped =
+      if (newName.isEmpty) deduped0
+      else deduped0.transformUpWithSubqueries {
+        case q => q.transformExpressions {
+          case a: AttributeReference
+              if newName.get(a.exprId).exists(_ != a.name) =>
+            a.withName(newName(a.exprId))
+        }
+      }
+    deduped.transformAllExpressions {
+      case s: SubqueryExpression =>
+        val anchored =
+          if (mapping.isEmpty) s.plan
+          else s.plan.transformUpWithSubqueries {
+            case q => q.transformExpressions {
+              case OuterReference(a: AttributeReference)
+                  if mapping.contains(a.exprId) =>
+                OuterReference(mapping(a.exprId))
+            }
+          }
+        val rec = dedupJoinNames(anchored)
+        if (rec eq s.plan) s else s.withNewPlan(rec)
+    }
+  }
 
   /** Inline every WITH ... CTE before compilation (the optimizer's
     * InlineCTE does the same; re-anchoring is by name, so the ref/def
@@ -322,7 +419,11 @@ object SqlIncremental {
             }
       def restore(j: Inc): Inc = if (renamed.isEmpty) j else j.select(restoreCols: _*)
       val inner0 = restore(l.join(r, keys))
-      val inner = residual.map(res => inner0.where(toColumn(res))).getOrElse(inner0)
+      val innerK = residual.map(res => inner0.where(toColumn(res))).getOrElse(inner0)
+      // The unit-key tag must not leak past the join itself: the padded
+      // outer branches project the LOGICAL columns only, and a union of
+      // tagged and untagged branches would fail to line up.
+      val inner = if (!unitKey) innerK else innerK.select(outNames.map(col): _*)
       // NULL pads for the outer-join unmatched branches: the kept side's
       // columns survive (renamed keys reading their joined name), the
       // other side's columns — including its half of renamed pairs — are
@@ -582,11 +683,14 @@ object SqlIncremental {
       val r = walk(right, sources).select(renameTo(right, left): _*)
       if (isAll) l.minus(r).positivePart
       else l.distinct.minus(r.distinct).distinct
+    // INTERSECT (distinct): min-circuit over the two distinct sets —
+    // dl − (dl − dr)⁺. SQL set ops compare rows NULL-safely (NULL = NULL
+    // inside set semantics), which Z-set row grouping gives for free; a
+    // whole-row equi join here would silently drop NULL-bearing rows.
     case Intersect(left, right, false) =>
-      val names = left.output.map(_.name)
-      walk(left, sources).distinct
-        .join(walk(right, sources).distinct
-          .select(renameTo(right, left): _*), names)
+      val l = walk(left, sources).distinct
+      val r = walk(right, sources).distinct.select(renameTo(right, left): _*)
+      l.minus(l.minus(r).positivePart)
     // INTERSECT ALL: min(wA, wB) per row = A − (A − B)⁺ for non-negative
     // multiplicities — composed from the subtract + positive-part circuits
     // so incrementality is inherited (reference visitIntersect :809-853).

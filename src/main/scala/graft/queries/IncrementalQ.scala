@@ -1057,10 +1057,97 @@ object IncrementalQ {
       r.step(Map("L" -> ZSet.negate(ZSet.fromRows(
         li.filter(col("l_quantity") >= 45)))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // SELF-JOIN standing view through the dedup pre-pass: both join
+    // sides are the SAME source, so every column name exists on both —
+    // the compiler renames the right side's colliding columns behind a
+    // projection (SqlIncremental.dedupJoinNames) and re-anchors the
+    // SELECT list, keeping the name-addressed circuit unambiguous. The
+    // same-named equi key merges USING-style (inner join); the
+    // linenumber inequality stays as a post-join residual; the quantity
+    // gates push below the bilinear join on each side.
+    "q168_incremental_self_join" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      li.limit(0).createOrReplaceTempView("LS")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT a.l_orderkey AS okey,
+                  a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+                  a.l_quantity AS qty_a, b.l_quantity AS qty_b
+           FROM LS a JOIN LS b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_linenumber < b.l_linenumber
+           WHERE a.l_quantity > 45 AND b.l_quantity > 45""",
+        Set("LS"))
+      val r = new Runner(s, circuit, Map("LS" -> li.limit(0)))
+      r.step(Map("LS" -> ZSet.fromRows(li.filter(col("l_orderkey") % 3 === 0))))
+      // inserts + a retraction wave: each delta joins against the OTHER
+      // side's stored state, both sides being the same integral
+      r.step(Map("LS" -> ZSet.plus(
+        ZSet.fromRows(li.filter(col("l_orderkey") % 3 === 1)),
+        ZSet.negate(ZSet.fromRows(li.filter(
+          col("l_orderkey") % 3 === 0 && col("l_partkey") % 2 === 0))))))
+      ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // OUTER join over a SAME-NAMED key, reading the inner side's key:
+    // with the historical USING-style merge a `SELECT o.k` would read
+    // the preserved side's value on unmatched rows — the pre-pass
+    // renames same-named keys for outer joins so the inner side's key is
+    // its own column and NULL-pads (Postgres/DuckDB ON-join semantics),
+    // maintained here through order inserts and retractions that flip
+    // rows between padded and matched.
+    "q169_incremental_outer_key" -> ((s, d) => {
+      val cu = Tables.load(s, d, "customer").select(col("c_custkey"))
+      val or = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cu.limit(0).createOrReplaceTempView("CK")
+      or.limit(0).createOrReplaceTempView("OK")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """WITH c AS (SELECT c_custkey AS k FROM CK),
+                o AS (SELECT o_custkey AS k, o_totalprice AS price FROM OK)
+           SELECT c.k AS ck, o.k AS ok, price
+           FROM c LEFT JOIN o ON c.k = o.k""",
+        Set("CK", "OK"))
+      val r = new Runner(s, circuit,
+        Map("CK" -> cu.limit(0), "OK" -> or.limit(0)))
+      // customers alone: every row padded (ok and price NULL)
+      r.step(Map("CK" -> ZSet.fromRows(cu)))
+      // even orders arrive: their customers flip padded → matched
+      r.step(Map("OK" -> ZSet.fromRows(or.filter(col("o_orderkey") % 2 === 0))))
+      // odd orders arrive while cheap even orders retract: a customer
+      // whose last order leaves must flip BACK to the padded row
+      r.step(Map("OK" -> ZSet.plus(
+        ZSet.fromRows(or.filter(col("o_orderkey") % 2 === 1)),
+        ZSet.negate(ZSet.fromRows(or.filter(
+          col("o_orderkey") % 2 === 0 && col("o_totalprice") < 50000))))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_incremental_self_join" ->
+      """WITH ls AS (SELECT l_orderkey, l_linenumber, l_quantity
+                     FROM lineitem
+                     WHERE (l_orderkey % 3 = 0 AND l_partkey % 2 = 1)
+                        OR l_orderkey % 3 = 1)
+         SELECT a.l_orderkey AS okey,
+                a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+                a.l_quantity AS qty_a, b.l_quantity AS qty_b
+         FROM ls a JOIN ls b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_linenumber < b.l_linenumber
+         WHERE a.l_quantity > 45 AND b.l_quantity > 45""",
+    "q169_incremental_outer_key" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+              o AS (SELECT o_custkey AS k, o_totalprice AS price
+                    FROM orders
+                    WHERE (o_orderkey % 2 = 0 AND o_totalprice >= 50000)
+                       OR o_orderkey % 2 = 1)
+         SELECT c.k AS ck, o.k AS ok, price
+         FROM c LEFT JOIN o ON c.k = o.k""",
     "q90_incremental_agg" ->
       """SELECT l_suppkey, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem

@@ -43,9 +43,10 @@ object SltRunner {
   type Exec = (SparkSession, String, Set[String]) => Seq[Row]
   private val sparkSqlExec: Exec = (s, q, _) => s.sql(q).collect().toSeq
 
-  def runFile(spark: SparkSession, path: java.nio.file.Path): Outcome =
+  def runFile(spark: SparkSession, path: java.nio.file.Path,
+              exec: Exec = sparkSqlExec): Outcome =
     run(spark, new String(java.nio.file.Files.readAllBytes(path), "UTF-8"),
-      path.getFileName.toString)
+      path.getFileName.toString, exec)
 
   def runResource(spark: SparkSession, resource: String,
                   exec: Exec = sparkSqlExec): Outcome = {

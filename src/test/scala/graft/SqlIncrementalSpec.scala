@@ -1122,6 +1122,149 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want2))
   }
 
+  test("INTERSECT treats NULL rows as equal (min-circuit, not equi join)") {
+    // SQL set semantics compare NULL = NULL inside INTERSECT/EXCEPT; the
+    // lowering must not route rows through a NULL-dropping equi join
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE IA (k BIGINT NULL, v BIGINT NULL);
+        |CREATE TABLE IB (k BIGINT NULL, v BIGINT NULL);
+        |CREATE VIEW IXV AS SELECT k, v FROM IA INTERSECT SELECT k, v FROM IB""".stripMargin)
+    val t = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val r = e.incrementalRunner("IXV")
+    def rows: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    r.stepAll(Map(
+      "IA" -> z(t, Seq(1L, 10L, 1L), Seq(null, 10L, 2L), Seq(null, null, 1L)),
+      "IB" -> z(t, Seq(1L, 10L, 1L), Seq(null, 10L, 1L), Seq(2L, null, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(rows === Set("1|10", "null|10"))
+    // (NULL,NULL) arriving on IB joins the intersection; retracting IA's
+    // last (NULL,10) removes that row despite the remaining IB copy
+    r.stepAll(Map(
+      "IA" -> z(t, Seq(null, 10L, -2L)),
+      "IB" -> z(t, Seq(null, null, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(rows === Set("1|10", "null|null"))
+    // Spark SQL agreement on the net state
+    import spark.implicits._
+    Seq((Some(1L), Some(10L)), (Option.empty[Long], Option.empty[Long]))
+      .toDF("k", "v").createOrReplaceTempView("IA_F")
+    Seq((Some(1L), Some(10L)), (Option.empty[Long], Some(10L)),
+      (Some(2L), Option.empty[Long]), (Option.empty[Long], Option.empty[Long]))
+      .toDF("k", "v").createOrReplaceTempView("IB_F")
+    val want = spark.sql("SELECT k, v FROM IA_F INTERSECT SELECT k, v FROM IB_F")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+  }
+
+  test("pure-theta OUTER joins pad through the unit-key circuit") {
+    // no equi pair → unit-key bilinear join; LEFT/RIGHT/FULL pads must
+    // union with the inner branch AFTER the internal __xk tag is
+    // projected away (regression: the tagged inner and untagged pad
+    // branches failed to line up)
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE TL (a BIGINT NOT NULL, t VARCHAR NOT NULL);
+        |CREATE TABLE TR (k BIGINT NOT NULL, v VARCHAR NOT NULL);
+        |CREATE VIEW TLJ AS SELECT a, t, k, v FROM TL LEFT JOIN TR ON k < a - 10;
+        |CREATE VIEW TRJ AS SELECT a, t, k, v FROM TL RIGHT JOIN TR ON k < a - 10;
+        |CREATE VIEW TFJ AS SELECT a, t, k, v FROM TL FULL JOIN TR ON k < a - 10""".stripMargin)
+    val tl = StructType(Seq(StructField("a", LongType), StructField("t", StringType)))
+    val tr = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val r = e.incrementalRunner(Seq("TLJ", "TRJ", "TFJ"))
+    def check(): Unit = for (vn <- Seq("TLJ", "TRJ", "TFJ"))
+      assert(canon(ZSet.consolidate(r.output(vn))) === canon(r.recompute(vn)), vn)
+    r.stepAll(Map(
+      "TL" -> z(tl, Seq(5L, "lo", 1L), Seq(20L, "hi", 1L)),
+      "TR" -> z(tr, Seq(1L, "x", 1L), Seq(15L, "y", 1L))))
+    check()
+    // lo matches nothing (k < -5 empty) → padded in LEFT/FULL; y (k=15)
+    // matches nothing (needs a > 25) → padded in RIGHT/FULL
+    import spark.implicits._
+    Seq((5L, "lo"), (20L, "hi")).toDF("a", "t").createOrReplaceTempView("TL_F")
+    Seq((1L, "x"), (15L, "y")).toDF("k", "v").createOrReplaceTempView("TR_F")
+    for ((vn, jt) <- Seq("TLJ" -> "LEFT", "TRJ" -> "RIGHT", "TFJ" -> "FULL")) {
+      val want = spark.sql(
+        s"SELECT a, t, k, v FROM TL_F $jt JOIN TR_F ON k < a - 10")
+      assert(canon(ZSet.toRows(ZSet.consolidate(r.output(vn)))) === canon(want), vn)
+    }
+    // a retraction that removes hi's only match flips it to the padded row
+    r.stepAll(Map("TR" -> z(tr, Seq(1L, "x", -1L))))
+    check()
+  }
+
+  test("self-joins with clashing column names lower via the dedup pre-pass") {
+    // `u JOIN w ON u.a = w.b` over the SAME table: every column name
+    // exists on both sides. The pre-pass renames the right side's
+    // colliding columns behind a projection and re-anchors the SELECT
+    // list, so the name-addressed circuit stays unambiguous (previously
+    // an UnsupportedPlanException asking the user to alias).
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE SJ (a BIGINT NOT NULL, b BIGINT NOT NULL, v VARCHAR NOT NULL);
+        |CREATE VIEW SJV AS SELECT u.a AS ua, u.v AS uv, w.a AS wa, w.v AS wv
+        |  FROM SJ u JOIN SJ w ON u.a = w.b""".stripMargin)
+    val sj = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("v", StringType)))
+    val r = e.incrementalRunner("SJV")
+    def rows: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
+      .collect().map(_.toSeq.mkString("|")).toSet
+    r.step(Map("SJ" -> z(sj,
+      Seq(1L, 2L, "x", 1L),   // matches rows whose b = 1
+      Seq(2L, 1L, "y", 1L),   // matches rows whose b = 2
+      Seq(3L, 3L, "z", 1L)))) // self-match
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(rows === Set("1|x|2|y", "2|y|1|x", "3|z|3|z"))
+    // retraction of one row removes both pairs it participates in
+    r.step(Map("SJ" -> z(sj, Seq(2L, 1L, "y", -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(rows === Set("3|z|3|z"))
+    // Spark SQL agreement on the net state
+    import spark.implicits._
+    Seq((1L, 2L, "x"), (3L, 3L, "z")).toDF("a", "b", "v")
+      .createOrReplaceTempView("SJ_F")
+    val want = spark.sql("SELECT u.a AS ua, u.v AS uv, w.a AS wa, w.v AS wv " +
+      "FROM SJ_F u JOIN SJ_F w ON u.a = w.b")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+  }
+
+  test("outer join reading the inner side's same-named key NULL-pads correctly") {
+    // With a merged USING-style key, `SELECT w.k` from a LEFT JOIN would
+    // read the preserved side's value on unmatched rows; the pre-pass
+    // renames same-named keys for OUTER joins so the inner side's key is
+    // its own column and pads NULL (Postgres/DuckDB ON-join semantics).
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE LK (k BIGINT NOT NULL, lv VARCHAR NOT NULL);
+        |CREATE TABLE RK (k BIGINT NOT NULL, rv VARCHAR NOT NULL);
+        |CREATE VIEW OKV AS SELECT l.k AS lk, r.k AS rk, lv, rv
+        |  FROM LK l LEFT JOIN RK r ON l.k = r.k""".stripMargin)
+    val lk = StructType(Seq(StructField("k", LongType), StructField("lv", StringType)))
+    val rk = StructType(Seq(StructField("k", LongType), StructField("rv", StringType)))
+    val r = e.incrementalRunner("OKV")
+    def rows: Set[String] = ZSet.toRows(ZSet.consolidate(r.output))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    r.step(Map("LK" -> z(lk, Seq(1L, "a", 1L), Seq(2L, "b", 1L)),
+               "RK" -> z(rk, Seq(1L, "p", 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(rows === Set("1|1|a|p", "2|null|b|null")) // rk is NULL, not 2
+    // the match arriving flips the padded row to a real pair
+    r.step(Map("RK" -> z(rk, Seq(2L, "q", 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(rows === Set("1|1|a|p", "2|2|b|q"))
+    // and retracting the last match pads again
+    r.step(Map("RK" -> z(rk, Seq(1L, "p", -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(rows === Set("1|null|a|null", "2|2|b|q"))
+    // Spark SQL agreement on the net state
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "lv").createOrReplaceTempView("LK_F")
+    Seq((2L, "q")).toDF("k", "rv").createOrReplaceTempView("RK_F")
+    val want = spark.sql("SELECT l.k AS lk, r.k AS rk, lv, rv " +
+      "FROM LK_F l LEFT JOIN RK_F r ON l.k = r.k")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+  }
+
   test("OR-disjunctions over subquery predicates lower via iterative complement") {
     // `a IN (...) OR (b NOT IN (...) AND a > 0) OR a = 99` — a disjunction
     // mixing an IN leaf, a conjunction containing a null-aware NOT IN, and
