@@ -699,6 +699,33 @@ object SqlIncremental {
       val r = walk(right, sources).select(renameTo(right, left): _*)
       l.minus(l.minus(r).positivePart)
 
+    // LATERAL joins: decorrelate with Spark's OWN optimizer rules, applied
+    // to just this subtree (running them on the whole plan would also
+    // pull up EXISTS/IN/scalar subqueries this compiler lowers itself
+    // from their analyzed form). PullupCorrelatedPredicates runs
+    // DecorrelateInnerQuery on the lateral body (equality AND inequality
+    // correlation, aggregates via domain joins); RewriteLateralSubquery
+    // then folds it into a plain Join the circuit walker already
+    // compiles. The lateral's output names are pinned with aliases
+    // before the dedup pre-pass (domain joins duplicate left-side names
+    // by construction, so the rewrite routinely needs the rename pass).
+    case lj: LateralJoin =>
+      import org.apache.spark.sql.catalyst.optimizer.{
+        PullupCorrelatedPredicates, RewriteLateralSubquery}
+      val rewritten =
+        try RewriteLateralSubquery(PullupCorrelatedPredicates(lj))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new UnsupportedPlanException(
+            s"LATERAL decorrelation failed: ${e.getMessage}")
+        }
+      if (rewritten.exists(_.isInstanceOf[LateralJoin]))
+        throw new UnsupportedPlanException(
+          "correlated LATERAL shape Spark cannot decorrelate")
+      val pinned = Project(
+        lj.output.map(a => Alias(a, a.name)(): NamedExpression), rewritten)
+      walk(dedupJoinNames(pinned), sources)
+
     // Views over views: inline the referenced view's plan into the circuit
     case v: View => walk(v.child, sources)
 

@@ -1124,6 +1124,40 @@ object IncrementalQ {
         ZSet.negate(ZSet.fromRows(or.filter(
           col("o_orderkey") % 2 === 0 && col("o_totalprice") < 50000))))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // LATERAL join as a standing view: the compiler decorrelates the
+    // per-row subquery with Spark's own optimizer rules
+    // (PullupCorrelatedPredicates + RewriteLateralSubquery, applied to
+    // just the LateralJoin subtree) into plain join/aggregate circuit
+    // nodes, so the lateral aggregate maintains incrementally — order
+    // inserts/retractions re-fold only the touched customers' groups.
+    "q170_incremental_lateral" -> ((s, d) => {
+      val cu = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val or = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cu.limit(0).createOrReplaceTempView("CL")
+      or.limit(0).createOrReplaceTempView("OL")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT c_custkey, c_mktsegment, y.n AS n, y.mx AS mx
+           FROM CL LEFT JOIN LATERAL (
+             SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx
+             FROM OL
+             WHERE o_custkey = c_custkey AND o_totalprice > 100000) y
+           ON true""",
+        Set("CL", "OL"))
+      val r = new Runner(s, circuit,
+        Map("CL" -> cu.limit(0), "OL" -> or.limit(0)))
+      r.step(Map("CL" -> ZSet.fromRows(cu)))
+      r.step(Map("OL" -> ZSet.fromRows(or.filter(col("o_orderkey") % 2 === 0))))
+      // MAX is not weight-linear: the retraction wave forces the touched
+      // groups to re-fold from consolidated state
+      r.step(Map("OL" -> ZSet.plus(
+        ZSet.fromRows(or.filter(col("o_orderkey") % 2 === 1)),
+        ZSet.negate(ZSet.fromRows(or.filter(
+          col("o_orderkey") % 2 === 0 && col("o_totalprice") > 300000))))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
@@ -1148,6 +1182,16 @@ object IncrementalQ {
                        OR o_orderkey % 2 = 1)
          SELECT c.k AS ck, o.k AS ok, price
          FROM c LEFT JOIN o ON c.k = o.k""",
+    "q170_incremental_lateral" ->
+      """WITH ol AS (SELECT o_custkey, o_totalprice FROM orders
+                     WHERE (o_orderkey % 2 = 0 AND o_totalprice <= 300000)
+                        OR o_orderkey % 2 = 1)
+         SELECT c_custkey, c_mktsegment, y.n AS n, y.mx AS mx
+         FROM customer LEFT JOIN LATERAL (
+           SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx
+           FROM ol
+           WHERE o_custkey = c_custkey AND o_totalprice > 100000) y
+         ON true""",
     "q90_incremental_agg" ->
       """SELECT l_suppkey, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem

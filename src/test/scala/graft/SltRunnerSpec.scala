@@ -93,7 +93,7 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("bagset.test", 250)
   }
 
-  test("aggregate.test + subquery.test re-run through the incremental SQL compiler") {
+  test("grammar corpora re-run through the incremental SQL compiler") {
     // CROSS-CHECK the circuit compiler against the DuckDB-frozen grammar
     // corpora: every query the compiler can lower is BATCH-evaluated as a
     // circuit and must match the same frozen expectation spark.sql
@@ -101,13 +101,21 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // e.g. ORDER BY, non-aggregate scalar subqueries) fall back to
     // spark.sql so the record still verifies, and a counter proves the
     // engine path carried real load rather than falling back throughout.
+    // aggregate/subquery/bagset/lateral run every record; join.test is
+    // SAMPLED 1-in-5 for suite time (5,369 records — the full corpus is
+    // engine-green via `tools/run_main.sh graft.tools.SltEngineAudit`,
+    // re-run it after any join-lowering change).
     var viaEngine = 0
+    var seen = 0
+    var sampleEvery = 1
     val hasOrderBy = "(?i)\\bORDER\\s+BY\\b".r
     val exec: graft.testing.SltRunner.Exec = (s, q, srcs) => {
       // Z-set circuit output is unordered; a nosort record with ORDER BY
       // needs exact row order, so those stay on spark.sql
+      seen += 1
       val incOpt =
-        if (hasOrderBy.findFirstIn(q).isDefined) None
+        if (hasOrderBy.findFirstIn(q).isDefined || seen % sampleEvery != 0)
+          None
         else try Some(graft.engine.SqlIncremental.compile(s, q, srcs))
         catch {
           case _: graft.engine.SqlIncremental.UnsupportedPlanException =>
@@ -124,13 +132,16 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
         case None => s.sql(q).collect().toSeq
       }
     }
-    for (file <- Seq("aggregate.test", "subquery.test")) {
-      viaEngine = 0
+    for ((file, every, atLeast) <- Seq(
+        ("aggregate.test", 1, 100), ("subquery.test", 1, 100),
+        ("bagset.test", 1, 100), ("lateral.test", 1, 40),
+        ("join.test", 5, 100))) {
+      viaEngine = 0; seen = 0; sampleEvery = every
       val o = graft.testing.SltRunner.runResource(spark, s"/slt/$file", exec)
       assert(o.failed.isEmpty,
         s"$file via engine: ${o.failed.size} failures; first: " +
           o.failed.take(3).mkString("\n"))
-      assert(viaEngine >= 100,
+      assert(viaEngine >= atLeast,
         s"$file: only $viaEngine queries took the engine path")
       info(s"$file: $viaEngine of ${o.passed} queries via the circuit compiler")
     }

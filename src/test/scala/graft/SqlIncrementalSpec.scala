@@ -1122,6 +1122,49 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want2))
   }
 
+  test("LATERAL joins decorrelate to maintained circuits (incl. aggregates)") {
+    // Spark's PullupCorrelatedPredicates + RewriteLateralSubquery run on
+    // the LateralJoin subtree; the result is plain Join/Aggregate nodes,
+    // so incrementality is inherited. Two shapes: a correlated-filter
+    // lateral (inequality correlation) and a LEFT JOIN LATERAL aggregate
+    // (count over the per-row group, empty group → padded NULL).
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE LO (a BIGINT NOT NULL, t VARCHAR NOT NULL);
+        |CREATE TABLE LI (a BIGINT NOT NULL, b BIGINT NOT NULL);
+        |CREATE VIEW LTV AS SELECT o.a, o.t, y.yb
+        |  FROM LO o, LATERAL (SELECT LI.b AS yb FROM LI WHERE LI.a < o.a) y;
+        |CREATE VIEW LAV AS SELECT o.a, o.t, y.s
+        |  FROM LO o LEFT JOIN LATERAL
+        |    (SELECT count(*) AS s FROM LI WHERE LI.a = o.a) y ON true""".stripMargin)
+    val lo = StructType(Seq(StructField("a", LongType), StructField("t", StringType)))
+    val li = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+    val r = e.incrementalRunner(Seq("LTV", "LAV"))
+    def check(): Unit = for (vn <- Seq("LTV", "LAV"))
+      assert(canon(ZSet.consolidate(r.output(vn))) === canon(r.recompute(vn)), vn)
+    r.stepAll(Map(
+      "LO" -> z(lo, Seq(1L, "p", 1L), Seq(3L, "q", 1L)),
+      "LI" -> z(li, Seq(1L, 10L, 1L), Seq(2L, 20L, 1L), Seq(3L, 30L, 1L))))
+    check()
+    // inner rows arriving/retracting must ripple through the domain join
+    r.stepAll(Map("LI" -> z(li, Seq(2L, 21L, 1L), Seq(1L, 10L, -1L))))
+    check()
+    // an outer row retraction removes its lateral group entirely
+    r.stepAll(Map("LO" -> z(lo, Seq(3L, "q", -1L), Seq(5L, "r", 1L))))
+    check()
+    // Spark SQL agreement on the net state, both views
+    import spark.implicits._
+    Seq((1L, "p"), (5L, "r")).toDF("a", "t").createOrReplaceTempView("LO_F")
+    Seq((2L, 20L), (3L, 30L), (2L, 21L)).toDF("a", "b")
+      .createOrReplaceTempView("LI_F")
+    val wantT = spark.sql("SELECT o.a, o.t, y.yb FROM LO_F o, " +
+      "LATERAL (SELECT LI_F.b AS yb FROM LI_F WHERE LI_F.a < o.a) y")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output("LTV")))) === canon(wantT))
+    val wantA = spark.sql("SELECT o.a, o.t, y.s FROM LO_F o LEFT JOIN LATERAL " +
+      "(SELECT count(*) AS s FROM LI_F WHERE LI_F.a = o.a) y ON true")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output("LAV")))) === canon(wantA))
+  }
+
   test("INTERSECT treats NULL rows as equal (min-circuit, not equi join)") {
     // SQL set semantics compare NULL = NULL inside INTERSECT/EXCEPT; the
     // lowering must not route rows through a NULL-dropping equi join
