@@ -181,7 +181,8 @@ object SqlIncremental {
         val keepSame: Set[ExprId] =
           if (!mergeable) Set.empty
           else analyzeCondition(cond, left, right)._1.collect {
-            case (a, b) if a.name.equalsIgnoreCase(b.name) => b.exprId
+            case EquiPair(a, b, _) if a.name.equalsIgnoreCase(b.name) =>
+              b.exprId
           }.toSet
         val clash = right.output.filter(a =>
           leftNames.contains(a.name.toLowerCase) && !keepSame.contains(a.exprId))
@@ -295,7 +296,7 @@ object SqlIncremental {
       Incremental.source(sources(id.name.toLowerCase))
     case SubqueryAlias(_, child) => walk(child, sources)
 
-    case Project(exprs, child) =>
+    case p @ Project(exprs, child) =>
       // Uncorrelated scalar subqueries in the select list become bilinear
       // joins on a constant key against the subquery circuit. Only
       // global-aggregate-shaped subqueries are accepted: they produce
@@ -304,7 +305,7 @@ object SqlIncremental {
       val scalars = exprs.flatMap(_.collect { case s: ScalarSubquery => s })
         .groupBy(_.exprId).map(_._2.head).toSeq
       if (scalars.isEmpty) walk(child, sources).select(exprs.map(toColumn): _*)
-      else {
+      else try {
         val (node, nameOf) = attachScalars(
           walk(child, sources), child.output.map(_.name), scalars, sources)
         val rewritten = exprs.map(_.transform {
@@ -312,22 +313,36 @@ object SqlIncremental {
             UnresolvedAttribute.quoted(nameOf(s.exprId))
         })
         node.select(rewritten.map(toColumn): _*)
+      } catch {
+        case e: UnsupportedPlanException =>
+          decorrelateScalarFallback(p, sources).getOrElse(throw e)
       }
 
-    case Filter(cond, child) =>
+    case f @ Filter(cond, child) =>
       // EXISTS / [NOT] IN predicates lower to semi/anti join circuits here
       // (the analyzed plan keeps them as subquery expressions; Calcite
       // performs the same lowering upstream of the reference, which itself
       // throws Unimplemented for the resulting semi/anti —
       // CalciteToDBSPCompiler.java:571-572).
-      compileFilter(cond, child, sources)
+      try compileFilter(cond, child, sources)
+      catch {
+        case e: UnsupportedPlanException
+            if cond.exists(_.isInstanceOf[ScalarSubquery]) =>
+          decorrelateScalarFallback(f, sources).getOrElse(throw e)
+      }
 
     case Join(left, right, joinType, cond, _) =>
       // Decompose the condition into equi pairs + residual, mirroring the
       // reference's JoinConditionAnalyzer.java:48-79: any conjunct
-      // `l.a = r.b` becomes a (possibly renamed) equi key; everything else
-      // becomes a filter over the joined result.
-      val (pairs, residualAll) = analyzeCondition(cond, left, right)
+      // `l.a = r.b` (or null-safe `l.a <=> r.b`) becomes a (possibly
+      // renamed) equi key; everything else becomes a filter over the
+      // joined result.
+      val (pairs0, residualAll) = analyzeCondition(cond, left, right)
+      // post-demotion invariant: pairs are ALL plain or ALL null-safe
+      val nullSafeKeys = pairs0.exists(_.nullSafe)
+      val pairs = pairs0.map(p => (p.l, p.r))
+      def keyJoin(a: Inc, b: Inc, ks: Seq[String]): Inc =
+        if (nullSafeKeys) a.joinNullSafe(b, ks) else a.join(b, ks)
       // Single-sided residual conjuncts push down to their side BEFORE the
       // bilinear join (for inner joins this is semantics-preserving and
       // shrinks both the state and every per-step delta product); only
@@ -418,7 +433,7 @@ object SqlIncremental {
               }
             }
       def restore(j: Inc): Inc = if (renamed.isEmpty) j else j.select(restoreCols: _*)
-      val inner0 = restore(l.join(r, keys))
+      val inner0 = restore(keyJoin(l, r, keys))
       val innerK = residual.map(res => inner0.where(toColumn(res))).getOrElse(inner0)
       // The unit-key tag must not leak past the join itself: the padded
       // outer branches project the LOGICAL columns only, and a union of
@@ -449,7 +464,7 @@ object SqlIncremental {
           right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
             .map(a => lit(null).cast(a.dataType).as(a.name))
         if (residualRowMatch) unmatchedAfterResidual(l, matchedLeftVals, leftNames, cols)
-        else padUnmatched(l, r, keys, cols)
+        else padUnmatched(l, r, keys, cols, nullSafeKeys)
       }
       def padRight: Inc = {
         val cols = left.output.map { a =>
@@ -464,7 +479,7 @@ object SqlIncremental {
               }
             }
         if (residualRowMatch) unmatchedAfterResidual(r, matchedRightVals, rNames, cols)
-        else padUnmatched(r, l, keys, cols)
+        else padUnmatched(r, l, keys, cols, nullSafeKeys)
       }
       val joined = joinType match {
         case _: InnerLike => inner
@@ -483,8 +498,10 @@ object SqlIncremental {
         case LeftSemi if residualRowMatch => l.joinNullSafe(matchedLeftVals, leftNames)
         case LeftAnti if residualRowMatch =>
           l.minus(l.joinNullSafe(matchedLeftVals, leftNames))
-        case LeftSemi => l.semiJoin(r, keys)
-        case LeftAnti => l.antiJoin(r, keys)
+        case LeftSemi =>
+          keyJoin(l, r.select(keys.map(col): _*).distinct, keys)
+        case LeftAnti =>
+          l.minus(keyJoin(l, r.select(keys.map(col): _*).distinct, keys))
         case other => throw new UnsupportedPlanException(
           s"unsupported join type for incremental mode: $other")
       }
@@ -1484,6 +1501,36 @@ object SqlIncremental {
     }
   }
 
+  /** Fallback for scalar subqueries the native lowering rejects —
+    * INEQUALITY correlation (`WHERE (SELECT max(v) FROM t WHERE k < a) IS
+    * NOT NULL`): decorrelate the enclosing Filter/Project subtree with
+    * Spark's own PullupCorrelatedPredicates + RewriteCorrelatedScalar-
+    * Subquery (the same subtree-local trick as the LATERAL lowering — the
+    * domain join they emit is `<=>`-keyed, which the join case compiles
+    * as a null-safe bilinear join). Returns None when the rules leave any
+    * subquery expression behind (e.g. EXISTS/IN mixed in, or uncorrelated
+    * non-aggregate scalars whose one-row runtime check has no logical
+    * form) so the caller rethrows the native error. */
+  private def decorrelateScalarFallback(p: LogicalPlan,
+                                        sources: Map[String, String])
+      : Option[Inc] = {
+    import org.apache.spark.sql.catalyst.optimizer.{
+      PullupCorrelatedPredicates, RewriteCorrelatedScalarSubquery}
+    val rewritten =
+      try RewriteCorrelatedScalarSubquery(PullupCorrelatedPredicates(p))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val clean = !rewritten.exists {
+      case _: LateralJoin => true
+      case n => n.expressions.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+    }
+    if (!clean) None
+    else {
+      val pinned = Project(
+        p.output.map(a => Alias(a, a.name)(): NamedExpression), rewritten)
+      Some(walk(dedupJoinNames(pinned), sources))
+    }
+  }
+
   private def attachScalars(node0: Inc, carried0: Seq[String],
                             scalars: Seq[ScalarSubquery],
                             sources: Map[String, String])
@@ -1817,9 +1864,13 @@ object SqlIncremental {
     * weight-1 key set preserves each kept row's multiplicity, so
     * keep − matched is exactly the unmatched multiset. */
   private def padUnmatched(keep: Inc, other: Inc, keys: Seq[String],
-                           outCols: Seq[Column]): Inc = {
+                           outCols: Seq[Column],
+                           nullSafe: Boolean = false): Inc = {
     val otherKeys = other.select(keys.map(col): _*).distinct
-    val matched = keep.join(otherKeys, keys)
+    // key semantics must mirror the inner branch's join: under null-safe
+    // keys a NULL-keyed row that MATCHED must not also be padded
+    val matched = if (nullSafe) keep.joinNullSafe(otherKeys, keys)
+      else keep.join(otherKeys, keys)
     keep.minus(matched).select(outCols: _*)
   }
 
@@ -1850,19 +1901,31 @@ object SqlIncremental {
     })
   }
 
+  /** One equi key of a join condition: the left/right attributes plus
+    * whether the conjunct was NULL-SAFE (`<=>`, where NULL matches NULL —
+    * Spark's subquery decorrelation emits these for domain joins). */
+  private final case class EquiPair(l: AttributeReference,
+                                    r: AttributeReference,
+                                    nullSafe: Boolean)
+
   /** Decompose a join condition into (left, right) equi-column pairs plus
     * an optional residual predicate, mirroring the reference's
-    * JoinConditionAnalyzer.java:48-79: each conjunct `attr = attr` with one
-    * side from each input becomes an equi pair (normalized left-first);
-    * every other conjunct joins the residual, applied as a filter after
-    * the bilinear join. No equi pair (a CROSS JOIN, or a pure theta join)
-    * yields an empty pair list — the Join case compiles those as a
-    * UNIT-KEY bilinear join, the reference's own lowering
-    * (CalciteToDBSPCompiler.java:584 routes empty-key joins to a stream
-    * join over the unit key). */
+    * JoinConditionAnalyzer.java:48-79: each conjunct `attr = attr` or
+    * `attr <=> attr` with one side from each input becomes an equi pair
+    * (normalized left-first); literal TRUE conjuncts are dropped (lateral
+    * rewrites emit `ON true AND ...`); every other conjunct joins the
+    * residual, applied as a filter after the bilinear join. A `<=>` pair
+    * counts as a KEY only when every pair is null-safe — a mixed
+    * condition keeps the plain pairs as keys and the `<=>` conjuncts as
+    * residual (exact under the keyed join; all-null-safe joins route
+    * through the `<=>`-keyed bilinear join instead of a unit-key cross).
+    * No equi pair (a CROSS JOIN, or a pure theta join) yields an empty
+    * pair list — the Join case compiles those as a UNIT-KEY bilinear
+    * join, the reference's own lowering (CalciteToDBSPCompiler.java:584
+    * routes empty-key joins to a stream join over the unit key). */
   private def analyzeCondition(cond: Option[Expression],
                                left: LogicalPlan, right: LogicalPlan)
-      : (Seq[(AttributeReference, AttributeReference)], Option[Expression]) = {
+      : (Seq[EquiPair], Option[Expression]) = {
     val c = cond.getOrElse(return (Seq.empty, None))
     val leftAttrs = left.outputSet
     val rightAttrs = right.outputSet
@@ -1871,17 +1934,31 @@ object SqlIncremental {
       case other => Seq(other)
     }
     val (equi, residual) = split(c).foldLeft(
-      (Seq.empty[(AttributeReference, AttributeReference)], Seq.empty[Expression])) {
+      (Seq.empty[EquiPair], Seq.empty[Expression])) {
       case ((pairs, res), conjunct) => conjunct match {
+        case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+          (pairs, res)
         case EqualTo(a: AttributeReference, b: AttributeReference)
             if leftAttrs.contains(a) && rightAttrs.contains(b) =>
-          (pairs :+ (a -> b), res)
+          (pairs :+ EquiPair(a, b, nullSafe = false), res)
         case EqualTo(a: AttributeReference, b: AttributeReference)
             if leftAttrs.contains(b) && rightAttrs.contains(a) =>
-          (pairs :+ (b -> a), res)
+          (pairs :+ EquiPair(b, a, nullSafe = false), res)
+        case EqualNullSafe(a: AttributeReference, b: AttributeReference)
+            if leftAttrs.contains(a) && rightAttrs.contains(b) =>
+          (pairs :+ EquiPair(a, b, nullSafe = true), res)
+        case EqualNullSafe(a: AttributeReference, b: AttributeReference)
+            if leftAttrs.contains(b) && rightAttrs.contains(a) =>
+          (pairs :+ EquiPair(b, a, nullSafe = true), res)
         case other => (pairs, res :+ other)
       }
     }
-    (equi, residual.reduceOption(And))
+    // a null-safe pair is usable as a JOIN KEY only when the whole key
+    // set is null-safe (one bilinear join, one key semantics); otherwise
+    // demote <=> pairs to residual conjuncts over the plain-keyed join
+    if (equi.nonEmpty && equi.exists(_.nullSafe) && !equi.forall(_.nullSafe)) {
+      val (ns, plain) = equi.partition(_.nullSafe)
+      (plain, (residual ++ ns.map(p => EqualNullSafe(p.l, p.r))).reduceOption(And))
+    } else (equi, residual.reduceOption(And))
   }
 }

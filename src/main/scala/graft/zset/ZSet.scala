@@ -38,8 +38,13 @@ import org.apache.spark.sql.types._
 object ZSet {
   val W = "weight"
 
+  /** Column by LITERAL name — auto-generated names like `rpad(s, 8, '.')`
+    * contain dots/quotes that `col`'s parser would misread. */
+  private def cq(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def dataCols(df: DataFrame): Seq[Column] =
-    df.columns.filterNot(_ == W).map(col).toSeq
+    df.columns.filterNot(_ == W).map(cq).toSeq
 
   /** Lift a plain relation into a Z-set with all weights = 1. */
   def fromRows(df: DataFrame): DataFrame = df.withColumn(W, lit(1L))
