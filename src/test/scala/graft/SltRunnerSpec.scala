@@ -93,6 +93,11 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("bagset.test", 250)
   }
 
+  test("selfjoin.test: name-colliding joins (self, outer same-named key, " +
+    "theta-outer, null-safe keys)") {
+    check("selfjoin.test", 80)
+  }
+
   test("grammar corpora re-run through the incremental SQL compiler") {
     // CROSS-CHECK the circuit compiler against the DuckDB-frozen grammar
     // corpora: every query the compiler can lower is BATCH-evaluated as a
@@ -135,7 +140,7 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((file, every, atLeast) <- Seq(
         ("aggregate.test", 1, 100), ("subquery.test", 1, 100),
         ("bagset.test", 1, 100), ("lateral.test", 1, 40),
-        ("join.test", 5, 100))) {
+        ("selfjoin.test", 1, 80), ("join.test", 5, 100))) {
       viaEngine = 0; seen = 0; sampleEvery = every
       val o = graft.testing.SltRunner.runResource(spark, s"/slt/$file", exec)
       assert(o.failed.isEmpty,

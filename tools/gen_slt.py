@@ -2674,6 +2674,78 @@ def gen_recursive_distinct():
     return f
 
 
+def gen_selfjoin():
+    """Joins whose sides SHARE column names — the dedup-pre-pass grammar:
+    self equi/theta joins reading both sides' columns, outer joins over a
+    same-named key reading the INNER side's key (NULL pads, not the
+    preserved side's value), pure-theta outer joins (unit-key pads),
+    NULL-safe key equality (IS NOT DISTINCT FROM — identical semantics in
+    DuckDB and Spark), three-way chains with repeated names, and
+    aggregates over self-join results."""
+    f = File("selfjoin.test")
+    f.statement("CREATE TABLE s1(k INTEGER, g INTEGER, v INTEGER)")
+    for i in range(30):
+        k = 100 + 7 * i
+        g = "NULL" if i % 11 == 3 else str(100 + 7 * rng.randrange(40))
+        v = "NULL" if i % 13 == 5 else str(150 + rng.randrange(120))
+        f.statement(f"INSERT INTO s1 VALUES({k},{g},{v})")
+    f.statement("CREATE TABLE s2(k INTEGER, v INTEGER)")
+    for i in range(18):
+        k = 100 + 7 * rng.randrange(35)
+        v = 150 + rng.randrange(120)
+        f.statement(f"INSERT INTO s2 VALUES({k},{v})")
+
+    wheres = ["", " WHERE u.k > 150", " WHERE u.v IS NOT NULL",
+              " WHERE u.k % 2 = 0"]
+    # 1) self equi-joins: key-to-key, key-to-non-key, residual mixes
+    for on in ["u.k = w.k", "u.k = w.g", "u.g = w.g AND u.k < w.k",
+               "u.k = w.g AND u.v < w.v", "u.g = w.k AND u.v >= w.v"]:
+        for wh in wheres:
+            f.query(f"SELECT u.k, u.v, w.k, w.v FROM s1 u JOIN s1 w "
+                    f"ON {on}{wh}", "IIII", "rowsort")
+    # 2) self OUTER joins reading both sides
+    for jt in ["LEFT", "RIGHT", "FULL"]:
+        for on in ["u.k = w.g", "u.g = w.g AND u.k < w.k",
+                   "u.k = w.g AND w.v > 200"]:
+            for wh in ["", " WHERE u.k > 150", " WHERE u.v IS NOT NULL"]:
+                f.query(f"SELECT u.k, u.g, w.k, w.v FROM s1 u {jt} JOIN s1 w "
+                        f"ON {on}{wh}", "IIII", "rowsort")
+    # 3) same-named key OUTER joins across two tables, reading the inner key
+    for jt in ["LEFT", "RIGHT", "FULL"]:
+        for sel in ["s1.k, s2.k, s1.v, s2.v", "s2.k, s2.v, s1.g, s1.k"]:
+            for on in ["s1.k = s2.k", "s1.k = s2.k AND s2.v > 200"]:
+                f.query(f"SELECT {sel} FROM s1 {jt} JOIN s2 ON {on}",
+                        "IIII", "rowsort")
+    # 4) pure-theta OUTER joins (no equi key): unit-key pads
+    for jt in ["LEFT", "RIGHT", "FULL"]:
+        for on in ["s2.k < s1.k - 120", "s2.v > s1.v + 30",
+                   "s1.g = 114 AND s2.k > 200"]:
+            f.query(f"SELECT s1.k, s1.v, s2.k, s2.v FROM s1 {jt} JOIN s2 "
+                    f"ON {on}", "IIII", "rowsort")
+    # 5) NULL-safe key equality (NULL matches NULL on the join key)
+    for jt in ["JOIN", "LEFT JOIN", "FULL JOIN"]:
+        f.query(f"SELECT u.k, u.g, w.k, w.g FROM s1 u {jt} s1 w "
+                f"ON u.g IS NOT DISTINCT FROM w.g", "IIII", "rowsort")
+        f.query(f"SELECT u.k, w.v FROM s1 u {jt} s1 w "
+                f"ON u.v IS NOT DISTINCT FROM w.v AND u.k <= w.k",
+                "II", "rowsort")
+    # 6) three-way chains with repeated names across all three inputs
+    for wh in ["", " WHERE a.k > 150", " WHERE a.v IS NOT NULL",
+               " WHERE a.k % 2 = 0"]:
+        f.query("SELECT a.k, b.v, c.v FROM s1 a JOIN s1 b ON a.k = b.g "
+                "JOIN s2 c ON c.k = a.k" + wh, "III", "rowsort")
+        f.query("SELECT a.k, b.v, c.v FROM s1 a JOIN s1 b ON a.k = b.g "
+                "LEFT JOIN s2 c ON c.k = b.k" + wh, "III", "rowsort")
+    # 7) aggregates / DISTINCT over self-join results
+    f.query("SELECT u.k, count(*), max(w.v) FROM s1 u JOIN s1 w "
+            "ON u.k = w.g GROUP BY u.k", "III", "rowsort")
+    f.query("SELECT count(*), sum(u.v + w.v) FROM s1 u JOIN s1 w "
+            "ON u.g = w.g AND u.k < w.k", "II", "rowsort")
+    f.query("SELECT DISTINCT u.v, w.v FROM s1 u JOIN s1 w ON u.k = w.g",
+            "II", "rowsort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
@@ -2681,7 +2753,8 @@ def main():
               gen_select6, gen_select7, gen_window, gen_join, gen_subquery,
               gen_grouping, gen_string, gen_select8, gen_winjoin,
               gen_orderlimit, gen_recursive, gen_bagset, gen_lateral,
-              gen_temporal, gen_scalarexpr, gen_recursive_distinct):
+              gen_temporal, gen_scalarexpr, gen_recursive_distinct,
+              gen_selfjoin):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
