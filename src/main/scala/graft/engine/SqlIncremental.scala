@@ -769,7 +769,16 @@ object SqlIncremental {
       val childCols = w.child.output.map(a =>
         org.apache.spark.sql.functions.col(a.name))
       val winCols = w.windowExpressions.map { we =>
-        toColumn(computed.foldLeft(we: Expression) { case (acc, (e, n)) =>
+        // rank/dense_rank/percent_rank carry the spec's ORDER children
+        // inside the function node; with attributes swapped to unresolved
+        // ones their re-analysis trips frame validation. Reset them to
+        // parser form (no order children) — the analyzer re-injects the
+        // order from the window spec (ResolveWindowOrder).
+        val reset = (we: Expression).transform {
+          case r: org.apache.spark.sql.catalyst.expressions.RankLike =>
+            r.withOrder(Nil)
+        }
+        toColumn(computed.foldLeft(reset) { case (acc, (e, n)) =>
           acc.transform { case x if x.semanticEquals(e) => UnresolvedAttribute.quoted(n) }
         })
       }
@@ -791,9 +800,19 @@ object SqlIncremental {
     // re-aggregates sorts into a sorted Vec, visitSort :980-1048). At
     // scale the eval is TakeOrderedAndProject: per-partition top-k + a
     // k-row reduce, no full sort.
-    case Limit(IntegerLiteral(k), Sort(order, true, child, _)) =>
-      val sortCols = order.map(toSortColumn)
-      walk(child, sources).reevaluate(_.sort(sortCols: _*).limit(k))
+    case Limit(IntegerLiteral(k), SortedChild(order, child, proj)) =>
+      rankRange(k, 0, order, child, proj, sources)
+
+    // ORDER BY ... LIMIT k OFFSET m: ranks m+1..m+k — a deterministic row
+    // set under the total order, maintained the same way (the eval is a
+    // per-partition top-(m+k) + reduce; the offset drops m at the sink).
+    case Limit(IntegerLiteral(k),
+               Offset(IntegerLiteral(m), SortedChild(order, child, proj))) =>
+      rankRange(k, m, order, child, proj, sources)
+
+    // ORDER BY ... OFFSET m without LIMIT: everything past rank m.
+    case Offset(IntegerLiteral(m), SortedChild(order, child, proj)) =>
+      rankRange(-1, m, order, child, proj, sources)
 
     case Limit(_, child) => throw new UnsupportedPlanException(
       "LIMIT without ORDER BY selects nondeterministic rows — not " +
@@ -1899,6 +1918,38 @@ object SqlIncremental {
       case ne: NamedExpression => ne
       case other => other
     })
+  }
+
+  /** A global Sort, with the optional NARROWING projection Spark inserts
+    * above it when ORDER BY references columns outside the select list
+    * (the widened projection sits below the sort). */
+  private object SortedChild {
+    def unapply(p: LogicalPlan): Option[(Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+        LogicalPlan, Option[Seq[NamedExpression]])] = p match {
+      case Sort(order, true, child, _) => Some((order, child, None))
+      case Project(exprs, Sort(order, true, child, _)) =>
+        Some((order, child, Some(exprs)))
+      case _ => None
+    }
+  }
+
+  /** ORDER BY ... [LIMIT k] [OFFSET m] as a maintained view: ranks
+    * m+1..m+k are a deterministic row set under the total order —
+    * re-evaluated over consolidated state each step with the previous
+    * result retracted (the reference re-aggregates sorts into a sorted
+    * Vec, visitSort :980-1048). k = -1 means no limit (OFFSET only). */
+  private def rankRange(k: Int, m: Int,
+                        order: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+                        child: LogicalPlan,
+                        proj: Option[Seq[NamedExpression]],
+                        sources: Map[String, String]): Inc = {
+    val sortCols = order.map(toSortColumn)
+    val base = walk(child, sources).reevaluate { df =>
+      val sorted = df.sort(sortCols: _*)
+      val off = if (m > 0) sorted.offset(m) else sorted
+      if (k >= 0) off.limit(k) else off
+    }
+    proj.fold(base)(exprs => base.select(exprs.map(toColumn): _*))
   }
 
   /** One equi key of a join condition: the left/right attributes plus

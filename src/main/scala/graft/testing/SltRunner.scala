@@ -35,13 +35,17 @@ object SltRunner {
     var dirty = true
   }
 
-  /** Query executor: (session, sql, registered table names) → result
-    * rows. The default runs plain `spark.sql`; a family whose semantics
-    * need a graft lowering (e.g. DISTINCT recursion over cyclic graphs,
-    * where the native UNION ALL loop would not terminate) passes an
-    * executor that routes through the engine instead. */
-  type Exec = (SparkSession, String, Set[String]) => Seq[Row]
-  private val sparkSqlExec: Exec = (s, q, _) => s.sql(q).collect().toSeq
+  /** Query executor: (session, sql, registered table names, the record's
+    * sort mode) → result rows. The default runs plain `spark.sql`; a
+    * family whose semantics need a graft lowering (e.g. DISTINCT
+    * recursion over cyclic graphs, where the native UNION ALL loop would
+    * not terminate) passes an executor that routes through the engine
+    * instead. The sort mode lets an unordered executor (Z-set circuits)
+    * decline only `nosort` records — under rowsort/valuesort the harness
+    * sorts before comparing, so row order is immaterial even when the
+    * query text has ORDER BY. */
+  type Exec = (SparkSession, String, Set[String], SltHash.SortOrder) => Seq[Row]
+  private val sparkSqlExec: Exec = (s, q, _, _) => s.sql(q).collect().toSeq
 
   def runFile(spark: SparkSession, path: java.nio.file.Path,
               exec: Exec = sparkSqlExec): Outcome =
@@ -148,7 +152,7 @@ object SltRunner {
             try {
               tables.foreach { case (tn, t) => register(tn, t) }
               refreshViews()
-              val rows = exec(spark, sql.toString, tables.keySet.toSet)
+              val rows = exec(spark, sql.toString, tables.keySet.toSet, order)
               val got = SltHash.toLines(rows, fmt, order)
               val hashRe = "(\\d+) values hashing to ([0-9a-f]{32})".r
               exp match {

@@ -29,35 +29,28 @@ object SltEngineAudit {
       .appName("slt-engine-audit")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val hasOrderBy = "(?i)\\bORDER\\s+BY\\b".r
     for (path <- files) {
       var compiled, orderBy = 0
       // reason (first line, trimmed of identifiers) → example queries
       val rejects = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
-      val exec: graft.testing.SltRunner.Exec = (s, q, srcs) => {
-        val incOpt =
-          if (hasOrderBy.findFirstIn(q).isDefined) { orderBy += 1; None }
-          else try {
-            val inc = graft.engine.SqlIncremental.compile(s, q, srcs)
-            compiled += 1
-            Some(inc)
-          } catch {
-            case e: Exception =>
-              val reason = s"${e.getClass.getSimpleName}: " +
-                e.getMessage.linesIterator.next().take(160)
-              rejects.getOrElseUpdate(reason, mutable.ArrayBuffer.empty) +=
-                q.linesIterator.mkString(" ").take(200)
-              None
-          }
-        incOpt match {
-          // the compiled circuit must MATCH the frozen expectation, not
-          // just compile: batch-evaluate it as the record's result
-          case Some(inc) =>
-            val in = srcs.map(n =>
-              n -> graft.zset.ZSet.fromRows(s.table(n))).toMap
-            graft.zset.ZSet.toRows(graft.zset.ZSet.consolidate(inc.batch(in)))
-              .collect().toSeq
-          case None => s.sql(q).collect().toSeq
+      val exec: graft.testing.SltRunner.Exec = (s, q, srcs, order) => {
+        graft.testing.CircuitExec.tryEngine(s, q, srcs, order) match {
+          case Some(rows) => compiled += 1; rows
+          case None =>
+            // bucket the fallback: a shape the compiler rejects, vs a
+            // nosort ORDER BY whose presentation sort the circuit output
+            // cannot reproduce (sort keys outside the projection)
+            try {
+              graft.engine.SqlIncremental.compile(s, q, srcs)
+              orderBy += 1
+            } catch {
+              case e: Exception =>
+                val reason = s"${e.getClass.getSimpleName}: " +
+                  e.getMessage.linesIterator.next().take(160)
+                rejects.getOrElseUpdate(reason, mutable.ArrayBuffer.empty) +=
+                  q.linesIterator.mkString(" ").take(200)
+            }
+            s.sql(q).collect().toSeq
         }
       }
       val o =

@@ -114,12 +114,15 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     var seen = 0
     var sampleEvery = 1
     val hasOrderBy = "(?i)\\bORDER\\s+BY\\b".r
-    val exec: graft.testing.SltRunner.Exec = (s, q, srcs) => {
-      // Z-set circuit output is unordered; a nosort record with ORDER BY
-      // needs exact row order, so those stay on spark.sql
+    val exec: graft.testing.SltRunner.Exec = (s, q, srcs, order) => {
+      // Z-set circuit output is unordered: only a NOSORT record with
+      // ORDER BY needs exact row order — rowsort/valuesort records are
+      // sorted before comparing, so those run through the engine even
+      // when the query text orders (incl. ORDER BY ... LIMIT top-k)
       seen += 1
       val incOpt =
-        if (hasOrderBy.findFirstIn(q).isDefined || seen % sampleEvery != 0)
+        if ((order == graft.testing.SltHash.NoSort &&
+              hasOrderBy.findFirstIn(q).isDefined) || seen % sampleEvery != 0)
           None
         else try Some(graft.engine.SqlIncremental.compile(s, q, srcs))
         catch {
@@ -159,7 +162,7 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the lowering's SET fixpoint (anchor ∪ anchor∘E⁺ under distinct) is
     // what makes the queries well-defined, and DuckDB's UNION recursion
     // froze the same set fixpoint at generation time.
-    val engineExec: graft.testing.SltRunner.Exec = (s, q, srcs) => {
+    val engineExec: graft.testing.SltRunner.Exec = (s, q, srcs, _) => {
       val inc = graft.engine.SqlIncremental.compile(s, q, srcs)
       val in = srcs.map(n => n -> graft.zset.ZSet.fromRows(s.table(n))).toMap
       graft.zset.ZSet.toRows(graft.zset.ZSet.consolidate(inc.batch(in)))
