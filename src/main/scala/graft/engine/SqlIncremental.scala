@@ -72,7 +72,21 @@ object SqlIncremental {
     // Spark lowercases temp-view names in analyzed plans; map back to the
     // declared source spelling so Runner input keys line up.
     val byLower = sources.map(s => s.toLowerCase -> s).toMap
-    walk(dedupJoinNames(inlineCtes(analyzed)), byLower)
+    // LATERAL joins are decorrelated BEFORE the global name-dedup pass:
+    // the joins Spark synthesizes during decorrelation routinely duplicate
+    // left-side names (`SELECT x.a, y.b ... LATERAL (SELECT b ...)`), and
+    // only a whole-plan dedup can rename the clash consistently through
+    // the ANCESTOR nodes that reference the lateral's output (a
+    // subtree-local dedup leaves the parent projection ambiguous). The
+    // root projection re-pins the query's original output names — at the
+    // sink duplicates are legal because nothing above resolves by name.
+    val inlined = inlineCtes(analyzed)
+    val decorr = decorrelateLaterals(inlined)
+    val rooted =
+      if (decorr eq inlined) inlined
+      else Project(
+        inlined.output.map(a => Alias(a, a.name)(): NamedExpression), decorr)
+    walk(dedupJoinNames(rooted), byLower)
   }
 
   /** Compile with per-call tuning overrides (e.g. the range-join bin
@@ -233,6 +247,37 @@ object SqlIncremental {
         val rec = dedupJoinNames(anchored)
         if (rec eq s.plan) s else s.withNewPlan(rec)
     }
+  }
+
+  /** Decorrelate every LATERAL join in the plan with Spark's OWN
+    * optimizer rules, applied per-LateralJoin SUBTREE (running them on
+    * the whole plan would also pull up EXISTS/IN/scalar subqueries this
+    * compiler lowers itself from their analyzed form).
+    * PullupCorrelatedPredicates runs DecorrelateInnerQuery on the lateral
+    * body (equality AND inequality correlation, aggregates via domain
+    * joins); RewriteLateralSubquery then folds it into a plain Join the
+    * circuit walker already compiles. The rewrite preserves the
+    * LateralJoin's output attributes, so ancestor references stay valid;
+    * the caller runs the global dedupJoinNames pass afterwards to rename
+    * the left/right name clashes domain joins produce by construction. */
+  private def decorrelateLaterals(p: LogicalPlan): LogicalPlan =
+    if (!p.exists(_.isInstanceOf[LateralJoin])) p
+    else p.transformUp { case lj: LateralJoin => decorrelateOneLateral(lj) }
+
+  private def decorrelateOneLateral(lj: LateralJoin): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.optimizer.{
+      PullupCorrelatedPredicates, RewriteLateralSubquery}
+    val rewritten =
+      try RewriteLateralSubquery(PullupCorrelatedPredicates(lj))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new UnsupportedPlanException(
+            s"LATERAL decorrelation failed: ${e.getMessage}")
+      }
+    if (rewritten.exists(_.isInstanceOf[LateralJoin]))
+      throw new UnsupportedPlanException(
+        "correlated LATERAL shape Spark cannot decorrelate")
+    rewritten
   }
 
   /** Inline every WITH ... CTE before compilation (the optimizer's
@@ -716,31 +761,15 @@ object SqlIncremental {
       val r = walk(right, sources).select(renameTo(right, left): _*)
       l.minus(l.minus(r).positivePart)
 
-    // LATERAL joins: decorrelate with Spark's OWN optimizer rules, applied
-    // to just this subtree (running them on the whole plan would also
-    // pull up EXISTS/IN/scalar subqueries this compiler lowers itself
-    // from their analyzed form). PullupCorrelatedPredicates runs
-    // DecorrelateInnerQuery on the lateral body (equality AND inequality
-    // correlation, aggregates via domain joins); RewriteLateralSubquery
-    // then folds it into a plain Join the circuit walker already
-    // compiles. The lateral's output names are pinned with aliases
-    // before the dedup pre-pass (domain joins duplicate left-side names
-    // by construction, so the rewrite routinely needs the rename pass).
+    // LATERAL joins inside SUBQUERY plans (the main query's laterals are
+    // decorrelated by the compile() pre-pass, where the global name-dedup
+    // covers the synthesized join's ancestors): decorrelate the subtree
+    // locally and pin its output names — nothing above a subquery plan
+    // resolves the lateral's columns by name, so the local pin suffices.
     case lj: LateralJoin =>
-      import org.apache.spark.sql.catalyst.optimizer.{
-        PullupCorrelatedPredicates, RewriteLateralSubquery}
-      val rewritten =
-        try RewriteLateralSubquery(PullupCorrelatedPredicates(lj))
-        catch {
-          case e: org.apache.spark.sql.AnalysisException =>
-            throw new UnsupportedPlanException(
-            s"LATERAL decorrelation failed: ${e.getMessage}")
-        }
-      if (rewritten.exists(_.isInstanceOf[LateralJoin]))
-        throw new UnsupportedPlanException(
-          "correlated LATERAL shape Spark cannot decorrelate")
       val pinned = Project(
-        lj.output.map(a => Alias(a, a.name)(): NamedExpression), rewritten)
+        lj.output.map(a => Alias(a, a.name)(): NamedExpression),
+        decorrelateOneLateral(lj))
       walk(dedupJoinNames(pinned), sources)
 
     // Views over views: inline the referenced view's plan into the circuit
@@ -768,7 +797,46 @@ object SqlIncremental {
       }
       val childCols = w.child.output.map(a =>
         org.apache.spark.sql.functions.col(a.name))
-      val winCols = w.windowExpressions.map { we =>
+      // Decorrelated ordered-LIMIT laterals arrive as `row_number() OVER
+      // (PARTITION BY key)` with NO orderSpec — Spark's DecorrelateInner-
+      // Query leaves the ordering in a global Sort BELOW the window (the
+      // optimizer never re-checks the ordered-function invariant). The
+      // circuit walker treats bare Sorts as presentation and drops them,
+      // so the order is SEMANTIC here: pull the underlying Sort's keys
+      // into the rebuilt window spec (a global sort restricted to a
+      // partition IS the per-partition order). Without a pullable sort an
+      // order-sensitive function with an empty spec cannot be rebuilt —
+      // reject at compile time rather than fail at eval.
+      val effOrder: Seq[SortOrder] =
+        if (w.orderSpec.nonEmpty) w.orderSpec
+        else {
+          def findSort(p: LogicalPlan): Seq[SortOrder] = p match {
+            case Sort(o, true, _, _) => o
+            case Project(_, c) => findSort(c)
+            case _ => Nil
+          }
+          val childNames = w.child.output.map(_.name.toLowerCase).toSet
+          findSort(w.child).filter(_.references.forall(a =>
+            childNames.contains(a.name.toLowerCase)))
+        }
+      val needsOrder = w.windowExpressions.exists(_.exists {
+        case _: RankLike | _: RowNumberLike | _: OffsetWindowFunction => true
+        case _ => false
+      })
+      if (needsOrder && effOrder.isEmpty)
+        throw new UnsupportedPlanException(
+          "order-sensitive window function with no ORDER BY and no " +
+            "pullable sort below — cannot rebuild the window eval")
+      val winCols = w.windowExpressions.map { we0 =>
+        // The Window NODE's partitionSpec/orderSpec are authoritative
+        // post-analysis: decorrelation adds the domain key to the node
+        // fields only, leaving the nested WindowSpecDefinition with its
+        // pre-rewrite (often empty) spec — rebuild every spec from the
+        // node fields so the re-analyzed eval executes the same window.
+        val we = (we0: Expression).transform {
+          case wsd: WindowSpecDefinition =>
+            wsd.copy(partitionSpec = w.partitionSpec, orderSpec = effOrder)
+        }
         // rank/dense_rank/percent_rank carry the spec's ORDER children
         // inside the function node; with attributes swapped to unresolved
         // ones their re-analysis trips frame validation. Reset them to
@@ -1335,14 +1403,27 @@ object SqlIncremental {
         notInStrategyTL.set("pattern-grouped")
         val subTuples = subAll.distinct
         val one = lit(1).as("__one")
-        val subPat = subTuples
+        // Pattern relations fold DIRECTLY from the raw sides, not from the
+        // distinct-tuple nodes: the trailing .distinct set-normalizes
+        // regardless of input multiplicity, and skipping the tuple node
+        // puts both pattern states in the SAME materialization wave as the
+        // tuple distincts (each wave is one job-floor-bound Spark job at
+        // small deltas — circuit DEPTH is the step cost, r11 verdict #4).
+        // The fold groups a single int column, so map-side partial
+        // aggregation collapses it before the shuffle at any scale.
+        val subPat = subAll
           .select(bitsOf(nullableSub).as("__opat"), one).distinct
-        val probePat = probeTuples
+        val probePat = node
           .select(bitsOf(nullableProbe).as("__opat"), one).distinct
+        // No .distinct over the expansions: a (tuple, M) pair reached via
+        // k distinct other-side patterns carries weight k (k ≤ #present
+        // patterns, a few dozen at most), and the final blocked.distinct
+        // below set-normalizes before the subtract — two fewer stateful
+        // waves per step for the same row set.
         (expandPat(probeTuples, probes.map(_.dataType),
-          nullableProbe, "__pbits", keep = names, subPat).distinct,
+          nullableProbe, "__pbits", keep = names, subPat),
          expandPat(subTuples, lq.plan.output.map(_.dataType),
-           nullableSub, "__qbits", keep = Nil, probePat).distinct)
+           nullableSub, "__qbits", keep = Nil, probePat))
       }
     val subExp = subExpRaw
       .select(col("__nh") +: col("__mask").as("__smask") +:

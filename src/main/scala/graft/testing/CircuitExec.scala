@@ -38,16 +38,21 @@ object CircuitExec {
       if (!needsOrder) Some(Nil)
       else topSortCols(s.sql(q).queryExecution.analyzed)
     presentation.flatMap { sortCols =>
-      val inc =
-        try SqlIncremental.compile(s, q, srcs)
-        catch {
-          case _: SqlIncremental.UnsupportedPlanException => return None
-          case _: org.apache.spark.sql.AnalysisException => return None
-        }
-      val in = srcs.map(n => n -> ZSet.fromRows(s.table(n))).toMap
-      val out = ZSet.toRows(ZSet.consolidate(inc.batch(in)))
-      val ordered = if (sortCols.isEmpty) out else out.sort(sortCols: _*)
-      Some(ordered.collect().toSeq)
+      // The try spans EVALUATION too, not just compile: rebuilt plan
+      // fragments re-analyze lazily inside batch()/collect(), so an
+      // AnalysisException there must also mean "fall back", never a
+      // record failure (the lowered-count floor still catches silent
+      // wholesale regressions to the fallback path).
+      try {
+        val inc = SqlIncremental.compile(s, q, srcs)
+        val in = srcs.map(n => n -> ZSet.fromRows(s.table(n))).toMap
+        val out = ZSet.toRows(ZSet.consolidate(inc.batch(in)))
+        val ordered = if (sortCols.isEmpty) out else out.sort(sortCols: _*)
+        Some(ordered.collect().toSeq)
+      } catch {
+        case _: SqlIncremental.UnsupportedPlanException => None
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     }
   }
 
