@@ -48,7 +48,8 @@ object SparkEntry {
     _root_.graft.queries.IncrementalQ.defs ++
     _root_.graft.queries.StreamsQ.defs ++
     _root_.graft.queries.Recursive.defs ++
-    _root_.graft.queries.TpcH.defs
+    _root_.graft.queries.TpcH.defs ++
+    _root_.graft.queries.Workloads.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
     _root_.graft.queries.IncrementalQ.oracles ++
     _root_.graft.queries.StreamsQ.oracles ++
     _root_.graft.queries.Recursive.oracles ++
-    _root_.graft.queries.TpcH.oracles
+    _root_.graft.queries.TpcH.oracles ++
+    _root_.graft.queries.Workloads.oracles
 }
