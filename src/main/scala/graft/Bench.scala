@@ -80,9 +80,33 @@ object Bench {
     }
     val canaries = scala.collection.mutable.ArrayBuffer(canary())
 
+    // Between-query load gate (r11 verdict #10): the launch gate alone
+    // can't stop a mid-run spike from landing inside a single query's
+    // window and turning the cross-round per-query delta into mush. Each
+    // query may wait (briefly, from a SHARED budget so a permanently busy
+    // box can't stall the run) for load to drop back under the bar; the
+    // accumulated wait is reported so a contended run stays attributable.
+    val interBudget = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_INTER_WAIT_S", "300").toLong * 1000)
+    var interWaitMs = 0L
+    var interWaited = 0
+    def waitQuiet(name: String): Unit = {
+      var waited = false
+      while (load1() > quietBar && interBudget.get() > 0) {
+        if (!waited) System.err.println(
+          f"[bench] $name: load ${load1()}%.1f > $quietBar%.1f — pausing")
+        waited = true
+        Thread.sleep(5000)
+        interBudget.addAndGet(-5000)
+        interWaitMs += 5000
+      }
+      if (waited) interWaited += 1
+    }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i == ordered.size / 2) canaries += canary()
+      waitQuiet(name)
       val before = env.snap()
       val t0 = System.nanoTime()
       // NonFatal only: after an OOM/StackOverflow the JVM is corrupted and
@@ -115,7 +139,8 @@ object Bench {
     val envJson = {
       val base = env.runJson(canaries.toSeq)
       base.dropRight(1) +
-        f""","load_at_launch":$loadAtLaunch%.1f,"quiet_wait_s":$quietWaitS%.1f}"""
+        f""","load_at_launch":$loadAtLaunch%.1f,"quiet_wait_s":$quietWaitS%.1f""" +
+        f""","inter_wait_s":${interWaitMs / 1000},"inter_waited_n":$interWaited}"""
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
