@@ -253,6 +253,53 @@ class IncrementalTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(ZSet.consolidate(r1.output)) === canon(r1.recompute))
   }
 
+  test("requantizeIvf under churn: top-hit retractions rescan correctly " +
+    "across the blue/green swap") {
+    import graft.pipeline.Similarity
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val nC = 8
+    val score = Similarity.ivfProbeScorer(emb, probes, nC, nProbe = nC)
+    val circuit = source("E").topKPerGroup(score, Seq("vec_id"), Seq("q_id"),
+      Seq(col("cos").desc, col("vec_id").asc), k = 3)
+    val r0 = new Runner(spark, circuit, Map("E" -> emb.limit(0)))
+    r0.bootstrap(Map("E" -> emb))
+    def topHit(r: Runner): Long =
+      ZSet.consolidate(r.output).filter(col("q_id") === 0L)
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .select(col("vec_id")).head().getLong(0)
+    def retract(r: Runner, id: Long): Unit =
+      r.step(Map("E" -> ZSet.negate(ZSet.fromRows(
+        emb.filter(col("vec_id") === id)))))
+    // churn BEFORE the swap: retract q_id 0's current best — the old
+    // index must rescan the hit group(s) and stay exact
+    retract(r0, topHit(r0))
+    assert(rescans(r0) >= 1L)
+    assert(canon(ZSet.consolidate(r0.output)) === canon(r0.recompute))
+    // blue/green swap at the churned state
+    val r1 = Similarity.requantizeIvf(r0, "E", probes, nC, nProbe = nC, k = 3)
+    assert(canon(ZSet.consolidate(r1.output)) === canon(r1.recompute))
+    // churn AFTER the swap: retract the NEW best — the rescan now runs
+    // against the requantized buckets (the state the swap rebuilt), so an
+    // off-by-state swap would either miss the group or refill stale rows
+    retract(r1, topHit(r1))
+    assert(rescans(r1) >= 1L)
+    assert(canon(ZSet.consolidate(r1.output)) === canon(r1.recompute))
+    // a retraction that touches NO top hit after the swap stays merge-only
+    // (inputState returns plain rows — multiplicities already expanded)
+    val kept = r1.inputState("E")
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    val tops = ZSet.consolidate(r1.output)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val nonTop = (kept -- tops).head
+    retract(r1, nonTop)
+    assert(rescans(r1) === 0L)
+    assert(canon(ZSet.consolidate(r1.output)) === canon(r1.recompute))
+  }
+
   /** raise_error surfaces through task/job wrapping — search the whole
     * cause chain for the guard's message. */
   private def messageChain(t: Throwable): String =
