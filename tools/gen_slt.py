@@ -2746,6 +2746,117 @@ def gen_selfjoin():
     return f
 
 
+def gen_select9():
+    """Volume family (r11 verdict #9): a second, larger deep-expression
+    sweep over t1 — same Spark/DuckDB-safe operator palette as select7
+    (no division, no col*col overflow, %% only over abs with a literal)
+    plus BETWEEN / IN-list / NOT predicate forms. Single 32-row table and
+    shallow plans keep the per-record spark.sql round trip cheap, so the
+    family adds corpus volume at minimal suite wall-time."""
+    f = File("select9.test")
+    t1_statements(f)
+
+    # private stream: appending this family must not shift the shared rng
+    # consumed by earlier generators (their frozen files stay byte-stable)
+    rng = random.Random(20260815)
+
+    cols = ["a", "b", "c", "d", "e"]
+
+    def leaf():
+        r = rng.randrange(7)
+        if r < 5:
+            return cols[rng.randrange(5)]
+        return str(rng.randrange(1, 200))
+
+    def cond(depth):
+        r = rng.randrange(11)
+        e1, e2 = expr(depth - 1), expr(depth - 1)
+        if r == 0:
+            return f"{cols[rng.randrange(5)]} IS NULL"
+        if r == 1:
+            return f"{cols[rng.randrange(5)]} IS NOT NULL"
+        if r == 2 and depth > 1:
+            return f"({cond(depth - 1)} AND {cond(depth - 1)})"
+        if r == 3 and depth > 1:
+            return f"({cond(depth - 1)} OR {cond(depth - 1)})"
+        if r == 4 and depth > 1:
+            return f"(NOT {cond(depth - 1)})"
+        if r == 5:
+            lo = rng.randrange(80, 180)
+            return f"{e1} BETWEEN {lo} AND {lo + rng.randrange(5, 90)}"
+        if r == 6:
+            vals = sorted(rng.randrange(90, 260) for _ in range(rng.randrange(2, 6)))
+            return f"(abs({e1}) % 256) IN ({', '.join(str(v) for v in vals)})"
+        op = ["<", "<=", ">", ">=", "=", "<>"][rng.randrange(6)]
+        return f"{e1} {op} {e2}"
+
+    def expr(depth):
+        if depth <= 0:
+            return leaf()
+        r = rng.randrange(10)
+        e1, e2 = expr(depth - 1), expr(depth - 1)
+        if r == 0:
+            return f"({e1} + {e2})"
+        if r == 1:
+            return f"({e1} - {e2})"
+        if r == 2:
+            return f"{rng.randrange(2, 4)} * {e1}"
+        if r == 3:
+            return f"abs({e1} - {e2})"
+        if r == 4:
+            return f"least({e1}, {e2})"
+        if r == 5:
+            return f"greatest({e1}, {e2})"
+        if r == 6:
+            return f"coalesce({e1}, {e2})"
+        if r == 7:
+            return f"nullif({e1}, {e2})"
+        if r == 8:
+            return f"(abs({e1}) % {rng.randrange(2, 10)})"
+        return f"CASE WHEN {cond(depth - 1)} THEN {e1} ELSE {e2} END"
+
+    # single expression: ordered / filtered / unordered (valuesort)
+    for i in range(5200):
+        e = expr(2 + i % 2)
+        if i % 3 == 0:
+            f.query(f"SELECT {e} FROM t1 ORDER BY a", "I", "nosort")
+        elif i % 3 == 1:
+            f.query(f"SELECT {e} FROM t1 WHERE {cond(2)} ORDER BY a",
+                    "I", "nosort")
+        else:
+            f.query(f"SELECT {e} FROM t1", "I", "valuesort")
+
+    # predicate-focused records (projection kept trivial)
+    for i in range(4300):
+        f.query(f"SELECT a FROM t1 WHERE {cond(3)} ORDER BY a", "I", "nosort")
+
+    # expression pairs
+    for i in range(3200):
+        f.query(f"SELECT {expr(2)}, {expr(2)} FROM t1 ORDER BY a",
+                "II", "nosort")
+
+    # aggregates over nested expressions, with and without filters
+    for i in range(2400):
+        e = expr(1 + i % 2)
+        agg = ["sum", "min", "max", "count"][i % 4]
+        w = f" WHERE {cond(2)}" if i % 2 == 0 else ""
+        f.query(f"SELECT {agg}({e}) FROM t1{w}", "I", "nosort")
+
+    # grouped aggregates over expression keys
+    for i in range(1200):
+        key = f"abs({expr(1)}) % {rng.randrange(3, 6)}"
+        f.query(
+            f"SELECT {key}, sum({expr(2)}) FROM t1 GROUP BY {key}",
+            "II", "rowsort")
+
+    # expression ORDER BY (deterministic via trailing a)
+    for i in range(700):
+        f.query(
+            f"SELECT a, {expr(2)} FROM t1 ORDER BY {expr(1)} NULLS FIRST, a",
+            "II", "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
@@ -2754,7 +2865,7 @@ def main():
               gen_grouping, gen_string, gen_select8, gen_winjoin,
               gen_orderlimit, gen_recursive, gen_bagset, gen_lateral,
               gen_temporal, gen_scalarexpr, gen_recursive_distinct,
-              gen_selfjoin):
+              gen_selfjoin, gen_select9):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
