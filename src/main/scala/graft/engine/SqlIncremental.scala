@@ -988,8 +988,93 @@ object SqlIncremental {
     * goes negative. Conjunctions inside a disjunct chain the filters;
     * leaves reuse the [NOT] IN / EXISTS circuit builders (computed
     * probes included) and plain predicates apply as `where`. */
-  private def passing(n0: Inc, outerNames: Seq[String], d: Expression,
-                      sources: Map[String, String]): Inc = d match {
+  /** A ListQuery whose body itself references the outer query (beyond the
+    * probe): `a IN (SELECT k FROM t3 WHERE v > b)`. The uncorrelated IN
+    * circuits walk lq.plan directly, which would plant an un-substituted
+    * OuterReference in the compiled filter — it survives analysis and
+    * then kills codegen at EVAL time, so it must never reach them. */
+  private def correlatedList(lq: ListQuery): Boolean =
+    lq.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
+
+  /** Correlated [NOT] IN → the equivalent EXISTS, with the probe equality
+    * pushed BELOW the subquery's projection chain (substituting projected
+    * aliases) so decorrelateExists sees `innerAttr = outer(probe)` as a
+    * keyable conjunct next to the body's own correlation:
+    * `a IN (SELECT k FROM t3 WHERE v > b)` becomes
+    * `EXISTS(t3 WHERE k = outer(a) AND v > outer(b))` — the existing
+    * equality-key + inequality-residual semi-join circuit. A computed
+    * subquery output (`SELECT v - 100 ...`) substitutes to a non-attribute
+    * equality, which lands in the residual bucket; if NO equality pair
+    * remains, decorrelateExists rejects and the record falls back. As a
+    * WHERE conjunct UNKNOWN ≡ FALSE, so the null-rejecting equality is
+    * exact for IN; NOT IN additionally needs both sides provably
+    * non-NULL (a NULL-blocked row must fail, which NOT EXISTS over a
+    * null-rejecting match cannot express) — the caller guards that. */
+  private def correlatedInAsExists(vs: Seq[Expression], lq: ListQuery): Exists = {
+    def peel(p: LogicalPlan, exprs: Seq[Expression])
+        : (LogicalPlan, Seq[Expression]) = p match {
+      case Project(list, c) =>
+        val defs = list.collect { case al: Alias => al.exprId -> al.child }.toMap
+        peel(c, exprs.map(_.transformUp {
+          case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
+        }))
+      case s: SubqueryAlias => peel(s.child, exprs)
+      case _ => (p, exprs)
+    }
+    val (base, outs) = peel(lq.plan, lq.plan.output)
+    val eqs = outs.zip(vs).map { case (o, v) =>
+      EqualTo(o, v.transform { case a: AttributeReference => OuterReference(a) })
+    }
+    // merge into an existing top Filter rather than stacking a new one:
+    // decorrelateExists strips correlated conjuncts per Filter node, and
+    // a replace-then-descend transform would skip a Filter that becomes
+    // the root after its parent is stripped
+    val plan2 = base match {
+      case Filter(c, ch) => Filter(And(eqs.reduce(And), c), ch)
+      case other => Filter(eqs.reduce(And), other)
+    }
+    Exists(plan2)
+  }
+
+  /** Reject-or-rewrite pass for correlated [NOT] IN conjuncts (must run
+    * before the uncorrelated IN branches match). NOT IN over nullable
+    * columns with a correlated body has no keyed circuit here — the
+    * null-blocker exists-test (`∀i: e_i = v_i OR e_i IS NULL OR v_i IS
+    * NULL`) carries no equality conjunct to key a semi join — so it
+    * rejects for the spark.sql fallback instead of lowering wrongly. */
+  private def rewriteCorrelatedIns(e: Expression): Expression = e.transformDown {
+    case Not(InSubquery(vs, lq: ListQuery)) if correlatedList(lq) =>
+      if (vs.exists(_.nullable) || lq.plan.output.exists(_.nullable))
+        throw new UnsupportedPlanException(
+          "correlated NOT IN over nullable columns: the 3VL null-blocker " +
+            "test has no equality conjunct to key a semi join — declare " +
+            "the columns NOT NULL or rewrite as NOT EXISTS")
+      guardCorrUnderAgg(lq)
+      Not(correlatedInAsExists(vs, lq))
+    case InSubquery(vs, lq: ListQuery) if correlatedList(lq) =>
+      guardCorrUnderAgg(lq)
+      correlatedInAsExists(vs, lq)
+  }
+
+  /** decorrelateExists strips correlated conjuncts from ANY Filter depth;
+    * under an Aggregate that would change what gets aggregated (the
+    * per-outer-row aggregate becomes a global one). Reject the shape so
+    * it falls back instead of lowering wrongly. */
+  private def guardCorrUnderAgg(lq: ListQuery): Unit = {
+    val bad = lq.plan.exists {
+      case a: Aggregate => a.child.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
+      case _ => false
+    }
+    if (bad) throw new UnsupportedPlanException(
+      "correlated IN with the correlation below an aggregate: the keyed " +
+        "semi-join lowering cannot preserve per-outer-row aggregation")
+  }
+
+  private def passing(n0: Inc, outerNames: Seq[String], d0: Expression,
+                      sources: Map[String, String]): Inc = {
+    val d = rewriteCorrelatedIns(d0)
+    d match {
     case And(a, b) =>
       passing(passing(n0, outerNames, a, sources), outerNames, b, sources)
     case Or(_, _) =>
@@ -1024,7 +1109,7 @@ object SqlIncremental {
       n0.where(toColumn(p))
     case other => throw new UnsupportedPlanException(
       s"unsupported subquery shape in filter predicate: $other")
-  }
+  } }
 
   /** Materialize computed IN-probe expressions as linear helper columns
     * (`__inpK`), returning the widened node and one probe attribute per
@@ -1051,8 +1136,12 @@ object SqlIncremental {
   /** Filter compilation with subquery-predicate lowering: conjuncts that
     * are EXISTS / [NOT] IN subqueries become semi/anti join circuit edges;
     * the rest apply as a plain filter. */
-  private def compileFilter(cond: Expression, child: LogicalPlan,
+  private def compileFilter(cond0: Expression, child: LogicalPlan,
                             sources: Map[String, String]): Inc = {
+    // correlated [NOT] IN conjuncts become EXISTS before any branch can
+    // route them to the uncorrelated IN circuits (which would compile the
+    // OuterReference into the plan and die at eval)
+    val cond = rewriteCorrelatedIns(cond0)
     var node = walk(child, sources)
     val plain = Seq.newBuilder[Expression]
     val scalarConjs = Seq.newBuilder[Expression]
@@ -1881,7 +1970,12 @@ object SqlIncremental {
       case EqualTo(OuterReference(o), a: AttributeReference) => Some(a -> o)
       case _ => None
     }
-    val stripped = ex.plan.transform {
+    // transformUp, not transformDown: stripping a Filter replaces it with
+    // its child, and a down-transform never re-applies the rule to the
+    // replacement — stacked correlated Filters (which the correlated-IN
+    // rewrite can synthesize) would leak an un-stripped OuterReference
+    // into the compiled circuit
+    val stripped = ex.plan.transformUp {
       case Filter(c, ch) =>
         val (corr, rest) = splitAnd(c).partition(_.exists(_.isInstanceOf[OuterReference]))
         corr.foreach { conj =>
