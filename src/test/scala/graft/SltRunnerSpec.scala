@@ -143,7 +143,8 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("aggregate.test", 1, 620), ("subquery.test", 1, 1140),
         ("bagset.test", 1, 255), ("lateral.test", 1, 64),
         ("selfjoin.test", 1, 83), ("join.test", 5, 1000),
-        ("window.test", 2, 200), ("winjoin.test", 4, 380))) {
+        ("window.test", 2, 200), ("winjoin.test", 4, 380),
+        ("select6.test", 1, 750))) {
       viaEngine = 0; seen = 0; sampleEvery = every
       val o = graft.testing.SltRunner.runResource(spark, s"/slt/$file", exec)
       assert(o.failed.isEmpty,
