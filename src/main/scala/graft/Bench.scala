@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -80,25 +81,66 @@ object Bench {
     }
     val canaries = scala.collection.mutable.ArrayBuffer(canary())
 
-    // Between-query load gate (r11 verdict #10): the launch gate alone
-    // can't stop a mid-run spike from landing inside a single query's
-    // window and turning the cross-round per-query delta into mush. Each
-    // query may wait (briefly, from a SHARED budget so a permanently busy
-    // box can't stall the run) for load to drop back under the bar; the
-    // accumulated wait is reported so a contended run stays attributable.
-    val interBudget = new java.util.concurrent.atomic.AtomicLong(
-      sys.env.getOrElse("SPARK_GRAFT_INTER_WAIT_S", "300").toLong * 1000)
+    // Between-query load gate (r11 verdict #10, redesigned r13): the
+    // r12 gate polled the 1-MINUTE load average, which right after a
+    // 32-core query is dominated by the bench's OWN just-finished work —
+    // it burned the whole shared budget waiting for its own decay and
+    // left the alphabetical tail unprotected (r12 verdict "What's wrong"
+    // #2). The r13 gate measures EXTERNAL pressure directly: the kernel's
+    // instantaneous runnable count (/proc/loadavg field 4) minus this
+    // JVM's own currently-running tasks (/proc/self/task/*/stat state R)
+    // — between queries the bench is idle, so anything left is another
+    // process. Samples are medianed over 2.5 s to de-spike. The wait
+    // budget is PER-QUERY (not a shared pool a noisy head can starve),
+    // with env parses validated so a malformed value can't abort the run.
+    def envLong(key: String, default: Long): Long =
+      scala.util.Try(sys.env.get(key).map(_.trim.toLong)).toOption
+        .flatten.getOrElse {
+          sys.env.get(key).foreach(v => System.err.println(
+            s"[bench] ignoring malformed $key='$v', using $default"))
+          default
+        }
+    def runnableExternal(): Int = {
+      val total = scala.util.Try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")))
+        s.split("\\s+")(3).split("/")(0).toInt
+      }.getOrElse(0)
+      val own = scala.util.Try {
+        java.nio.file.Files.list(java.nio.file.Paths.get("/proc/self/task"))
+          .iterator().asScala.count { t =>
+            scala.util.Try {
+              val st = new String(java.nio.file.Files.readAllBytes(
+                t.resolve("stat")))
+              st.substring(st.lastIndexOf(')') + 2).startsWith("R")
+            }.getOrElse(false)
+          }
+      }.getOrElse(0)
+      math.max(0, total - own)
+    }
+    // median of 5 instantaneous samples, 0.5 s apart — cheap (2.5 s/query
+    // when gating is needed, 0 s when SPARK_GRAFT_INTER_WAIT_S=0)
+    def externalPressure(): Int = {
+      val xs = (1 to 5).map { i =>
+        if (i > 1) Thread.sleep(500); runnableExternal()
+      }
+      xs.sorted.apply(2)
+    }
+    val externalBar = envLong("SPARK_GRAFT_EXTERNAL_RUNNABLE_BAR", 3L).toInt
+    val perQueryWaitMs = envLong("SPARK_GRAFT_INTER_WAIT_S", 20L) * 1000
     var interWaitMs = 0L
     var interWaited = 0
-    def waitQuiet(name: String): Unit = {
+    def waitQuiet(name: String): Unit = if (perQueryWaitMs > 0) {
+      var budget = perQueryWaitMs
       var waited = false
-      while (load1() > quietBar && interBudget.get() > 0) {
+      var p = externalPressure()
+      while (p > externalBar && budget > 0) {
         if (!waited) System.err.println(
-          f"[bench] $name: load ${load1()}%.1f > $quietBar%.1f — pausing")
+          s"[bench] $name: external runnable $p > $externalBar — pausing")
         waited = true
         Thread.sleep(5000)
-        interBudget.addAndGet(-5000)
-        interWaitMs += 5000
+        budget -= 5000; interWaitMs += 5000
+        p = externalPressure()
       }
       if (waited) interWaited += 1
     }
@@ -107,6 +149,10 @@ object Bench {
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i == ordered.size / 2) canaries += canary()
       waitQuiet(name)
+      // load context BEFORE t0: the 1-min average (attribution vs prior
+      // rounds) and the gate's own external-runnable reading
+      val preLoad = load1()
+      val preExt = runnableExternal()
       val before = env.snap()
       val t0 = System.nanoTime()
       // NonFatal only: after an OOM/StackOverflow the JVM is corrupted and
@@ -125,7 +171,10 @@ object Bench {
       // (incremental Runner traces, fixpoint results) so later queries are
       // measured against a clean executor, not this query's leftovers.
       spark.catalog.clearCache()
-      (name, t, ok, env.diffJson(before))
+      val d = env.diffJson(before)
+      val dWithPre =
+        f"""{"load_pre":$preLoad%.1f,"ext_runnable_pre":$preExt,""" + d.drop(1)
+      (name, t, ok, dWithPre)
     }
     canaries += canary()
     val qs = results.map { case (k, v, ok, _) =>

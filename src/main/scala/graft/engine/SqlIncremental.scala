@@ -804,9 +804,12 @@ object SqlIncremental {
       // circuit walker treats bare Sorts as presentation and drops them,
       // so the order is SEMANTIC here: pull the underlying Sort's keys
       // into the rebuilt window spec (a global sort restricted to a
-      // partition IS the per-partition order). Without a pullable sort an
-      // order-sensitive function with an empty spec cannot be rebuilt —
-      // reject at compile time rather than fail at eval.
+      // partition IS the per-partition order). The pull is ALL-or-
+      // nothing: if any key of the underlying Sort was projected away
+      // above it, a partial pull would rank by a strict subset of the
+      // order — possibly only the tie-breaker — silently mis-numbering
+      // rows. Treat a lossy pull as no order so the needsOrder guard
+      // rejects at compile time rather than fail (or lie) at eval.
       val effOrder: Seq[SortOrder] =
         if (w.orderSpec.nonEmpty) w.orderSpec
         else {
@@ -816,8 +819,10 @@ object SqlIncremental {
             case _ => Nil
           }
           val childNames = w.child.output.map(_.name.toLowerCase).toSet
-          findSort(w.child).filter(_.references.forall(a =>
-            childNames.contains(a.name.toLowerCase)))
+          val pulled = findSort(w.child)
+          if (pulled.nonEmpty && pulled.forall(_.references.forall(a =>
+            childNames.contains(a.name.toLowerCase)))) pulled
+          else Nil
         }
       val needsOrder = w.windowExpressions.exists(_.exists {
         case _: RankLike | _: RowNumberLike | _: OffsetWindowFunction => true
@@ -1061,9 +1066,16 @@ object SqlIncremental {
     * per-outer-row aggregate becomes a global one). Reject the shape so
     * it falls back instead of lowering wrongly. */
   private def guardCorrUnderAgg(lq: ListQuery): Unit = {
+    // The correlation is "below" the aggregate if it appears in the
+    // Aggregate's OWN expressions (grouping keys / aggregate list — e.g.
+    // `SELECT max(v + outer.b)`) just as much as in a child Filter; scan
+    // both or the rewrite plants an OuterReference the semi-join lowering
+    // never substitutes (eval-time failure at best, wrong rows at worst).
     val bad = lq.plan.exists {
-      case a: Aggregate => a.child.exists(
-        _.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
+      case a: Aggregate =>
+        a.expressions.exists(_.exists(_.isInstanceOf[OuterReference])) ||
+        a.child.exists(
+          _.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
       case _ => false
     }
     if (bad) throw new UnsupportedPlanException(

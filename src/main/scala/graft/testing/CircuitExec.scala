@@ -26,6 +26,17 @@ import org.apache.spark.sql.GraftSqlBridge
   */
 object CircuitExec {
 
+  /** Eval-time analysis failures: compile() ACCEPTED the plan but a
+    * rebuilt fragment failed re-analysis inside batch()/collect(). These
+    * are mis-rebuilt plans, not sound-boundary rejects — they still fall
+    * back so the record verifies, but they're counted separately so the
+    * cross-check spec can assert the count stays at zero instead of
+    * letting a targeted lowering regression hide in the fallback bucket
+    * (only the aggregate per-family floor would catch it otherwise). */
+  private val evalFailureCount = new java.util.concurrent.atomic.AtomicLong
+  def evalFailures: Long = evalFailureCount.get
+  def resetEvalFailures(): Unit = evalFailureCount.set(0L)
+
   /** Try to evaluate one SLT query record through the circuit compiler.
     * None = this record needs a spark.sql fallback (unsupported shape,
     * or a nosort ORDER BY whose keys aren't in the output). Throws
@@ -38,20 +49,27 @@ object CircuitExec {
       if (!needsOrder) Some(Nil)
       else topSortCols(s.sql(q).queryExecution.analyzed)
     presentation.flatMap { sortCols =>
-      // The try spans EVALUATION too, not just compile: rebuilt plan
-      // fragments re-analyze lazily inside batch()/collect(), so an
-      // AnalysisException there must also mean "fall back", never a
-      // record failure (the lowered-count floor still catches silent
-      // wholesale regressions to the fallback path).
-      try {
-        val inc = SqlIncremental.compile(s, q, srcs)
-        val in = srcs.map(n => n -> ZSet.fromRows(s.table(n))).toMap
-        val out = ZSet.toRows(ZSet.consolidate(inc.batch(in)))
-        val ordered = if (sortCols.isEmpty) out else out.sort(sortCols: _*)
-        Some(ordered.collect().toSeq)
-      } catch {
-        case _: SqlIncremental.UnsupportedPlanException => None
-        case _: org.apache.spark.sql.AnalysisException => None
+      // Compile and eval fail SEPARATELY: an UnsupportedPlanException or
+      // AnalysisException at compile time is a sound-boundary reject; an
+      // AnalysisException during batch()/collect() (rebuilt fragments
+      // re-analyze lazily) is a mis-rebuilt plan and bumps evalFailures
+      // before falling back, so the spec can pin that count to zero.
+      val compiled =
+        try Some(SqlIncremental.compile(s, q, srcs))
+        catch {
+          case _: SqlIncremental.UnsupportedPlanException => None
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      compiled.flatMap { inc =>
+        try {
+          val in = srcs.map(n => n -> ZSet.fromRows(s.table(n))).toMap
+          val out = ZSet.toRows(ZSet.consolidate(inc.batch(in)))
+          val ordered = if (sortCols.isEmpty) out else out.sort(sortCols: _*)
+          Some(ordered.collect().toSeq)
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            evalFailureCount.incrementAndGet(); None
+        }
       }
     }
   }

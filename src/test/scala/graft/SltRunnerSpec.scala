@@ -146,12 +146,19 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("window.test", 2, 200), ("winjoin.test", 4, 380),
         ("select6.test", 1, 750))) {
       viaEngine = 0; seen = 0; sampleEvery = every
+      graft.testing.CircuitExec.resetEvalFailures()
       val o = graft.testing.SltRunner.runResource(spark, s"/slt/$file", exec)
       assert(o.failed.isEmpty,
         s"$file via engine: ${o.failed.size} failures; first: " +
           o.failed.take(3).mkString("\n"))
       assert(viaEngine >= atLeast,
         s"$file: only $viaEngine queries took the engine path")
+      // Eval-time analysis failures are mis-rebuilt plans (compile
+      // accepted, re-analysis died); they must not hide in the fallback
+      // bucket — pin to zero per family.
+      assert(graft.testing.CircuitExec.evalFailures == 0L,
+        s"$file: ${graft.testing.CircuitExec.evalFailures} eval-time " +
+          "analysis failures were silently reclassified as fallbacks")
       info(s"$file: $viaEngine of ${o.passed} queries via the circuit compiler")
     }
   }

@@ -215,6 +215,47 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("LIMIT without ORDER BY"))
   }
 
+  test("ordered-LIMIT lateral whose primary sort key is projected away: " +
+    "reject or exact — never a partial-order ranking") {
+    // The pulled-sort recovery rebuilds a decorrelated lateral's window
+    // order from the Sort BELOW the window. If the inner SELECT projects
+    // the primary sort key away (here `c`), a partial pull would keep
+    // only the tie-breaker `b` and silently rank by the WRONG order
+    // (picking b=10 instead of the c-DESC winner b=20). The pull is
+    // all-or-nothing: either every sort key resolves in the window
+    // child's output and the circuit's answer is exact, or the compile
+    // rejects to the spark.sql fallback. Data is chosen so the partial
+    // order and the true order disagree on every group.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE PLO (k BIGINT NOT NULL);
+        |CREATE TABLE PLI (k BIGINT NOT NULL, b BIGINT NOT NULL, c BIGINT NOT NULL);
+        |CREATE VIEW PLV AS SELECT o.k, y.b FROM PLO o, LATERAL
+        |  (SELECT b FROM PLI WHERE PLI.k = o.k ORDER BY c DESC, b LIMIT 1) y""".stripMargin)
+    import spark.implicits._
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("PLO")
+    Seq((1L, 10L, 1L), (1L, 20L, 9L), (2L, 5L, 2L), (2L, 7L, 8L))
+      .toDF("k", "b", "c").createOrReplaceTempView("PLI")
+    val want = canon(spark.sql(
+      "SELECT o.k, y.b FROM PLO o, LATERAL (SELECT b FROM PLI " +
+        "WHERE PLI.k = o.k ORDER BY c DESC, b LIMIT 1) y"))
+    try {
+      val inc = SqlIncremental.compile(spark,
+        "SELECT o.k, y.b FROM PLO o, LATERAL (SELECT b FROM PLI " +
+          "WHERE PLI.k = o.k ORDER BY c DESC, b LIMIT 1) y",
+        Set("PLO", "PLI"))
+      val in = Map("PLO" -> ZSet.fromRows(spark.table("PLO")),
+        "PLI" -> ZSet.fromRows(spark.table("PLI")))
+      val got = canon(ZSet.toRows(ZSet.consolidate(inc.batch(in))))
+      assert(got === want,
+        "lossy pulled sort produced a partial-order ranking")
+      info("lateral with projected-away sort key: lowered, exact")
+    } catch {
+      case ex: SqlIncremental.UnsupportedPlanException =>
+        info(s"lateral with projected-away sort key: rejected (${ex.getMessage})")
+    }
+  }
+
   test("global aggregate view: zero row on empty state, maintained through retraction to empty") {
     val e = new Engine(spark)
     e.executeScript(
