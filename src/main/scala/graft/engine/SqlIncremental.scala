@@ -89,6 +89,19 @@ object SqlIncremental {
     walk(dedupJoinNames(rooted), byLower)
   }
 
+  /** Debug-only: the plan as the circuit walker will see it (CTEs
+    * inlined, laterals decorrelated, join names deduped). */
+  private[graft] def debugLowered(spark: SparkSession, sql: String): LogicalPlan = {
+    val analyzed = spark.sql(sql).queryExecution.analyzed
+    val inlined = inlineCtes(analyzed)
+    val decorr = decorrelateLaterals(inlined)
+    val rooted =
+      if (decorr eq inlined) inlined
+      else Project(
+        inlined.output.map(a => Alias(a, a.name)(): NamedExpression), decorr)
+    dedupJoinNames(rooted)
+  }
+
   /** Compile with per-call tuning overrides (e.g. the range-join bin
     * width) instead of mutating the SHARED session conf — a `conf.set` on
     * a session other queries are concurrently planning against would
@@ -187,7 +200,17 @@ object SqlIncremental {
     val newName = mutable.Map.empty[ExprId, String]
     val deduped0 = p.transformUpWithNewOutput {
       case j @ Join(left, right, joinType, cond, _) =>
-        val leftNames = left.output.map(_.name.toLowerCase).toSet
+        // Effective (post-rename) names: renames from already-visited
+        // joins only land as ATTRIBUTE names in the second pass below, so
+        // at visit time an attribute's `name` can be stale. Chained
+        // double-LATERALs hit exactly this — the second domain join's
+        // condition pairs the copied subtree's fresh attr against an
+        // already-renamed one; judging "same-named key" by the stale name
+        // marks it mergeable, skips the rename, and the walker later
+        // rejects the collision. Consult the plan-global rename registry.
+        def eff(a: Attribute): String =
+          newName.getOrElse(a.exprId, a.name)
+        val leftNames = left.output.map(eff(_).toLowerCase).toSet
         val mergeable = joinType match {
           case _: InnerLike | LeftSemi | LeftAnti => true
           case _ => false
@@ -195,15 +218,15 @@ object SqlIncremental {
         val keepSame: Set[ExprId] =
           if (!mergeable) Set.empty
           else analyzeCondition(cond, left, right)._1.collect {
-            case EquiPair(a, b, _) if a.name.equalsIgnoreCase(b.name) =>
+            case EquiPair(a, b, _) if eff(a).equalsIgnoreCase(eff(b)) =>
               b.exprId
           }.toSet
         val clash = right.output.filter(a =>
-          leftNames.contains(a.name.toLowerCase) && !keepSame.contains(a.exprId))
+          leftNames.contains(eff(a).toLowerCase) && !keepSame.contains(a.exprId))
         if (clash.isEmpty) j -> Nil
         else {
           val renames: Map[ExprId, Alias] = clash.map(a => a.exprId ->
-            Alias(a, s"${a.name}__r${dedupCounter.incrementAndGet()}")()).toMap
+            Alias(a, s"${eff(a)}__r${dedupCounter.incrementAndGet()}")()).toMap
           val projList: Seq[NamedExpression] =
             right.output.map(a => renames.getOrElse(a.exprId, a))
           val newCond = cond.map(_.transformUp {
@@ -804,15 +827,29 @@ object SqlIncremental {
       // circuit walker treats bare Sorts as presentation and drops them,
       // so the order is SEMANTIC here: pull the underlying Sort's keys
       // into the rebuilt window spec (a global sort restricted to a
-      // partition IS the per-partition order). The pull is ALL-or-
-      // nothing: if any key of the underlying Sort was projected away
-      // above it, a partial pull would rank by a strict subset of the
-      // order — possibly only the tie-breaker — silently mis-numbering
-      // rows. Treat a lossy pull as no order so the needsOrder guard
-      // rejects at compile time rather than fail (or lie) at eval.
-      val effOrder: Seq[SortOrder] =
-        if (w.orderSpec.nonEmpty) w.orderSpec
+      // partition IS the per-partition order). The pull must be LOSSLESS:
+      // a partial pull would rank by a strict subset of the order —
+      // possibly only the tie-breaker — silently mis-numbering rows. If
+      // projections between the window and the Sort dropped some keys,
+      // WIDEN those projections so the keys survive to the window eval
+      // (they're consumed by the rebuilt spec and dropped from the
+      // output); if widening can't be done safely (name collision,
+      // non-Project node in between), reject instead of partial-pulling.
+      val (effChild: LogicalPlan, effOrder: Seq[SortOrder]) =
+        if (w.orderSpec.nonEmpty) (w.child, w.orderSpec)
         else {
+          def widen(p: LogicalPlan, missing: Seq[Attribute])
+              : Option[LogicalPlan] = p match {
+            case s @ Sort(_, true, _, _)
+                if missing.forall(m => s.output.exists(_.exprId == m.exprId)) =>
+              Some(s)
+            case pr @ Project(list, c) =>
+              val names = list.map(_.name.toLowerCase).toSet
+              if (missing.exists(m => names.contains(m.name.toLowerCase))) None
+              else widen(c, missing).map(c2 =>
+                Project(list ++ missing, c2))
+            case _ => None
+          }
           def findSort(p: LogicalPlan): Seq[SortOrder] = p match {
             case Sort(o, true, _, _) => o
             case Project(_, c) => findSort(c)
@@ -820,9 +857,17 @@ object SqlIncremental {
           }
           val childNames = w.child.output.map(_.name.toLowerCase).toSet
           val pulled = findSort(w.child)
-          if (pulled.nonEmpty && pulled.forall(_.references.forall(a =>
-            childNames.contains(a.name.toLowerCase)))) pulled
-          else Nil
+          if (pulled.isEmpty) (w.child, Nil)
+          else {
+            val missing = pulled.flatMap(_.references)
+              .filterNot(a => childNames.contains(a.name.toLowerCase))
+              .groupBy(_.exprId).map(_._2.head).toSeq
+            if (missing.isEmpty) (w.child, pulled)
+            else widen(w.child, missing) match {
+              case Some(wc) => (wc, pulled)
+              case None => (w.child, Nil)
+            }
+          }
         }
       val needsOrder = w.windowExpressions.exists(_.exists {
         case _: RankLike | _: RowNumberLike | _: OffsetWindowFunction => true
@@ -855,12 +900,18 @@ object SqlIncremental {
           acc.transform { case x if x.semanticEquals(e) => UnresolvedAttribute.quoted(n) }
         })
       }
+      // eval selects the ORIGINAL child columns — any sort keys the
+      // widening appended are consumed by the window spec and dropped
       val eval = (rows: DataFrame) => rows.select(childCols ++ winCols: _*)
       val base = {
-        val b = walk(w.child, sources)
+        val b = walk(effChild, sources)
         if (computed.isEmpty) b
-        else b.select(childCols ++
-          computed.map { case (e, n) => toColumn(e).as(n) }: _*)
+        else {
+          val extraCols = effChild.output.drop(w.child.output.size)
+            .map(a => org.apache.spark.sql.functions.col(a.name))
+          b.select(childCols ++ extraCols ++
+            computed.map { case (e, n) => toColumn(e).as(n) }: _*)
+        }
       }
       // A window without PARTITION BY has a single global partition — every
       // delta touches it, so it degrades to whole-state re-evaluation (the

@@ -79,6 +79,57 @@ object IncrementalQ {
     // equi keys AND a residual predicate in the ON clause, compiled from
     // text (JoinConditionAnalyzer-style decomposition), maintained through
     // insert + retraction steps.
+    // WHOLE-PROGRAM standing maintenance through the PUBLIC Engine API:
+    // a DDL script declares 2 tables and 3 views sharing one join
+    // subtree, and Engine.incrementalRunner compiles them TOGETHER with
+    // structural CSE (the reference's MultiViewTests axis composed with
+    // its `-i` incremental mode). One Runner advances the shared join
+    // trace once per step; insert AND retraction waves on both inputs;
+    // the gate compares the tagged union of all three consolidated views
+    // against the same program over the net state in DuckDB.
+    "q174_incremental_program" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.executeScript(
+        """CREATE TABLE PORD (o_orderkey BIGINT NOT NULL,
+                              o_custkey BIGINT NOT NULL,
+                              o_totalprice DOUBLE NOT NULL);
+          |CREATE TABLE PCUST (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR NOT NULL);
+          |CREATE VIEW V_DETAIL AS
+          |  SELECT c_mktsegment AS seg, o_orderkey AS k,
+          |         CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+          |  FROM PORD JOIN PCUST ON o_custkey = c_custkey;
+          |CREATE VIEW V_TOTALS AS
+          |  SELECT c_mktsegment AS seg, COUNT(*) AS k,
+          |         SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS v
+          |  FROM PORD JOIN PCUST ON o_custkey = c_custkey
+          |  GROUP BY c_mktsegment;
+          |CREATE VIEW V_BIG AS
+          |  SELECT c_mktsegment AS seg, o_orderkey AS k, CAST(0 AS BIGINT) AS v
+          |  FROM PORD JOIN PCUST ON o_custkey = c_custkey
+          |  WHERE o_totalprice > 150000""".stripMargin)
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val r = e.incrementalRunner(Seq("V_DETAIL", "V_TOTALS", "V_BIG"))
+      r.bootstrap(Map(
+        "PORD" -> ord.filter(col("o_orderkey") % 7 =!= 0),
+        "PCUST" -> cust))
+      r.stepAll(Map("PORD" -> ZSet.fromRows(
+        ord.filter(col("o_orderkey") % 7 === 0))))
+      r.stepAll(Map("PORD" -> ZSet.negate(ZSet.fromRows(
+        ord.filter(col("o_custkey") % 10 === 3)))))
+      r.stepAll(Map("PCUST" -> ZSet.negate(ZSet.fromRows(
+        cust.filter(col("c_mktsegment") === "BUILDING")))))
+      def tag(n: String, t: String): DataFrame =
+        ZSet.toRows(ZSet.consolidate(r.output(n)))
+          .select(lit(t).as("vw"), col("seg"), col("k"), col("v"))
+      tag("V_DETAIL", "detail")
+        .unionByName(tag("V_TOTALS", "totals"))
+        .unionByName(tag("V_BIG", "big"))
+    }),
+
     "q96_incremental_sql_join" -> ((s, d) => {
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
@@ -1162,6 +1213,22 @@ object IncrementalQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_incremental_program" ->
+      """WITH po AS (SELECT o_orderkey, o_custkey, o_totalprice
+                     FROM orders WHERE o_custkey % 10 <> 3),
+              pc AS (SELECT c_custkey, c_mktsegment
+                     FROM customer WHERE c_mktsegment <> 'BUILDING'),
+              j AS (SELECT c_mktsegment AS seg, o_orderkey, o_totalprice
+                    FROM po JOIN pc ON o_custkey = c_custkey)
+         SELECT 'detail' AS vw, seg, o_orderkey AS k,
+                CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM j
+         UNION ALL
+         SELECT 'totals' AS vw, seg, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+         FROM j GROUP BY seg
+         UNION ALL
+         SELECT 'big' AS vw, seg, o_orderkey AS k, CAST(0 AS BIGINT) AS v
+         FROM j WHERE o_totalprice > 150000""",
     "q168_incremental_self_join" ->
       """WITH ls AS (SELECT l_orderkey, l_linenumber, l_quantity
                      FROM lineitem

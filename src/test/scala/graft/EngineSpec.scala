@@ -112,6 +112,51 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big === Set(("a", 12L), ("b", 23L)))
   }
 
+  test("structural CSE: three views sharing one JOIN keep one join trace " +
+    "(the q174 program shape)") {
+    import org.apache.spark.sql.functions.col
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE JO (ok BIGINT NOT NULL, ck BIGINT NOT NULL, p BIGINT NOT NULL);
+        |CREATE TABLE JC (ck BIGINT NOT NULL, seg VARCHAR NOT NULL);
+        |CREATE VIEW JV1 AS SELECT seg, ok, p FROM JO JOIN JC ON JO.ck = JC.ck;
+        |CREATE VIEW JV2 AS SELECT seg, COUNT(*) AS n, SUM(p) AS t
+        |  FROM JO JOIN JC ON JO.ck = JC.ck GROUP BY seg;
+        |CREATE VIEW JV3 AS SELECT seg, ok FROM JO JOIN JC ON JO.ck = JC.ck
+        |  WHERE p > 100""".stripMargin)
+    // Compiled together the three views must share the join subtree's
+    // circuit node(s): the combined runner holds strictly fewer distinct
+    // nodes than the sum of the three views compiled alone.
+    val alone = Seq("JV1", "JV2", "JV3")
+      .map(v => e.incrementalRunner(Seq(v)).nodeCount).sum
+    val r = e.incrementalRunner(Seq("JV1", "JV2", "JV3"))
+    assert(r.nodeCount < alone,
+      s"combined=${r.nodeCount} vs alone-sum=$alone — join not shared")
+    // and the shared program still maintains correctly through a
+    // retraction wave on each input
+    import graft.zset.ZSet
+    import spark.implicits._
+    r.stepAll(Map(
+      "JO" -> ZSet.fromRows(Seq((1L, 10L, 50L), (2L, 10L, 200L),
+        (3L, 20L, 150L)).toDF("ok", "ck", "p")),
+      "JC" -> ZSet.fromRows(Seq((10L, "A"), (20L, "B")).toDF("ck", "seg"))))
+    r.stepAll(Map("JO" -> ZSet.negate(ZSet.fromRows(
+      Seq((2L, 10L, 200L)).toDF("ok", "ck", "p")))))
+    r.stepAll(Map("JC" -> ZSet.negate(ZSet.fromRows(
+      Seq((20L, "B")).toDF("ck", "seg")))))
+    val v1 = ZSet.toRows(ZSet.consolidate(r.output("JV1")))
+      .select(col("seg"), col("ok"), col("p"))
+      .as[(String, Long, Long)].collect().toSet
+    val v2 = ZSet.toRows(ZSet.consolidate(r.output("JV2")))
+      .select(col("seg"), col("n"), col("t"))
+      .as[(String, Long, Long)].collect().toSet
+    val v3 = ZSet.toRows(ZSet.consolidate(r.output("JV3")))
+      .select(col("seg"), col("ok")).as[(String, Long)].collect().toSet
+    assert(v1 === Set(("A", 1L, 50L)))
+    assert(v2 === Set(("A", 1L, 50L)))
+    assert(v3 === Set.empty[(String, Long)])
+  }
+
   test("multi-view runner with shared traces bootstraps from a snapshot") {
     import org.apache.spark.sql.functions.col
     // Snapshot bootstrap must seed the SHARED trace exactly once (the

@@ -96,6 +96,11 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("bagset.test", 250)
   }
 
+  test("castmatrix.test: full cast matrix (type pairs x edge values, " +
+    "probe-verified Spark semantics)") {
+    check("castmatrix.test", 1500)
+  }
+
   test("selfjoin.test: name-colliding joins (self, outer same-named key, " +
     "theta-outer, null-safe keys)") {
     check("selfjoin.test", 80)
@@ -141,10 +146,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // families scale the floor by the sampling rate.
     for ((file, every, atLeast) <- Seq(
         ("aggregate.test", 1, 620), ("subquery.test", 1, 1140),
-        ("bagset.test", 1, 255), ("lateral.test", 1, 64),
+        ("bagset.test", 1, 255), ("lateral.test", 1, 70),
         ("selfjoin.test", 1, 83), ("join.test", 5, 1000),
         ("window.test", 2, 200), ("winjoin.test", 4, 380),
-        ("select6.test", 1, 750))) {
+        ("select6.test", 1, 750), ("castmatrix.test", 3, 500))) {
       viaEngine = 0; seen = 0; sampleEvery = every
       graft.testing.CircuitExec.resetEvalFailures()
       val o = graft.testing.SltRunner.runResource(spark, s"/slt/$file", exec)

@@ -209,6 +209,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("two-state-store pipeline (dedup -> windowed agg) survives a REAL " +
+    "process restart via checkpoint") {
+    // q165's shape across an actual JVM death: graft.tools.RestartDrive
+    // phase A feeds 2 batches and exits; phase B (a NEW process) appends
+    // a batch that REPLAYS phase-A rows — only the RESTORED dedup store
+    // can drop them — plus the watermark-advancing tail; phase C is the
+    // uninterrupted oracle in one process. Post-restore output must equal
+    // the uninterrupted run exactly (both state stores restored, windows
+    // finalized once).
+    import scala.sys.process._
+    val work = java.nio.file.Files.createTempDirectory("restart").toString
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def drivePhase(phase: String): Unit = {
+      val cmd = Seq("java", "-cp",
+        "target/scala-2.13/classes:/opt/spark/jars/*") ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-Xmx2g", "graft.tools.RestartDrive", phase, work)
+      val rc = Process(cmd).!(ProcessLogger(_ => (), _ => ()))
+      assert(rc === 0, s"RestartDrive phase $phase exited $rc")
+    }
+    drivePhase("A") // run, then the process DIES
+    drivePhase("B") // new process restores both stores from the checkpoint
+    drivePhase("C") // uninterrupted oracle
+    def sink(leg: String): Set[(String, String, Long, Long)] =
+      spark.read.parquet(s"$work/out-$leg")
+        .select(col("win_start").cast("string"), col("k"), col("n"),
+          col("total"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val restarted = sink("AB")
+    val oracle = sink("C")
+    assert(restarted === oracle,
+      s"post-restore output diverged: $restarted vs $oracle")
+    // the cross-restart duplicates were dropped by RESTORED state: the
+    // first window's 'a' count is 2 (not 3) and 'b' is 1 (not 2)
+    assert(restarted.contains(("2026-01-01 00:00:00", "a", 2L, 3L)))
+    assert(restarted.contains(("2026-01-01 00:00:00", "b", 1L, 5L)))
+  }
+
   test("mapGroupsWithState running totals advance per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -107,6 +107,13 @@ class File:
         self.out += [header, sql, "----"] + expected_block(lines) + [""]
         self.n_queries += 1
 
+    def statement_oracle(self, sql, oracle_sql):
+        """Emit `sql` into the .test file but execute `oracle_sql` against
+        the embedded DuckDB — for literals Spark's runner parses but DuckDB
+        spells differently (e.g. a bare NaN double literal)."""
+        self.con.execute(oracle_sql)
+        self.out += ["statement ok", sql, ""]
+
     def write(self):
         os.makedirs(OUT, exist_ok=True)
         path = os.path.join(OUT, self.name)
@@ -2857,6 +2864,262 @@ def gen_select9():
     return f
 
 
+def gen_castmatrix():
+    """CAST matrix — the full supported-type-pair x edge-value grid the
+    reference implements as 319 pairwise cast functions
+    (lib/sqllib/src/casts.rs; string->bool parsing at :89-105, decimal
+    truncation DBSPTypeDecimal.java:39-40). Sources live in BIGINT /
+    DOUBLE / VARCHAR / DATE / TIMESTAMP columns (the SLT table surface);
+    narrower sources are produced by chained casts. Where Spark (non-ANSI)
+    and DuckDB agree, expectations are frozen verbatim; where they differ
+    BY DESIGN, the expectation is frozen from a DuckDB formula that
+    expresses Spark's documented semantics (every formula probe-verified
+    against Spark 4 this round):
+      - int -> narrower int WRAPS two's-complement (HUGEINT mod image);
+      - double -> int TRUNCATES toward zero and SATURATES at INT bounds,
+        then wraps to narrower targets; NaN -> 0;
+      - string -> int trims, parses decimals by truncation, rejects
+        exponents and out-of-range (NULL, not wrap/error);
+      - string -> boolean accepts {true,t,y,yes,1 / false,f,n,no,0}
+        trimmed case-insensitively, else NULL (Spark's set is wider than
+        DuckDB's, so a CASE spells it out);
+      - numeric -> boolean is nonzero-ness (NaN -> true);
+      - invalid string -> date/timestamp/decimal is NULL (TRY_CAST image);
+      - decimal targets round HALF_UP and overflow to NULL (both agree
+        when sourced from DOUBLE; DECIMAL-literal rescale ties differ
+        between the engines, so decimal sources route through DOUBLE).
+    NOT emitted (probed disagreements): double->string outside
+    [1e-3, 1e7) (Spark scientific vs DuckDB positional), NaN/Infinity
+    string images, partial dates ('2023-01'), decimal-literal tie
+    rescale."""
+    f = File("castmatrix.test")
+    f.statement("CREATE TABLE cm(id INTEGER, i BIGINT, f DOUBLE, s VARCHAR, d DATE, ts TIMESTAMP)")
+    ivals = [0, 1, -1, 127, 128, -128, -129, 255, 256, 32767, 32768, -32768,
+             -32769, 65535, 65536, 2147483647, 2147483648, -2147483648,
+             -2147483649, 4294967295, 4294967296, 3000000000,
+             9223372036854775807, -9223372036854775808, 42, -7, 100,
+             1000000, -999999, 10, 2, 300, 40000, 1234567, 86, 5, -300,
+             7000, -40000, 123, 99, -2, 17, 64, -64]
+    fvals = [0.0, 1.0, -1.0, 0.5, -0.5, 1.5, 2.5, -2.5, 3.5, 1.9, -1.9,
+             0.4999, 127.9, -128.9, 128.5, 300.7, 32767.6, -32768.4,
+             1000000.0, -1000000.0, 0.25, 0.125, 100.0, 1234567.0, 0.001,
+             2.75, -42.0, 7.0, 99.999, 0.0625, 123456.789, -0.0005, 3.25,
+             12.345, 6.5, 8.875, 1e19, -1e19, 2147483646.7, -2147483647.9,
+             4.5, 5.5, -3.5, -4.5, 0.75]
+    svals = [" 42 ", "12.5", "abc", "", "+7", "007", "-13", "2147483648",
+             "32768", "128", "-129", "1e3", " 1.5 ", ".5", "5.", "true",
+             "FALSE", "t", "f", "y", "N", "yes", "no", "1", "0", " true ",
+             "2", "on", "2023-01-15", " 2023-01-15 ", "2023-1-5",
+             "2023-02-30", "2023-01-15 10:30:00", "2023-01-15T10:30:00",
+             "2023-01-15 10:30:00.123", "junk", "-32769", "255", " -8 ",
+             "9999999999999999999", "0.4999", "-2.5", "TRUE", "f", "3.999"]
+    # NOTE: '-0' is deliberately absent — Z-set state keys normalize
+    # -0.0 to 0.0 (Spark NormalizeFloatingNumbers; Rust OrderedFloat
+    # does the same), so a standing view cannot preserve the sign bit
+    dvals = ["2023-01-15", "2024-02-29", "1970-01-01", "2099-12-31",
+             "2000-03-01", "1969-07-20", "2024-12-31", "1900-01-01"]
+    tvals = ["2023-01-15 10:30:00", "1970-01-01 00:00:00",
+             "2024-02-29 23:59:59", "2000-06-15 12:00:00",
+             "1999-12-31 23:00:01", "2023-01-15 10:30:00.123",
+             "2024-07-04 06:07:08", "1970-01-01 00:00:01"]
+    N = 45
+    for k in range(N):
+        iv = "NULL" if k % 9 == 4 else str(ivals[k % len(ivals)])
+        fv = "NULL" if k % 11 == 6 else repr(fvals[k % len(fvals)])
+        sv = "NULL" if k % 13 == 9 else "'" + svals[k % len(svals)] + "'"
+        dv = "NULL" if k % 7 == 3 else "'" + dvals[k % len(dvals)] + "'"
+        tv = "NULL" if k % 8 == 5 else "'" + tvals[k % len(tvals)] + "'"
+        f.statement(f"INSERT INTO cm VALUES({k},{iv},{fv},{sv},{dv},{tv})")
+    # one NaN row (DuckDB needs the string image; Spark's runner parses
+    # the bare literal) — excluded from string sweeps via NOT isnan
+    f.statement_oracle(
+        f"INSERT INTO cm VALUES({N},7,NaN,'nanrow','2023-05-05','2023-05-05 05:05:05')",
+        f"INSERT INTO cm VALUES({N},7,CAST('nan' AS DOUBLE),'nanrow','2023-05-05','2023-05-05 05:05:05')")
+    nrows = N + 1
+
+    # ---- oracle formula builders (Spark semantics in DuckDB SQL) ----
+    def wrap(expr, bits):
+        half = 2 ** (bits - 1)
+        full = 2 ** bits
+        return (f"CAST((((CAST({expr} AS HUGEINT) + {half}) % {full} + {full})"
+                f" % {full}) - {half} AS BIGINT)")
+    def d2i_sat(col, lo, hi):
+        # trunc toward zero, saturate at [lo, hi], NaN -> 0, NULL
+        # propagates; branches unify through HUGEINT so the INT64 bound
+        # literal isn't rounded out of range via DOUBLE
+        return (f"CAST(CASE WHEN {col} IS NULL THEN NULL "
+                f"WHEN isnan({col}) THEN CAST(0 AS HUGEINT) "
+                f"WHEN {col} >= {hi} THEN CAST({hi} AS HUGEINT) "
+                f"WHEN {col} <= {lo} THEN CAST({lo} AS HUGEINT) "
+                f"ELSE CAST(TRUNC({col}) AS HUGEINT) END AS BIGINT)")
+    def d2i_narrow(col, bits):
+        return wrap(d2i_sat(col, -2147483648, 2147483647), bits)
+    def s2i(col, lo, hi):
+        # trim, reject exponents, parse as decimal, truncate, range-check
+        t = (f"TRUNC(TRY_CAST(CASE WHEN regexp_matches(trim({col}), '[eE]') "
+             f"THEN NULL ELSE trim({col}) END AS DECIMAL(38,10)))")
+        return (f"CAST(CASE WHEN {t} BETWEEN {lo} AND {hi} THEN {t} "
+                f"ELSE NULL END AS BIGINT)")
+    def s2bool(col):
+        return (f"CASE WHEN {col} IS NULL THEN NULL "
+                f"WHEN lower(trim({col})) IN ('true','t','y','yes','1') THEN 1 "
+                f"WHEN lower(trim({col})) IN ('false','f','n','no','0') THEN 0 "
+                f"ELSE NULL END")
+
+    I8 = (-128, 127)
+    I16 = (-32768, 32767)
+    I32 = (-2147483648, 2147483647)
+    I64 = (-9223372036854775808, 9223372036854775807)
+
+    # (spark_expr, duck_expr or None-if-identical, fmt char)
+    pairs = [
+        # BIGINT source -> narrower ints (wrap), double, decimal, string, bool
+        ("CAST(CAST(i AS TINYINT) AS BIGINT)", wrap("i", 8), "I"),
+        ("CAST(CAST(i AS SMALLINT) AS BIGINT)", wrap("i", 16), "I"),
+        ("CAST(CAST(i AS INT) AS BIGINT)", wrap("i", 32), "I"),
+        ("CAST(i AS DOUBLE)", None, "R"),
+        ("CAST(CAST(i AS DECIMAL(9,3)) AS STRING)",
+         "CAST(TRY_CAST(i AS DECIMAL(9,3)) AS VARCHAR)", "T"),
+        ("CAST(i AS STRING)", "CAST(i AS VARCHAR)", "T"),
+        ("CAST(CAST(i AS BOOLEAN) AS BIGINT)",
+         "CASE WHEN i IS NULL THEN NULL WHEN i = 0 THEN 0 ELSE 1 END", "I"),
+        # chained narrow-source images
+        ("CAST(CAST(CAST(i AS TINYINT) AS SMALLINT) AS BIGINT)", wrap("i", 8), "I"),
+        ("CAST(CAST(CAST(i AS SMALLINT) AS TINYINT) AS BIGINT)",
+         wrap(wrap("i", 16), 8), "I"),
+        ("CAST(CAST(CAST(i AS INT) AS SMALLINT) AS BIGINT)",
+         wrap(wrap("i", 32), 16), "I"),
+        ("CAST(CAST(i AS TINYINT) AS DOUBLE)",
+         f"CAST({wrap('i', 8)} AS DOUBLE)", "R"),
+        ("CAST(CAST(i AS SMALLINT) AS STRING)",
+         f"CAST({wrap('i', 16)} AS VARCHAR)", "T"),
+        ("CAST(CAST(i AS INT) AS STRING)",
+         f"CAST({wrap('i', 32)} AS VARCHAR)", "T"),
+        ("CAST(CAST(CAST(i AS TINYINT) AS BOOLEAN) AS BIGINT)",
+         f"CASE WHEN i IS NULL THEN NULL WHEN {wrap('i', 8)} = 0 "
+         "THEN 0 ELSE 1 END", "I"),
+        # DOUBLE source -> ints (trunc+saturate+wrap), decimals, bool
+        ("CAST(CAST(f AS TINYINT) AS BIGINT)", d2i_narrow("f", 8), "I"),
+        ("CAST(CAST(f AS SMALLINT) AS BIGINT)", d2i_narrow("f", 16), "I"),
+        ("CAST(CAST(f AS INT) AS BIGINT)", d2i_sat("f", *I32), "I"),
+        ("CAST(f AS BIGINT)", d2i_sat("f", *I64), "I"),
+        ("CAST(CAST(f AS DECIMAL(9,3)) AS STRING)",
+         "CAST(CASE WHEN isnan(f) THEN NULL ELSE "
+         "TRY_CAST(f AS DECIMAL(9,3)) END AS VARCHAR)", "T"),
+        ("CAST(CAST(f AS DECIMAL(7,1)) AS STRING)",
+         "CAST(CASE WHEN isnan(f) THEN NULL ELSE "
+         "TRY_CAST(f AS DECIMAL(7,1)) END AS VARCHAR)", "T"),
+        ("CAST(CAST(f AS BOOLEAN) AS BIGINT)",
+         "CASE WHEN f IS NULL THEN NULL WHEN isnan(f) THEN 1 "
+         "WHEN f = 0 THEN 0 ELSE 1 END", "I"),
+        # VARCHAR source -> ints, double, bool, date, timestamp
+        ("CAST(CAST(s AS TINYINT) AS BIGINT)", s2i("s", *I8), "I"),
+        ("CAST(CAST(s AS SMALLINT) AS BIGINT)", s2i("s", *I16), "I"),
+        ("CAST(CAST(s AS INT) AS BIGINT)", s2i("s", *I32), "I"),
+        ("CAST(s AS BIGINT)", s2i("s", *I64), "I"),
+        ("CAST(s AS DOUBLE)", "TRY_CAST(trim(s) AS DOUBLE)", "R"),
+        ("CAST(CAST(s AS BOOLEAN) AS BIGINT)", s2bool("s"), "I"),
+
+        # temporal pairs
+        ("CAST(ts AS STRING)", "CAST(ts AS VARCHAR)", "T"),
+        ("CAST(CAST(ts AS DATE) AS STRING)",
+         "CAST(CAST(ts AS DATE) AS VARCHAR)", "T"),
+        ("CAST(d AS STRING)", "CAST(d AS VARCHAR)", "T"),
+        ("CAST(CAST(d AS TIMESTAMP) AS STRING)",
+         "CAST(CAST(d AS TIMESTAMP) AS VARCHAR)", "T"),
+    ]
+
+    for spark_e, duck_e, fc in pairs:
+        # whole-table sweep + every edge value as its own record
+        if duck_e is None:
+            f.query(f"SELECT id, {spark_e} FROM cm", "I" + fc, "rowsort")
+        else:
+            f.query_oracle(f"SELECT id, {spark_e} FROM cm",
+                           f"SELECT id, {duck_e} FROM cm", "I" + fc, "rowsort")
+        for k in range(nrows):
+            if duck_e is None:
+                f.query(f"SELECT {spark_e} FROM cm WHERE id = {k}", fc, "nosort")
+            else:
+                f.query_oracle(f"SELECT {spark_e} FROM cm WHERE id = {k}",
+                               f"SELECT {duck_e} FROM cm WHERE id = {k}",
+                               fc, "nosort")
+
+    # VARCHAR -> DATE/TIMESTAMP: Spark leniently parses pure-integer
+    # strings as YEARS ('32768' -> +32768-01-01) where DuckDB returns
+    # NULL — exclude those ids symmetrically (the exclusion list is part
+    # of the query text, identical for both engines)
+    int_ids = [0, 4, 5, 6, 7, 8, 10, 23, 24, 26, 36, 37, 38, 39, 44]
+    int_str_ids = "(" + ",".join(str(x) for x in int_ids) + ")"
+    for spark_e, duck_e in [
+            ("CAST(CAST(s AS DATE) AS STRING)",
+             "CAST(TRY_CAST(trim(s) AS DATE) AS VARCHAR)"),
+            ("CAST(CAST(s AS TIMESTAMP) AS STRING)",
+             "CAST(TRY_CAST(trim(s) AS TIMESTAMP) AS VARCHAR)")]:
+        f.query_oracle(
+            f"SELECT id, {spark_e} FROM cm WHERE id NOT IN {int_str_ids}",
+            f"SELECT id, {duck_e} FROM cm WHERE id NOT IN {int_str_ids}",
+            "IT", "rowsort")
+        for k in range(nrows):
+            if k in int_ids:
+                continue
+            f.query_oracle(f"SELECT {spark_e} FROM cm WHERE id = {k}",
+                           f"SELECT {duck_e} FROM cm WHERE id = {k}",
+                           "T", "nosort")
+
+    # double -> string, plain-format range only (probed boundary: Spark
+    # goes scientific at 1e7 and below 1e-3)
+    f.query_oracle(
+        "SELECT id, CAST(f AS STRING) FROM cm WHERE NOT isnan(f) "
+        "AND (f = 0.0 OR (abs(f) >= 0.001 AND abs(f) < 10000000))",
+        "SELECT id, CAST(f AS VARCHAR) FROM cm WHERE NOT isnan(f) "
+        "AND (f = 0.0 OR (abs(f) >= 0.001 AND abs(f) < 10000000))",
+        "IT", "rowsort")
+
+    # casts inside WHERE (TRUE-only 3VL), aggregates, GROUP BY
+    f.query_oracle("SELECT id FROM cm WHERE CAST(i AS TINYINT) = i",
+                   f"SELECT id FROM cm WHERE {wrap('i', 8)} = i",
+                   "I", "rowsort")
+    f.query_oracle("SELECT id FROM cm WHERE CAST(s AS INT) IS NOT NULL",
+                   f"SELECT id FROM cm WHERE {s2i('s', *I32)} IS NOT NULL",
+                   "I", "rowsort")
+    f.query_oracle("SELECT id FROM cm WHERE CAST(s AS BOOLEAN)",
+                   f"SELECT id FROM cm WHERE {s2bool('s')} = 1", "I", "rowsort")
+    f.query_oracle("SELECT id FROM cm WHERE CAST(f AS INT) = 1",
+                   f"SELECT id FROM cm WHERE {d2i_sat('f', *I32)} = 1",
+                   "I", "rowsort")
+    f.query_oracle("SELECT COUNT(*), COUNT(CAST(s AS INT)) FROM cm",
+                   f"SELECT COUNT(*), COUNT({s2i('s', *I32)}) FROM cm",
+                   "II", "nosort")
+    f.query_oracle("SELECT SUM(CAST(i AS TINYINT)) FROM cm",
+                   f"SELECT SUM({wrap('i', 8)}) FROM cm", "I", "nosort")
+    f.query_oracle("SELECT SUM(CAST(f AS INT)) FROM cm",
+                   f"SELECT SUM({d2i_sat('f', *I32)}) FROM cm", "I", "nosort")
+    f.query_oracle(
+        "SELECT CAST(i AS BOOLEAN), COUNT(*) FROM cm GROUP BY 1",
+        "SELECT CASE WHEN i IS NULL THEN NULL WHEN i = 0 THEN 0 ELSE 1 END,"
+        " COUNT(*) FROM cm GROUP BY 1", "II", "rowsort")
+    f.query_oracle(
+        "SELECT CAST(CAST(f AS TINYINT) AS BIGINT), COUNT(*) FROM cm "
+        "GROUP BY 1", f"SELECT {d2i_narrow('f', 8)}, COUNT(*) FROM cm "
+        "GROUP BY 1", "II", "rowsort")
+    # probe-verified singletons: Spark-lenient parses DuckDB can't express
+    for spark_e, lit, fc in [
+            ("CAST(CAST('2023-01' AS DATE) AS STRING)", "'2023-01-01'", "T"),
+            ("CAST(CAST('2023-01-15T10:30:00' AS TIMESTAMP) AS STRING)",
+             "'2023-01-15 10:30:00'", "T"),
+            ("CAST(CAST(1e10 AS TINYINT) AS BIGINT)", "-1", "I"),
+            ("CAST(CAST(1e10 AS INT) AS BIGINT)", "2147483647", "I"),
+            ("CAST(CAST(-1e10 AS INT) AS BIGINT)", "-2147483648", "I"),
+            ("CAST(CAST(1e25 AS BIGINT) AS BIGINT)",
+             "9223372036854775807", "I"),
+            ("CAST(CAST('12.5' AS INT) AS BIGINT)", "12", "I"),
+            ("CAST(CAST('1e3' AS INT) AS BIGINT)", "NULL", "I"),
+            ("CAST(CAST('2147483648' AS INT) AS BIGINT)", "NULL", "I")]:
+        f.query_oracle(f"SELECT {spark_e} FROM cm WHERE id = 0",
+                       f"SELECT {lit} FROM cm WHERE id = 0", fc, "nosort")
+    return f
+
+
 def main():
     total = 0
     for g in (gen_select1, gen_select2, gen_select3, gen_select4,
@@ -2865,7 +3128,7 @@ def main():
               gen_grouping, gen_string, gen_select8, gen_winjoin,
               gen_orderlimit, gen_recursive, gen_bagset, gen_lateral,
               gen_temporal, gen_scalarexpr, gen_recursive_distinct,
-              gen_selfjoin, gen_select9):
+              gen_selfjoin, gen_select9, gen_castmatrix):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
