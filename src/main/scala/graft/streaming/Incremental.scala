@@ -1264,14 +1264,21 @@ object Incremental {
       * batch/initial jobs outside stepAll are unaffected either way. */
     def stepAll(deltas: Inputs): Map[String, DataFrame] = {
       val aqeKey = "spark.sql.adaptive.enabled"
+      val partsKey = "spark.sql.shuffle.partitions"
       val keepAqe = spark.conf.getOption("spark.graft.incremental.stepAqe")
         .exists(_.toBoolean)
       val prevAqe = spark.conf.getOption(aqeKey)
+      val prevParts = spark.conf.get(partsKey)
       if (!keepAqe) spark.conf.set(aqeKey, "false")
       try stepAllImpl(deltas)
-      finally if (!keepAqe) prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
+      finally {
+        if (!keepAqe) prevAqe match {
+          case Some(v) => spark.conf.set(aqeKey, v)
+          case None => spark.conf.unset(aqeKey)
+        }
+        // stepAllImpl may have narrowed the shuffle width for the step's
+        // delta-sized stages; restore on every exit path.
+        spark.conf.set(partsKey, prevParts)
       }
     }
 
@@ -1337,6 +1344,49 @@ object Incremental {
           persisted ++= fresh
         }
       }
+
+      // Step-scoped shuffle width. A step's shuffles move delta-sized and
+      // state-sized frames whose bytes the Runner tracks exactly
+      // (baseSize/accSize per state) — at the session's full width every
+      // one of those stages pays a fixed per-task scheduling floor for
+      // kilobyte partitions (measured: q160 sf0.1 steps at width 8 run
+      // ~30% faster than at 32 with identical plans). Size to ~32 MB per
+      // partition over touched state bytes + the incoming delta plans'
+      // optimizer estimates (caller plans over parquet estimate at file
+      // size — an OVERestimate, which errs toward keeping full width),
+      // floored at 8, capped at the session width so a genuinely large
+      // step (snapshot bootstrap pushed through step, TB-delta
+      // deployments) keeps every core busy while steady-state small
+      // deltas stop paying 32 scheduling floors per stage. Pinnable via
+      // spark.graft.incremental.stepShufflePartitions; session-global for
+      // the step's duration, like the AQE suspension above. Physical
+      // planning (where Spark reads the width) happens at materialization
+      // time, so the compaction plans built above are narrowed too —
+      // their bytes are part of the same estimate.
+      val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val stepParts: Int = spark.conf
+        .getOption("spark.graft.incremental.stepShufflePartitions")
+        .map(_.toInt).getOrElse {
+          def planBytes(df: DataFrame): Long = {
+            val s = try df.queryExecution.optimizedPlan.stats.sizeInBytes
+            catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+            if (s > Long.MaxValue) Long.MaxValue else s.toLong
+          }
+          val touchedBytes = (
+            tracedNodes.filter(touchedNode)
+              .map(n => stateBytes(traceKey(n.id))) ++
+              active.toSeq.map(s => stateBytes(inKey(s))) ++
+              active.toSeq.map(s => planBytes(deltas(s)))
+            ).foldLeft(0L)(satAdd)
+          val target = 32L << 20
+          if (touchedBytes >= target.toLong * sessionParts) sessionParts
+          else math.max(8L, (touchedBytes + target - 1) / target)
+            .min(sessionParts).toInt
+        }
+      if (sys.env.contains("GRAFT_STEP_DEBUG"))
+        println(s"STEPPARTS $stepParts (session $sessionParts)")
+      if (stepParts != sessionParts)
+        spark.conf.set("spark.sql.shuffle.partitions", stepParts)
 
       // Wave 0: raw input deltas (+ pending compactions ride along) — every
       // downstream delta then reads an anchored leaf instead of re-scanning
