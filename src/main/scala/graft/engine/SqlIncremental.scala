@@ -663,12 +663,20 @@ object SqlIncremental {
       // aggregate under the name the select list gives them (Calcite
       // likewise plans a Project under the Aggregate); plain columns group
       // directly.
+      val childNames = child.output.map(_.name.toLowerCase).toSet
       val computed = groupExprs.zipWithIndex.collect {
         case (e, i) if !e.isInstanceOf[AttributeReference] =>
-          // find the output alias whose child is this grouping expression
+          // find the output alias whose child is this grouping expression —
+          // but NOT when that alias collides with a child column name
+          // (Spark auto-names `CAST(i AS BOOLEAN)` just `i`): projecting
+          // the key under the colliding name next to child.output makes
+          // the later groupBy(name) ambiguous at eval. The synthetic name
+          // groups unambiguously and the restated-key re-alias below
+          // restores the user-visible name in the output.
           val name = aggExprs.collectFirst {
             case al: Alias if al.child.semanticEquals(e) => al.name
-          }.getOrElse(s"__gkey$i")
+          }.filterNot(n => childNames.contains(n.toLowerCase))
+            .getOrElse(s"__gkey$i")
           e -> name
       }
       val keys = groupExprs.map {

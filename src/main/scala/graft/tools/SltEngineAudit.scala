@@ -31,16 +31,23 @@ object SltEngineAudit {
     spark.sparkContext.setLogLevel("WARN")
     for (path <- files) {
       var compiled, orderBy = 0
+      graft.testing.CircuitExec.resetEvalFailures()
       // reason (first line, trimmed of identifiers) → example queries
       val rejects = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+      val evalFailQs = mutable.ArrayBuffer.empty[String]
       val exec: graft.testing.SltRunner.Exec = (s, q, srcs, order) => {
+        val evalBefore = graft.testing.CircuitExec.evalFailures
         graft.testing.CircuitExec.tryEngine(s, q, srcs, order) match {
           case Some(rows) => compiled += 1; rows
           case None =>
-            // bucket the fallback: a shape the compiler rejects, vs a
-            // nosort ORDER BY whose presentation sort the circuit output
-            // cannot reproduce (sort keys outside the projection)
-            try {
+            // attribute the fallback: an eval-time analysis failure (a
+            // mis-rebuilt plan — compile succeeded, batch() threw), vs a
+            // shape the compiler rejects, vs a nosort ORDER BY whose
+            // presentation sort the circuit output cannot reproduce
+            // (sort keys outside the projection)
+            if (graft.testing.CircuitExec.evalFailures > evalBefore)
+              evalFailQs += q.linesIterator.mkString(" ").take(200)
+            else try {
               graft.engine.SqlIncremental.compile(s, q, srcs)
               orderBy += 1
             } catch {
@@ -61,8 +68,10 @@ object SltEngineAudit {
       val rejected = rejects.valuesIterator.map(_.size).sum
       println(s"== $path: records=${o.passed + o.failed.size} " +
         s"compiled=$compiled orderByFallback=$orderBy rejected=$rejected " +
+        s"evalFailures=${graft.testing.CircuitExec.evalFailures} " +
         s"sltFailed=${o.failed.size}")
       o.failed.take(20).foreach(f => println(s"  FAIL $f"))
+      evalFailQs.take(20).foreach(q => println(s"  EVALFAIL $q"))
       rejects.toSeq.sortBy(-_._2.size).foreach { case (reason, qs) =>
         println(f"  ${qs.size}%5d  $reason")
         qs.take(examples).foreach(q => println(s"           e.g. $q"))

@@ -61,7 +61,7 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("join.test: multi-way-join grammar (outer mixes, agg-over-join, chains)") {
-    check("join.test", 5100)
+    check("join.test", 7700)
   }
 
   test("subquery.test: multi-col [NOT] IN, nested/set-op/scalar subqueries") {
@@ -81,7 +81,7 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("winjoin.test: window functions over join results (padded NULLs)") {
-    check("winjoin.test", 1600)
+    check("winjoin.test", 2300)
   }
 
   test("orderlimit.test: ORDER BY + LIMIT/OFFSET pagination grammar") {
@@ -104,6 +104,14 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("selfjoin.test: name-colliding joins (self, outer same-named key, " +
     "theta-outer, null-safe keys)") {
     check("selfjoin.test", 80)
+  }
+
+  test("rexpr.test: random expression-tree grammar (independent generator)") {
+    check("rexpr.test", 2100)
+  }
+
+  test("rselect.test: random query shapes (independent generator)") {
+    check("rselect.test", 1300)
   }
 
   test("grammar corpora re-run through the incremental SQL compiler") {
@@ -147,9 +155,10 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((file, every, atLeast) <- Seq(
         ("aggregate.test", 1, 620), ("subquery.test", 1, 1140),
         ("bagset.test", 1, 255), ("lateral.test", 1, 70),
-        ("selfjoin.test", 1, 83), ("join.test", 5, 1000),
-        ("window.test", 2, 200), ("winjoin.test", 4, 380),
-        ("select6.test", 1, 750), ("castmatrix.test", 3, 500))) {
+        ("selfjoin.test", 1, 83), ("join.test", 5, 1350),
+        ("window.test", 2, 200), ("winjoin.test", 4, 520),
+        ("select6.test", 1, 750), ("castmatrix.test", 3, 500),
+        ("rexpr.test", 2, 980), ("rselect.test", 2, 620))) {
       viaEngine = 0; seen = 0; sampleEvery = every
       graft.testing.CircuitExec.resetEvalFailures()
       val o = graft.testing.SltRunner.runResource(spark, s"/slt/$file", exec)

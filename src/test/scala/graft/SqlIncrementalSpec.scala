@@ -1420,4 +1420,32 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
         |   OR a = 99""".stripMargin)
     assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
   }
+
+  test("computed grouping key whose auto-alias collides with a child column") {
+    // Spark names `CAST(i AS BOOLEAN)` just `i` — the same name as the
+    // child's own column. Projecting the computed key under that alias
+    // next to child.output made the circuit's groupBy("i") ambiguous at
+    // EVAL time (compile succeeded), the one eval-failure the castmatrix
+    // cross-check caught at r13 HEAD. The key now projects under a
+    // synthetic name and the restated-key re-alias restores the
+    // user-visible name.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE GK (i BIGINT NULL);
+        |CREATE VIEW GV AS SELECT CAST(i AS BOOLEAN), COUNT(*) FROM GK GROUP BY 1""".stripMargin)
+    val gk = StructType(Seq(StructField("i", LongType)))
+    val r = e.incrementalRunner("GV")
+    r.step(Map("GK" -> z(gk,
+      Seq(0L, 1L), Seq(1L, 1L), Seq(7L, 1L), Seq(null, 1L), Seq(0L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    import spark.implicits._
+    Seq(Some(0L), Some(1L), Some(7L), Option.empty[Long], Some(0L))
+      .toDF("i").createOrReplaceTempView("GK_F")
+    val want = spark.sql(
+      "SELECT CAST(i AS BOOLEAN), COUNT(*) FROM GK_F GROUP BY 1")
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+    // a delta that flips a group's count and adds a new group
+    r.step(Map("GK" -> z(gk, Seq(0L, -1L), Seq(1L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+  }
 }

@@ -16,7 +16,8 @@ import os
 import duckdb
 
 HERE = os.path.dirname(__file__)
-OUT = os.path.join(HERE, "..", "src", "test", "resources", "slt", "pg_date.test")
+OUT = (os.path.join(os.environ["SLT_OUT"], "pg_date.test") if "SLT_OUT" in os.environ
+       else os.path.join(HERE, "..", "src", "test", "resources", "slt", "pg_date.test"))
 THRESHOLD = 8
 
 import sys

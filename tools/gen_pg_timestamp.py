@@ -18,7 +18,8 @@ import duckdb
 
 HERE = os.path.dirname(__file__)
 REF = "/root/reference/SQL-compiler/src/test/java/org/dbsp/sqlCompiler/compiler/postgres/PostgresTimestampTests.java"
-OUT = os.path.join(HERE, "..", "src", "test", "resources", "slt", "pg_timestamp.test")
+OUT = (os.path.join(os.environ["SLT_OUT"], "pg_timestamp.test") if "SLT_OUT" in os.environ
+       else os.path.join(HERE, "..", "src", "test", "resources", "slt", "pg_timestamp.test"))
 THRESHOLD = 8
 
 import sys

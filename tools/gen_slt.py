@@ -21,7 +21,13 @@ Usage: python3 tools/gen_slt.py  (writes src/test/resources/slt/*.test)
 import duckdb, hashlib, os, random
 from decimal import Decimal, ROUND_HALF_UP
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "slt")
+# SLT_OUT override: tools/check_slt.sh regenerates into a scratch dir and
+# diffs against the frozen corpus, so frozen files cannot drift from the
+# generator (the r12 selfjoin drift — a shared-rng shift re-froze a family
+# whose generator hadn't changed).
+OUT = os.environ.get(
+    "SLT_OUT",
+    os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "slt"))
 THRESHOLD = 8
 
 rng = random.Random(20260812)
@@ -1183,6 +1189,134 @@ def gen_join():
         f.query(
             f"SELECT a % 5, count(*), count(r.v) FROM t1 {jt} t3 r ON r.k = a "
             "GROUP BY a % 5", "III", "rowsort")
+
+    # ======================================================================
+    # Round-13 depth: name-colliding derived sides, 3/4-way mixed-outer
+    # chains, USING merges, null-safe ON keys. NO rng draws below this
+    # line and no new table statements — additions must not shift the
+    # shared generator stream for families generated after this one
+    # (frozen-corpus drift, r12 advice item 4). Queries run against the
+    # post-mutation table state above; DuckDB freezes the same state the
+    # runner replays.
+    # ======================================================================
+
+    # -- name-colliding derived sides: BOTH sides expose columns (a, b);
+    #    disambiguation is purely by qualifier through the join (the
+    #    selfjoin family's collision axis, over derived tables and all
+    #    four outer kinds) ---------------------------------------------
+    du = "(SELECT a, b FROM t1)"
+    dw = "(SELECT k AS a, v AS b FROM t3)"
+    dx = "(SELECT k AS a, g AS b FROM t5)"
+    colconds = ["u.a = w.a", "u.a = w.a AND w.b > 250", "u.b = w.b - 100",
+                "u.a = w.b - 175", "u.a IS NOT DISTINCT FROM w.a",
+                "u.a = w.a AND u.b IS NOT DISTINCT FROM w.b - 120"]
+    colprojs = [("u.a, w.a", "II"), ("u.a, w.b, u.b", "III"),
+                ("u.b, w.b", "II"), ("u.a, w.a, u.b, w.b", "IIII")]
+    colwheres = ["", "u.a > 150", "w.b IS NULL",
+                 "u.b IS NOT NULL AND w.a % 2 = 0", "u.a IS NULL"]
+    for jt in jtypes:
+        for cnd in colconds:
+            for p, fmt in colprojs:
+                for wh in colwheres:
+                    wsql = f" WHERE {wh}" if wh else ""
+                    f.query(
+                        f"SELECT {p} FROM {du} u {jt} {dw} w ON {cnd}{wsql}",
+                        fmt, "rowsort")
+
+    # -- 3-way chains where EVERY side exposes (a, b) --------------------
+    on2s_c = ["x.a = u.a", "x.a = w.a", "x.b = u.a % 5",
+              "x.a = u.a AND x.b < 4"]
+    projs_c = [("u.a, w.a, x.a", "III"), ("u.b, w.b, x.b", "III"),
+               ("u.a, w.b, x.a, x.b", "IIII")]
+    wheres_c = ["", "u.a > 160", "w.a IS NULL", "x.b IS NOT NULL",
+                "u.b IS NULL AND x.a IS NOT NULL"]
+    for j1 in jtypes:
+        for j2 in jtypes:
+            for o2 in on2s_c:
+                for p, fmt in projs_c:
+                    for wh in wheres_c:
+                        wsql = f" WHERE {wh}" if wh else ""
+                        f.query(
+                            f"SELECT {p} FROM {du} u {j1} {dw} w "
+                            f"ON u.a = w.a {j2} {dx} x ON {o2}{wsql}",
+                            fmt, "rowsort")
+
+    # -- the SAME derived table joined three times (copy-collision chain,
+    #    the double-LATERAL rename-registry shape in plain-join form) ----
+    for j1 in jtypes:
+        for j2 in jtypes:
+            for p, fmt in [("u.a, w.a, x.a", "III"),
+                           ("u.b, w.b, x.b", "III")]:
+                for wh in ["", "w.a IS NULL", "x.a IS NULL AND u.a > 140",
+                           "u.b < x.b"]:
+                    wsql = f" WHERE {wh}" if wh else ""
+                    f.query(
+                        f"SELECT {p} FROM {dw} u {j1} {dw} w ON u.a = w.a "
+                        f"{j2} {dw} x ON x.a = w.a AND x.b > u.b{wsql}",
+                        fmt, "rowsort")
+
+    # -- 4-way mixed-outer chains with residuals on each ON ---------------
+    ons4 = [
+        ("r.k = a", "s.k = a", "q.w = s.k"),
+        ("r.k = a AND r.v > 230", "s.k = r.k",
+         "q.w = a AND q.x IS NOT NULL"),
+        ("r.k = b", "s.k = a AND s.g < 4", "q.w = s.k AND q.y > 120"),
+    ]
+    projs4 = [("a, r.v, s.g, q.x", "IIII"), ("b, r.k, s.v, q.w", "IIII")]
+    wheres4 = ["", "a % 2 = 0", "r.v IS NULL AND s.g IS NOT NULL",
+               "q.w IS NULL"]
+    for j1 in jtypes:
+        for j2 in jtypes:
+            for j3 in jtypes:
+                for oi, (o1, o2, o3) in enumerate(ons4):
+                    p, fmt = projs4[(len(j1) + len(j2) + oi) % 2]
+                    for wh in wheres4:
+                        wsql = f" WHERE {wh}" if wh else ""
+                        f.query(
+                            f"SELECT {p} FROM t1 {j1} t3 r ON {o1} "
+                            f"{j2} t5 s ON {o2} {j3} t4 q ON {o3}{wsql}",
+                            fmt, "rowsort")
+
+    # -- USING joins with colliding non-key columns (merged key column is
+    #    unqualified: LEFT/RIGHT take the preserved side, FULL coalesces —
+    #    identical in both engines; b stays qualified on both sides) -----
+    for jt in jtypes:
+        for p, fmt in [("a", "I"), ("a, u.b, w.b", "III"), ("a, w.b", "II")]:
+            for wh in ["", "a > 150", "u.b IS NULL OR w.b IS NULL",
+                       "w.b > 240"]:
+                wsql = f" WHERE {wh}" if wh else ""
+                f.query(
+                    f"SELECT {p} FROM (SELECT a, b FROM t1) u {jt} "
+                    f"(SELECT k AS a, v AS b FROM t3) w USING (a){wsql}",
+                    fmt, "rowsort")
+
+    # -- null-safe ON keys over genuinely nullable columns ----------------
+    nsconds = ["u.b IS NOT DISTINCT FROM w.x",
+               "u.c IS NOT DISTINCT FROM w.y",
+               "u.b IS NOT DISTINCT FROM w.x AND u.a < w.w + 60"]
+    for jt in jtypes:
+        for cnd in nsconds:
+            for p, fmt in [("u.a, w.w", "II"), ("u.b, w.x, w.w", "III")]:
+                for wh in ["", "u.b IS NULL", "w.x IS NOT NULL",
+                           "u.a % 2 = 1"]:
+                    wsql = f" WHERE {wh}" if wh else ""
+                    f.query(
+                        f"SELECT {p} FROM t1 u {jt} t4 w ON {cnd}{wsql}",
+                        fmt, "rowsort")
+
+    # -- aggregates over the colliding 3-way chains ------------------------
+    aggs_c = ["count(*)", "count(w.a)", "count(x.b)", "sum(x.b)",
+              "min(w.b)", "max(coalesce(w.b, 0) - coalesce(u.b, 0))"]
+    for j1 in jtypes:
+        for j2 in jtypes:
+            for grp in ["u.a % 4", "x.b", "w.a IS NULL"]:
+                for ai, agg in enumerate(aggs_c):
+                    if (ai + len(j1)) % 2 == 0:
+                        continue
+                    f.query(
+                        f"SELECT {grp}, {agg} FROM {du} u {j1} {dw} w "
+                        f"ON u.a = w.a {j2} {dx} x ON x.a = u.a "
+                        f"GROUP BY {grp}", "II", "rowsort")
     return f
 
 
@@ -1907,6 +2041,95 @@ def gen_winjoin():
                 f"sum(v) {over(p, TIE, rows_frames[0])}, "
                 f"rank() {over(p, f'v NULLS FIRST, {TIE}')} "
                 f"FROM {jsql} {outer}", "IIIII", "nosort")
+
+    # ======================================================================
+    # Round-13 depth: windows over 3-way mixed-outer chains and over
+    # name-colliding derived joins. NO rng draws and no new table
+    # statements below this line (shared-generator-stream drift, r12
+    # advice item 4) — the third side is t1 re-derived under renamed
+    # columns, so padding NULLs arrive from TWO independent outer joins.
+    # (a, u, a2) is a total key of every chain result: a unique in t1, u
+    # unique in t7, a2 unique in the derived side, each pad-unique.
+    # ======================================================================
+    d2 = "(SELECT a AS a2, b AS b2 FROM t1)"
+    jtypes = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+    TIE3 = "a NULLS FIRST, u NULLS FIRST, a2 NULLS FIRST"
+    chains = [f"t1 {j1} t7 ON a = k {j2} {d2} d ON a2 = k"
+              for j1 in jtypes for j2 in jtypes]
+    parts3 = ["", "a % 4", "a2 IS NULL", "v IS NULL, a2 IS NULL"]
+    orders3 = [TIE3, f"v NULLS FIRST, {TIE3}",
+               f"b2 DESC NULLS LAST, {TIE3}"]
+    outer3 = f"ORDER BY {TIE3}"
+
+    # ranking over double-padded chains
+    rankfns = ["row_number()", "rank()", "dense_rank()", "ntile(3)"]
+    for ci, ch in enumerate(chains):
+        for p in parts3:
+            for oi, o in enumerate(orders3):
+                for fi, fn in enumerate(rankfns):
+                    if (ci + oi + fi) % 2 == 0:
+                        continue
+                    f.query(
+                        f"SELECT a, u, a2, {fn} {over(p, o)} FROM {ch} "
+                        f"{outer3}", "IIII", "nosort")
+
+    # ROWS-frame aggregates where the frame crosses two padding layers
+    aggs3 = [("sum(b2)", "I"), ("count(b2)", "I"), ("count(*)", "I"),
+             ("min(v)", "I"), ("max(coalesce(v, 0) + coalesce(b2, 0))", "I"),
+             ("avg(b2)", "R")]
+    for ci, ch in enumerate(chains):
+        for pi, p in enumerate(parts3[:3]):
+            for oi, o in enumerate(orders3):
+                fr = rows_frames[(ci + pi + oi) % len(rows_frames)]
+                ag, fmt = aggs3[(ci + oi) % len(aggs3)]
+                f.query(
+                    f"SELECT a, u, a2, {ag} {over(p, o, fr)} FROM {ch} "
+                    f"{outer3}", "III" + fmt, "nosort")
+
+    # offsets reaching across rows padded by DIFFERENT joins
+    for ci, ch in enumerate(chains):
+        for p in parts3[:3]:
+            for oi, o in enumerate(orders3[:2]):
+                fn = ["lag(b2, 1) ", "lead(b2, 1) ", "lag(v, 1, -1) ",
+                      "lead(coalesce(v, 0) + coalesce(b2, 0), 1) "][
+                          (ci + oi) % 4]
+                f.query(
+                    f"SELECT a, u, a2, {fn}{over(p, o)} FROM {ch} {outer3}",
+                    "IIII", "nosort")
+
+    # rn-filtered chains (top-2 per partition of a double-padded join)
+    for ci, ch in enumerate(chains):
+        p = ["a % 4", "a2 IS NULL"][ci % 2]
+        f.query(
+            "SELECT a, u, a2 FROM (SELECT a, u, a2, row_number() "
+            f"{over(p, f'v NULLS LAST, {TIE3}')} AS rn FROM {ch}) "
+            f"WHERE rn <= 2 {outer3}", "III", "nosort")
+
+    # -- windows over name-colliding derived joins: both sides expose
+    #    (a, b); qualifiers must survive INTO the window spec. The w side
+    #    keeps t7's unique row id as c, so (u.a, w.c) is a total key
+    #    (u.a unique left, w.c unique right, each pad-unique). ------------
+    cu = "(SELECT a, b FROM t1)"
+    cw = "(SELECT k AS a, v AS b, u AS c FROM t7)"
+    CTIE = "u.a NULLS FIRST, w.c NULLS FIRST"
+    caggs = [("sum(w.b)", "I"), ("min(w.b)", "I"), ("max(u.b)", "I"),
+             ("count(w.b)", "I"), ("count(*)", "I"), ("avg(w.b)", "R"),
+             ("sum(coalesce(u.b, 0) + coalesce(w.b, 0))", "I")]
+    for ji, jt in enumerate(jtypes):
+        for pi, p in enumerate(["", "u.a % 3", "w.b IS NULL"]):
+            for oi, o in enumerate([CTIE, f"w.b NULLS FIRST, {CTIE}",
+                                    f"u.b DESC NULLS LAST, {CTIE}"]):
+                fn = rankfns[(ji + pi + oi) % len(rankfns)]
+                f.query(
+                    f"SELECT u.a, w.a, {fn} {over(p, o)} "
+                    f"FROM {cu} u {jt} {cw} w ON u.a = w.a "
+                    f"ORDER BY {CTIE}", "III", "nosort")
+                ag, fmt = caggs[(ji + pi + oi) % len(caggs)]
+                fr = rows_frames[(ji + oi) % len(rows_frames)]
+                f.query(
+                    f"SELECT u.a, w.a, {ag} {over(p, o, fr)} "
+                    f"FROM {cu} u {jt} {cw} w ON u.a = w.a "
+                    f"ORDER BY {CTIE}", "II" + fmt, "nosort")
     return f
 
 
