@@ -148,6 +148,13 @@ object Incremental {
     private[streaming] def valueDeps: Seq[Inc] = Seq.empty
     /** True for operators that retract from their own output trace. */
     private[streaming] def ownTrace: Boolean = false
+    /** True for operators whose per-step work is COMPUTE-bound rather than
+      * shuffle-floor-bound (iterative fixpoints re-deriving over the whole
+      * stored closure): a step touching one keeps the session's full
+      * shuffle width — narrowing to the byte-sized width serializes real
+      * CPU work across idle cores (q151 sf0.1: 8.8 s at width 32 vs
+      * 27.6 s at the byte-sized 8). */
+    private[streaming] def wideStep: Boolean = false
 
     /** Full-recompute semantics over integrated inputs (the oracle). */
     def batch(in: Inputs): DataFrame
@@ -696,6 +703,7 @@ object Incremental {
     def kids: Seq[Inc] = Seq(child)
     override private[streaming] def valueDeps: Seq[Inc] = kids
     override private[streaming] def ownTrace: Boolean = true
+    override private[streaming] def wideStep: Boolean = true
     /** Present edges of a Z-set: SET semantics means weight > 0 (an edge
       * retracted below zero is absent, exactly as in ZSet.distinct). */
     private def rowsOf(z: DataFrame): DataFrame =
@@ -1372,16 +1380,20 @@ object Incremental {
             catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
             if (s > Long.MaxValue) Long.MaxValue else s.toLong
           }
-          val touchedBytes = (
-            tracedNodes.filter(touchedNode)
-              .map(n => stateBytes(traceKey(n.id))) ++
-              active.toSeq.map(s => stateBytes(inKey(s))) ++
-              active.toSeq.map(s => planBytes(deltas(s)))
-            ).foldLeft(0L)(satAdd)
-          val target = 32L << 20
-          if (touchedBytes >= target.toLong * sessionParts) sessionParts
-          else math.max(8L, (touchedBytes + target - 1) / target)
-            .min(sessionParts).toInt
+          // compute-bound operators (iterative fixpoints) keep full width
+          if (nodes.exists(n => n.wideStep && touchedNode(n))) sessionParts
+          else {
+            val touchedBytes = (
+              tracedNodes.filter(touchedNode)
+                .map(n => stateBytes(traceKey(n.id))) ++
+                active.toSeq.map(s => stateBytes(inKey(s))) ++
+                active.toSeq.map(s => planBytes(deltas(s)))
+              ).foldLeft(0L)(satAdd)
+            val target = 32L << 20
+            if (touchedBytes >= target.toLong * sessionParts) sessionParts
+            else math.max(8L, (touchedBytes + target - 1) / target)
+              .min(sessionParts).toInt
+          }
         }
       if (sys.env.contains("GRAFT_STEP_DEBUG"))
         println(s"STEPPARTS $stepParts (session $sessionParts)")
