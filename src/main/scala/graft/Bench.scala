@@ -100,6 +100,27 @@ object Bench {
             s"[bench] ignoring malformed $key='$v', using $default"))
           default
         }
+    // PSI (r13 verdict #2a): /proc/pressure/cpu "some avg10" is the share
+    // of the last ~10 s in which at least one runnable task stalled for
+    // CPU — unlike the instantaneous runnable count it integrates over
+    // time, so contention that arrives mid-sample (or shows up as steal /
+    // scheduler pressure rather than R-state threads) is visible. The
+    // bench's OWN 32-thread queries also raise it, so the gate bar must
+    // sit above the ~10 s decay tail of a just-finished query; the
+    // monotone "total" stall counter (µs) is deltaed per query as the
+    // mid-query contention record the r13 gate was blind to.
+    def psiCpu(): (Double, Long) = scala.util.Try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/pressure/cpu")))
+      val some = s.linesIterator.find(_.startsWith("some")).getOrElse("")
+      val avg10 = some.split("\\s+").collectFirst {
+        case f if f.startsWith("avg10=") => f.stripPrefix("avg10=").toDouble
+      }.getOrElse(0.0)
+      val total = some.split("\\s+").collectFirst {
+        case f if f.startsWith("total=") => f.stripPrefix("total=").toLong
+      }.getOrElse(0L)
+      (avg10, total)
+    }.getOrElse((0.0, 0L))
     def runnableExternal(): Int = {
       val total = scala.util.Try {
         val s = new String(java.nio.file.Files.readAllBytes(
@@ -127,6 +148,12 @@ object Bench {
       xs.sorted.apply(2)
     }
     val externalBar = envLong("SPARK_GRAFT_EXTERNAL_RUNNABLE_BAR", 3L).toInt
+    // PSI bar: a 32-thread query that just finished decays avg10 below
+    // ~25 within one 10 s half-life, so 40 only trips on SUSTAINED
+    // pressure — which between queries (bench idle) is another process.
+    val psiBar = scala.util.Try(
+      sys.env.get("SPARK_GRAFT_PSI_BAR").map(_.trim.toDouble))
+      .toOption.flatten.getOrElse(40.0)
     val perQueryWaitMs = envLong("SPARK_GRAFT_INTER_WAIT_S", 20L) * 1000
     var interWaitMs = 0L
     var interWaited = 0
@@ -134,25 +161,29 @@ object Bench {
       var budget = perQueryWaitMs
       var waited = false
       var p = externalPressure()
-      while (p > externalBar && budget > 0) {
+      var psi = psiCpu()._1
+      while ((p > externalBar || psi > psiBar) && budget > 0) {
         if (!waited) System.err.println(
-          s"[bench] $name: external runnable $p > $externalBar — pausing")
+          f"[bench] $name: external runnable $p > $externalBar or " +
+            f"PSI cpu avg10 $psi%.1f > $psiBar%.1f — pausing")
         waited = true
         Thread.sleep(5000)
         budget -= 5000; interWaitMs += 5000
-        p = externalPressure()
+        p = externalPressure(); psi = psiCpu()._1
       }
       if (waited) interWaited += 1
     }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == ordered.size / 2) canaries += canary()
+    // One timed execution of a query, shared by the sweep and the
+    // adjudication reruns: returns (wall_s, ok, gc_fraction, diagJson).
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean, Double, String) = {
       waitQuiet(name)
       // load context BEFORE t0: the 1-min average (attribution vs prior
-      // rounds) and the gate's own external-runnable reading
+      // rounds), the gate's own external-runnable reading, and PSI
       val preLoad = load1()
       val preExt = runnableExternal()
+      val (prePsi, prePsiTotal) = psiCpu()
       val before = env.snap()
       val t0 = System.nanoTime()
       // NonFatal only: after an OOM/StackOverflow the JVM is corrupted and
@@ -171,12 +202,68 @@ object Bench {
       // (incremental Runner traces, fixpoint results) so later queries are
       // measured against a clean executor, not this query's leftovers.
       spark.catalog.clearCache()
+      val gcFrac = env.gcFraction(before)
+      val psiStallMs = (psiCpu()._2 - prePsiTotal) / 1000
       val d = env.diffJson(before)
       val dWithPre =
-        f"""{"load_pre":$preLoad%.1f,"ext_runnable_pre":$preExt,""" + d.drop(1)
-      (name, t, ok, dWithPre)
+        f"""{"load_pre":$preLoad%.1f,"ext_runnable_pre":$preExt,""" +
+          f""""psi10_pre":$prePsi%.1f,"psi_stall_ms":$psiStallMs,""" + d.drop(1)
+      (t, ok, gcFrac, dWithPre)
+    }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == ordered.size / 2) canaries += canary()
+      val (t, ok, gcFrac, d) = timeOne(name, fn)
+      (name, t, ok, gcFrac, d)
     }
     canaries += canary()
+
+    // Self-adjudication (r13 verdict #2b/c): any row whose wall time
+    // exceeds 2× its minimum across this repo's own BENCH_r*.json history
+    // (with a +2 s absolute slack so sub-second rows don't churn), or
+    // whose task-GC fraction exceeds 40%, is RE-RUN once after the sweep
+    // and both numbers are reported — the r13 verdict hand-re-measured
+    // five such rows (~186 s of phantom regression); that adjudication
+    // now lives in the artifact itself.
+    val histMin: Map[String, Double] = scala.util.Try {
+      val dir = java.nio.file.Paths.get(".")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mins = scala.collection.mutable.Map.empty[String, Double]
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+        .foreach { p =>
+          scala.util.Try {
+            val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+            val qs = root.get("queries")
+            if (qs != null) qs.properties().asScala.foreach { e =>
+              val v = e.getValue.asDouble(-1)
+              if (v > 0) mins.updateWith(e.getKey) {
+                case Some(m) => Some(math.min(m, v)); case None => Some(v)
+              }
+            }
+          }
+        }
+      mins.toMap
+    }.getOrElse(Map.empty)
+    val gcBar = 0.40
+    val flagged = firstPass.filter { case (name, t, ok, gcFrac, _) =>
+      ok && (gcFrac > gcBar ||
+        histMin.get(name).exists(m => t > math.max(2 * m, m + 2.0)))
+    }
+    if (flagged.nonEmpty) System.err.println(
+      s"[bench] adjudication rerun of ${flagged.size} flagged rows: " +
+        flagged.map(_._1).mkString(", "))
+    val reruns: Map[String, (Double, Double, String)] =
+      flagged.map { case (name, t, _, gcFrac, _) =>
+        val why =
+          (if (gcFrac > gcBar) Seq(f"gc_frac=$gcFrac%.2f") else Nil) ++
+            histMin.get(name).filter(m => t > math.max(2 * m, m + 2.0))
+              .map(m => f"hist_min=$m%.2f")
+        val (t2, ok2, _, _) = timeOne(name, SparkEntry.queries(name))
+        name -> (t, if (ok2) t2 else -1.0, why.mkString(","))
+      }.toMap
+    val results = firstPass.map { case (name, t, ok, _, d) => (name, t, ok, d) }
     val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
@@ -185,6 +272,15 @@ object Bench {
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val nOk = results.count(_._3)
     val total = results.filter(_._3).map(_._2).sum
+    // Adjudicated total: flagged rows contribute min(first, rerun) — the
+    // best-of is the code's time, the difference is the environment's.
+    val totalAdj = results.filter(_._3).map { case (name, t, _, _) =>
+      reruns.get(name).map { case (f, r, _) =>
+        if (r > 0) math.min(f, r) else f }.getOrElse(t)
+    }.sum
+    val rerunJson = reruns.map { case (name, (f, r, why)) =>
+      f""""$name":{"first":$f%.3f,"rerun":$r%.3f,"why":"$why"}"""
+    }.mkString("{", ",", "}")
     val envJson = {
       val base = env.runJson(canaries.toSeq)
       base.dropRight(1) +
@@ -193,6 +289,7 @@ object Bench {
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""value_adjudicated":$totalAdj%.2f,"reruns":$rerunJson,""" +
       s""""failed":$failed,"n_ok":$nOk,"n":${results.size},""" +
       s""""bench_env":$envJson,"diag":$diag,"sf":"$sfDir"}"""
     // Full per-query times + diagnostics survive as a file (the stdout
@@ -209,15 +306,25 @@ object Bench {
     val sb = new StringBuilder
     var omittedN = 0
     var omittedSec = 0.0
+    // Reruns first: the adjudication pairs are the line's whole point
+    // (capped at the 8 widest first-vs-rerun gaps; the full map is in
+    // bench_detail.json), then slowest-first queries fill the budget.
+    val rerunTail = reruns.toSeq
+      .sortBy { case (_, (f, r, _)) => -(f - math.max(r, 0)) }.take(8)
+      .map { case (name, (f, r, why)) =>
+        f""""$name":{"first":$f%.2f,"rerun":$r%.2f,"why":"$why"}"""
+      }.mkString("{", ",", if (reruns.size > 8) s""","_more":${reruns.size - 8}}""" else "}")
+    val qBudget = math.max(400, 1400 - rerunTail.length)
     results.sortBy(-_._2).foreach { case (k, v, ok, _) =>
       val ent = "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1")
-      if (sb.length + ent.length + 1 <= 1400) {
+      if (sb.length + ent.length + 1 <= qBudget) {
         if (sb.nonEmpty) sb.append(',')
         sb.append(ent)
       } else { omittedN += 1; if (ok) omittedSec += v }
     }
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{$sb},""" +
+      f""""value_adjudicated":$totalAdj%.2f,"reruns":$rerunTail,""" +
       f""""omitted":{"n":$omittedN,"sec":$omittedSec%.2f},"failed":$failed,""" +
       f""""n_ok":$nOk,"n":${results.size},"env":$envJson,""" +
       f""""detail":"bench_detail.json","sf":"$sfDir"}""")

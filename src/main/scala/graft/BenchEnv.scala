@@ -25,6 +25,7 @@ import org.apache.spark.sql.SparkSession
 final class BenchEnv(spark: SparkSession) {
 
   private val taskGcMs = new AtomicLong
+  private val taskRunMs = new AtomicLong
   private val memSpill = new AtomicLong
   private val diskSpill = new AtomicLong
 
@@ -33,6 +34,7 @@ final class BenchEnv(spark: SparkSession) {
       val m = t.taskMetrics
       if (m != null) {
         taskGcMs.addAndGet(m.jvmGCTime)
+        taskRunMs.addAndGet(m.executorRunTime)
         memSpill.addAndGet(m.memoryBytesSpilled)
         diskSpill.addAndGet(m.diskBytesSpilled)
       }
@@ -55,15 +57,27 @@ final class BenchEnv(spark: SparkSession) {
 
   /** Snapshot of the monotone counters; `diff` between two snapshots is the
     * per-query delta record. */
-  final case class Snap(driverGc: Long, taskGc: Long, spill: Long)
+  final case class Snap(driverGc: Long, taskGc: Long, taskRun: Long, spill: Long)
   def snap(): Snap =
-    Snap(driverGcMs, taskGcMs.get, memSpill.get + diskSpill.get)
+    Snap(driverGcMs, taskGcMs.get, taskRunMs.get, memSpill.get + diskSpill.get)
+
+  /** Fraction of this query's total task CPU-occupancy lost to GC —
+    * task jvmGCTime over executorRunTime, both summed across tasks. A
+    * row above ~0.4 spent more time collecting than computing and its
+    * wall time is not a code measurement (r13 verdict: q130's 44.8 s
+    * row carried 42.6 s of task GC). */
+  def gcFraction(before: Snap): Double = {
+    val now = snap()
+    val run = now.taskRun - before.taskRun
+    if (run <= 0) 0.0 else (now.taskGc - before.taskGc).toDouble / run
+  }
 
   /** One per-query diagnostic JSON object (deltas since `before`). */
   def diffJson(before: Snap): String = {
     val now = snap()
     f"""{"gc_ms":${now.driverGc - before.driverGc},""" +
       f""""task_gc_ms":${now.taskGc - before.taskGc},""" +
+      f""""gc_frac":${gcFraction(before)}%.2f,""" +
       f""""spill_mb":${(now.spill - before.spill) >> 20},""" +
       f""""load":$loadAvg%.1f,"heap_mb":$heapUsedMb}"""
   }

@@ -1209,10 +1209,63 @@ object IncrementalQ {
         ZSet.negate(ZSet.fromRows(or.filter(
           col("o_orderkey") % 2 === 0 && col("o_totalprice") > 300000))))))
       ZSet.toRows(ZSet.consolidate(r.output))
+    }),
+
+    // TPC-H Q12 as a STANDING view (r13 verdict #7): the CASE-sum pivot
+    // over an equi-join with a NON-EQUI residual referencing both sides
+    // (l_shipdate > o_orderdate + 30 days) — the residual rides the
+    // bilinear join delta, the pivot sums are weight-linear re-folds.
+    // Waves: late-arriving lineitems, then an orders retraction that must
+    // un-derive their joined contributions from both pivot columns.
+    "q181_incremental_tpch_q12" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      o.limit(0).createOrReplaceTempView("OQ12")
+      li.limit(0).createOrReplaceTempView("LQ12")
+      val circuit = graft.engine.SqlIncremental.compile(s,
+        """SELECT l_returnflag,
+                  SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             OR o_orderpriority = '2-HIGH'
+                           THEN 1 ELSE 0 END) AS high_line_count,
+                  SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                            AND o_orderpriority <> '2-HIGH'
+                           THEN 1 ELSE 0 END) AS low_line_count
+           FROM OQ12 JOIN LQ12 ON o_orderkey = l_orderkey
+           WHERE l_shipdate > o_orderdate + INTERVAL '30' DAY
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_returnflag""",
+        Set("OQ12", "LQ12"))
+      val r = new Runner(s, circuit,
+        Map("OQ12" -> o.limit(0), "LQ12" -> li.limit(0)))
+      r.bootstrap(Map("OQ12" -> o,
+        "LQ12" -> li.filter(col("l_orderkey") % 40 =!= 0)))
+      r.step(Map("LQ12" -> ZSet.fromRows(
+        li.filter(col("l_orderkey") % 40 === 0))))
+      r.step(Map("OQ12" -> ZSet.negate(ZSet.fromRows(
+        o.filter(col("o_orderkey") % 7 === 0)))))
+      ZSet.toRows(ZSet.consolidate(r.output))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_incremental_tpch_q12" ->
+      """SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             OR o_orderpriority = '2-HIGH'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                            AND o_orderpriority <> '2-HIGH'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          FROM orders
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND o_orderkey % 7 <> 0
+          GROUP BY l_returnflag""",
     "q174_incremental_program" ->
       """WITH po AS (SELECT o_orderkey, o_custkey, o_totalprice
                      FROM orders WHERE o_custkey % 10 <> 3),

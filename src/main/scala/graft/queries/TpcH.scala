@@ -316,6 +316,125 @@ object TpcH {
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
           Exact.dsum(col("c_acctbal")).as("totacctbal"))
+    }),
+
+    // Q2 shape: minimum-cost supplier — the fixture has no partsupp, so
+    // lineitem is the part↔supplier bridge and "supply cost" is the
+    // extended price; the correlated MIN-per-part subquery decorrelates to
+    // a grouped-min joined back on the part key (the reference exercises
+    // the correlated-aggregate class via EndToEndTests.java:165). MIN over
+    // raw parquet doubles is order-independent, so the equality join on
+    // price is engine-stable without the fixed-point image.
+    "q176_tpch_q2" -> ((s, d) => {
+      val asiaNat = broadcast(T(s, d, "nation")
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name")))
+      val sup = T(s, d, "supplier")
+        .join(asiaNat, col("s_nationkey") === col("n_nationkey"))
+      val li = T(s, d, "lineitem")
+      val minOffer = li
+        .join(sup.select(col("s_suppkey").as("mo_suppkey")),
+          col("l_suppkey") === col("mo_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("mo_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      T(s, d, "part")
+        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+        .join(li, col("p_partkey") === col("l_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(minOffer, col("p_partkey") === col("mo_partkey") &&
+          col("l_extendedprice") === col("min_price"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"),
+          col("l_extendedprice").as("price"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // Q11 shape: important stock — partsupp value adapts to lineitem
+    // revenue per part for one nation's suppliers; the HAVING threshold is
+    // a broadcast global aggregate over the same fixed-point sums, so the
+    // float comparison is bit-identical in both engines.
+    "q177_tpch_q11" -> ((s, d) => {
+      val natSup = T(s, d, "supplier")
+        .join(broadcast(T(s, d, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val byPart = T(s, d, "lineitem")
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("value"))
+      val thresh = byPart
+        .agg((Exact.dsum(col("value")) * lit(0.001)).as("thr"))
+      byPart.join(broadcast(thresh), col("value") > col("thr"))
+        .select(col("l_partkey"), col("value"))
+    }),
+
+    // Q12 shape: shipmode/priority pivot — no shipmode or receipt date in
+    // the fixture, so the mode adapts to l_returnflag and "late" to
+    // shipping >30 days after the order date; the CASE-sum pivot is the
+    // query's point and survives intact.
+    "q178_tpch_q12" -> ((s, d) => {
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      T(s, d, "orders")
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL '30' DAY") &&
+          col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1997-01-01"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // Q16 shape: supplier relationship count — partsupp adapts to the
+    // lineitem bridge; the supplier-complaints NOT IN exclusion adapts to
+    // negative account balance (no comment column), compiled as a
+    // broadcast anti-join (s_suppkey is non-null, so NOT IN ≡ anti).
+    "q179_tpch_q16" -> ((s, d) => {
+      val excl = T(s, d, "supplier").filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey").as("x_suppkey"))
+      T(s, d, "lineitem")
+        .join(T(s, d, "part").filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("x_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q20 shape: potential part promotion — availqty adapts to "this
+    // supplier shipped >30% of the part's total windowed quantity"; the
+    // IN-subquery-containing-a-correlated-aggregate decorrelates to two
+    // grouped sums joined on the part key, then a semi-join into the
+    // nation-filtered supplier list. Quantity sums ride the fixed-point
+    // image so the share threshold compares identically in both engines.
+    "q180_tpch_q20" -> ((s, d) => {
+      val promo = T(s, d, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val shipped = T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1997-01-01"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      val perSupPart = shipped
+        .groupBy(col("l_suppkey").as("sp_suppkey"), col("l_partkey").as("sp_partkey"))
+        .agg(Exact.dsum(col("l_quantity")).as("sup_qty"))
+      val perPart = shipped
+        .groupBy(col("l_partkey").as("pp_partkey"))
+        .agg((Exact.dsum(col("l_quantity")) * lit(0.3)).as("part_thresh"))
+      val qualifying = perSupPart
+        .join(perPart, col("sp_partkey") === col("pp_partkey"))
+        .filter(col("sup_qty") > col("part_thresh"))
+        .select(col("sp_suppkey"))
+      T(s, d, "supplier")
+        .join(broadcast(T(s, d, "nation").filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("sp_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
     })
   )
 
@@ -511,6 +630,80 @@ object TpcH {
                             WHERE o_custkey = c_custkey
                               AND o_orderpriority = '1-URGENT'
                               AND o_orderdate >= TIMESTAMP '1999-01-01')
-          GROUP BY cntrycode"""
+          GROUP BY cntrycode""",
+    "q176_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+             l_extendedprice AS price
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' AND p_size <= 15
+            AND l_extendedprice =
+              (SELECT MIN(l2.l_extendedprice)
+               FROM lineitem l2
+               JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+               JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+               JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+               WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+          ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+          LIMIT 100""",
+    "q177_tpch_q11" ->
+      s"""WITH np AS (
+            SELECT l_partkey,
+               ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS value
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                JOIN nation ON s_nationkey = n_nationkey
+                                WHERE n_name = 'NATION_3')
+            GROUP BY l_partkey)
+          SELECT l_partkey, value FROM np
+          WHERE value > (SELECT ${Exact.sqlDsum("value")} * 0.001 FROM np)""",
+    "q178_tpch_q12" ->
+      """SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             OR o_orderpriority = '2-HIGH'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                            AND o_orderpriority <> '2-HIGH'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          FROM orders
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_returnflag""",
+    "q179_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#1'
+            AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0.0)
+          GROUP BY p_brand, p_type, p_size""",
+    "q180_tpch_q20" ->
+      s"""SELECT s_name, s_acctbal
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_5'
+            AND s_suppkey IN (
+              SELECT ps.sp_suppkey FROM (
+                SELECT l_suppkey AS sp_suppkey, l_partkey AS sp_partkey,
+                   ${Exact.sqlDsum("l_quantity")} AS sup_qty
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_type = 'PROMO')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2) ps
+              WHERE ps.sup_qty >
+                (SELECT 0.3 * ${Exact.sqlDsum("l2.l_quantity")}
+                 FROM lineitem l2
+                 WHERE l2.l_partkey = ps.sp_partkey
+                   AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l2.l_shipdate < TIMESTAMP '1997-01-01'))"""
   )
 }

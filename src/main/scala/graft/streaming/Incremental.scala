@@ -148,13 +148,6 @@ object Incremental {
     private[streaming] def valueDeps: Seq[Inc] = Seq.empty
     /** True for operators that retract from their own output trace. */
     private[streaming] def ownTrace: Boolean = false
-    /** True for operators whose per-step work is COMPUTE-bound rather than
-      * shuffle-floor-bound (iterative fixpoints re-deriving over the whole
-      * stored closure): a step touching one keeps the session's full
-      * shuffle width — narrowing to the byte-sized width serializes real
-      * CPU work across idle cores (q151 sf0.1: 8.8 s at width 32 vs
-      * 27.6 s at the byte-sized 8). */
-    private[streaming] def wideStep: Boolean = false
 
     /** Full-recompute semantics over integrated inputs (the oracle). */
     def batch(in: Inputs): DataFrame
@@ -363,6 +356,30 @@ object Incremental {
           t.setDaemon(true)
           t
         }))
+
+    /** JVM-wide task CPU-time accumulator (one listener per SparkContext):
+      * each Runner snapshots it around a step to MEASURE whether the step
+      * was compute-bound — the feedback the step-width sizing reads instead
+      * of a hardcoded operator whitelist (r13 verdict #3). Concurrent work
+      * from other queries inflates a reading, which errs toward keeping
+      * full width — the safe direction. */
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    @volatile private var cpuListenerCtx: org.apache.spark.SparkContext = null
+    def taskCpuNs(sc: org.apache.spark.SparkContext): Long = {
+      if (cpuListenerCtx ne sc) synchronized {
+        if (cpuListenerCtx ne sc) {
+          sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = t.taskMetrics
+              if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+            }
+          })
+          cpuListenerCtx = sc
+        }
+      }
+      cpuNs.get
+    }
   }
 
   /** Input node: its delta is the step's delta for `name`; its value is the
@@ -703,7 +720,6 @@ object Incremental {
     def kids: Seq[Inc] = Seq(child)
     override private[streaming] def valueDeps: Seq[Inc] = kids
     override private[streaming] def ownTrace: Boolean = true
-    override private[streaming] def wideStep: Boolean = true
     /** Present edges of a Z-set: SET semantics means weight > 0 (an edge
       * retracted below zero is absent, exactly as in ZSet.distinct). */
     private def rowsOf(z: DataFrame): DataFrame =
@@ -1276,7 +1292,7 @@ object Incremental {
       val keepAqe = spark.conf.getOption("spark.graft.incremental.stepAqe")
         .exists(_.toBoolean)
       val prevAqe = spark.conf.getOption(aqeKey)
-      val prevParts = spark.conf.get(partsKey)
+      val prevParts = spark.conf.getOption(partsKey)
       if (!keepAqe) spark.conf.set(aqeKey, "false")
       try stepAllImpl(deltas)
       finally {
@@ -1285,8 +1301,13 @@ object Incremental {
           case None => spark.conf.unset(aqeKey)
         }
         // stepAllImpl may have narrowed the shuffle width for the step's
-        // delta-sized stages; restore on every exit path.
-        spark.conf.set(partsKey, prevParts)
+        // delta-sized stages; restore on every exit path (unset when the
+        // session never set it explicitly — conf.get would have read the
+        // built-in default and pinned it).
+        prevParts match {
+          case Some(v) => spark.conf.set(partsKey, v)
+          case None => spark.conf.unset(partsKey)
+        }
       }
     }
 
@@ -1299,11 +1320,24 @@ object Incremental {
     @volatile private var rescanned: Long = -1L
     def lastRescanGroups: Long = rescanned
 
+    /** Width floor derived from the prior step's measured task CPU time
+      * (−1 = no step measured yet → full width); the per-slot target is
+      * pinnable for tests/deployments. See the stepParts sizing below. */
+    @volatile private var cpuFloorParts: Int = -1
+    private val stepCpuPerSlotMs: Long = spark.conf
+      .getOption("spark.graft.incremental.stepCpuMsPerSlot")
+      .map(_.toLong).getOrElse(250L)
+    /** The shuffle width the last step actually chose — observability for
+      * the width-regression specs (timing-free). */
+    @volatile private var lastStepWidth: Int = -1
+    def lastStepShuffleWidth: Int = lastStepWidth
+
     private def stepAllImpl(deltas: Inputs): Map[String, DataFrame] = {
       val unknown = deltas.keySet -- integrated.keySet
       require(unknown.isEmpty, s"deltas for undeclared inputs: $unknown")
       started = true
       rescanned = 0L
+      val cpuNsBefore = Runner.taskCpuNs(spark.sparkContext)
       val active = deltas.keySet
       def touchedNode(n: Inc): Boolean = sourcesBelow(n.id).exists(active)
 
@@ -1380,9 +1414,15 @@ object Incremental {
             catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
             if (s > Long.MaxValue) Long.MaxValue else s.toLong
           }
-          // compute-bound operators (iterative fixpoints) keep full width
-          if (nodes.exists(n => n.wideStep && touchedNode(n))) sessionParts
-          else {
+          // Compute-bound steps keep width: derived from the PREVIOUS
+          // step's MEASURED task CPU time, not an operator whitelist (r13
+          // verdict #3 — the q151 closure fixpoint at byte-width 8 ran
+          // 27.6 s vs 8.8 s at 32, and any future compute-heavy operator
+          // would have silently re-tripped a type list). cpuFloorParts is
+          // the width at which the prior step's CPU spreads to
+          // ~stepCpuPerSlotMs per slot; the first step has no measurement
+          // and errs wide (it is also usually the bootstrap-sized one).
+          val byteSized = {
             val touchedBytes = (
               tracedNodes.filter(touchedNode)
                 .map(n => stateBytes(traceKey(n.id))) ++
@@ -1394,7 +1434,10 @@ object Incremental {
             else math.max(8L, (touchedBytes + target - 1) / target)
               .min(sessionParts).toInt
           }
+          if (cpuFloorParts < 0) sessionParts
+          else math.max(byteSized, math.min(cpuFloorParts, sessionParts))
         }
+      lastStepWidth = stepParts
       if (sys.env.contains("GRAFT_STEP_DEBUG"))
         println(s"STEPPARTS $stepParts (session $sessionParts)")
       if (stepParts != sessionParts)
@@ -1498,6 +1541,20 @@ object Incremental {
       stepDeltas.foreach(incref)
       lastDeltas.foreach(decref)
       lastDeltas = stepDeltas
+
+      // Feedback for the NEXT step's width: how many slots would spread
+      // this step's measured task CPU to ~stepCpuPerSlotMs each. A
+      // shuffle-floor-bound step (kilobyte deltas, CPU ≪ floor) derives a
+      // small floor and stays narrow; a compute-bound step (fixpoint
+      // re-derivation over stored closure) derives a wide floor without
+      // anyone having to declare its operator compute-bound. Tasks from
+      // concurrent queries inflate the reading, erring wide (safe).
+      val stepCpuMs = (Runner.taskCpuNs(spark.sparkContext) - cpuNsBefore) / 1000000L
+      cpuFloorParts = math.max(8L, stepCpuMs / math.max(1L, stepCpuPerSlotMs))
+        .min(Int.MaxValue).toInt
+      if (sys.env.contains("GRAFT_STEP_DEBUG"))
+        println(s"STEPCPU ${stepCpuMs}ms -> next floor $cpuFloorParts")
+
       rootDeltas.map { case (nm, d) => nm -> anchored(d) }
     }
 
