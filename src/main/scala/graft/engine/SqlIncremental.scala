@@ -86,7 +86,30 @@ object SqlIncremental {
       if (decorr eq inlined) inlined
       else Project(
         inlined.output.map(a => Alias(a, a.name)(): NamedExpression), decorr)
-    walk(dedupJoinNames(rooted), byLower)
+    val deduped = dedupJoinNames(rooted)
+    val inc = walk(deduped, byLower)
+    // A top-level projection may legitimately repeat names (`SELECT u.a,
+    // w.a, x.a` over merged keys) — legal as a QUERY result, but the
+    // Runner's state machinery is name-addressed (unionByName advances,
+    // by-name consolidation), so duplicate sink names are uniquified
+    // positionally (a, a__dup1, …). SLT/batch consumers compare values
+    // positionally; named consumers were already told to alias apart.
+    val outCols = circuitCols(deduped)
+    if (outCols.map(_.toLowerCase).distinct.size == outCols.size) inc
+    else {
+      val seen = mutable.Map.empty[String, Int]
+      val uniq = outCols.map { n =>
+        val k = n.toLowerCase
+        val c = seen.getOrElse(k, 0)
+        seen(k) = c + 1
+        if (c == 0) n else s"${n}__dup$c"
+      }
+      inc.linear { df =>
+        val it = uniq.iterator
+        df.toDF(df.columns.map(c =>
+          if (c == graft.zset.ZSet.W) c else it.next()): _*)
+      }
+    }
   }
 
   /** Debug-only: the plan as the circuit walker will see it (CTEs
@@ -254,6 +277,18 @@ object SqlIncremental {
           case a: AttributeReference
               if newName.get(a.exprId).exists(_ != a.name) =>
             a.withName(newName(a.exprId))
+          // OuterReference is a LEAF expression (Catalyst shields outer
+          // attrs from transforms), so the AttributeReference case above
+          // never reaches its payload — and transformUpWithNewOutput has
+          // ALREADY re-pointed subquery outer refs at the fresh exprId
+          // while keeping the stale name, so the exprId-keyed re-anchoring
+          // below misses them too. Rename the payload explicitly: a
+          // correlated EXISTS keyed on a renamed join column otherwise
+          // compiles its semi join against whatever column still carries
+          // the OLD name on the other side (caught by rjoin.test).
+          case OuterReference(a: AttributeReference)
+              if newName.get(a.exprId).exists(_ != a.name) =>
+            OuterReference(a.withName(newName(a.exprId)))
         }
       }
     deduped.transformAllExpressions {
@@ -459,13 +494,25 @@ object SqlIncremental {
       val keys = if (unitKey) Seq("__xk") else pairs.map(_._1.name)
       val mergedKeySet = sameNamed.map(_._1.name.toLowerCase).toSet
       val renameMap = renamed.map { case (a, b) => b.name -> a.name }.toMap
+      // CIRCUIT column lists, not plan attribute lists: a lower inner
+      // join's merged same-named key leaves TWO plan attributes carrying
+      // one name (u.a and w.a after `u JOIN w ON u.a = w.a`) while the
+      // circuit frame has ONE value-equal column — projecting or
+      // dupe-checking from plan attrs would double it (the r13 verdict's
+      // 372-record join.test reject bucket). circuitCols collapses merges
+      // recursively, so the names below are the walked frame's truth.
+      val lCols = circuitCols(left)
+      val rCols = circuitCols(right)
+      val lType: Map[String, org.apache.spark.sql.types.DataType] =
+        left.output.groupBy(_.name.toLowerCase).map { case (k, v) => k -> v.head.dataType }
+      val rType: Map[String, org.apache.spark.sql.types.DataType] =
+        right.output.groupBy(_.name.toLowerCase).map { case (k, v) => k -> v.head.dataType }
       // Name-based re-anchoring cannot disambiguate same-named columns
       // beyond the merged keys (the analyzed plan's qualifiers are erased)
       // — require the user to alias them apart in subqueries. The rename
       // targets (left key names) must also be free on the right side.
       val outNames =
-        left.output.map(_.name) ++
-          right.output.map(_.name).filterNot(n => mergedKeySet.contains(n.toLowerCase))
+        lCols ++ rCols.filterNot(n => mergedKeySet.contains(n.toLowerCase))
       val dupes = outNames.groupBy(_.toLowerCase).filter(_._2.size > 1).keys
       if (dupes.nonEmpty) throw new UnsupportedPlanException(
         s"join sides share non-key column name(s) ${dupes.mkString(", ")} — " +
@@ -475,29 +522,29 @@ object SqlIncremental {
           "cross join sides must not carry the internal column __xk")
       val l00 = walk(left, sources)
       val l0 = if (!unitKey) l00
-        else l00.select(left.output.map(a => col(a.name)) :+ lit(1).as("__xk"): _*)
+        else l00.select(lCols.map(col) :+ lit(1).as("__xk"): _*)
       val l = leftOnly.map(c => l0.where(toColumn(c))).getOrElse(l0)
       val r2 = walk(right, sources)
       val r1 = if (!unitKey) r2
-        else r2.select(right.output.map(a => col(a.name)) :+ lit(1).as("__xk"): _*)
+        else r2.select(rCols.map(col) :+ lit(1).as("__xk"): _*)
       val r0 = rightOnly.map(c => r1.where(toColumn(c))).getOrElse(r1)
       val r = if (renameMap.isEmpty) r0 else r0.select(
-        right.output.map { att =>
-          renameMap.get(att.name) match {
-            case Some(nn) => col(att.name).as(nn)
-            case None     => col(att.name)
+        rCols.map { n =>
+          renameMap.get(n) match {
+            case Some(nn) => col(n).as(nn)
+            case None     => col(n)
           }
         }: _*)
       // Output projection: left columns as-is; right columns minus merged
       // keys, with renamed keys reconstructed (y := joined x, equal by the
       // equi condition; NULL-padded branches override per side below).
       val restoreCols: Seq[Column] =
-        left.output.map(a => col(a.name)) ++
-          right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
-            .map { a =>
-              renameMap.get(a.name) match {
-                case Some(nn) => col(nn).as(a.name)
-                case None     => col(a.name)
+        lCols.map(col) ++
+          rCols.filterNot(n => mergedKeySet.contains(n.toLowerCase))
+            .map { n =>
+              renameMap.get(n) match {
+                case Some(nn) => col(nn).as(n)
+                case None     => col(n)
               }
             }
       def restore(j: Inc): Inc = if (renamed.isEmpty) j else j.select(restoreCols: _*)
@@ -515,35 +562,35 @@ object SqlIncremental {
       // Preserved-side rows with a residual-surviving match, as a weight-1
       // value set read off the inner result (only built when a residual
       // forces row-value matching; the pure-key pads below are cheaper).
-      lazy val leftNames = left.output.map(_.name)
+      lazy val leftNames = lCols
       lazy val matchedLeftVals: Inc =
         inner.select(leftNames.map(col): _*).distinct
       // r's column names (right side post-rename) are all present in the
       // restored inner output: merged keys share the left name, renamed
       // keys read the joined key value (equal by the equi condition).
-      lazy val rNames = right.output.map(a => renameMap.getOrElse(a.name, a.name))
+      lazy val rNames = rCols.map(n => renameMap.getOrElse(n, n))
       lazy val matchedRightVals: Inc =
         inner.select(rNames.map(col): _*).distinct
       def unmatchedAfterResidual(keep: Inc, matchedVals: Inc,
                                  valNames: Seq[String], outCols: Seq[Column]): Inc =
         keep.minus(keep.joinNullSafe(matchedVals, valNames)).select(outCols: _*)
       def padLeft: Inc = {
-        val cols = left.output.map(a => col(a.name)) ++
-          right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
-            .map(a => lit(null).cast(a.dataType).as(a.name))
+        val cols = lCols.map(col) ++
+          rCols.filterNot(n => mergedKeySet.contains(n.toLowerCase))
+            .map(n => lit(null).cast(rType(n.toLowerCase)).as(n))
         if (residualRowMatch) unmatchedAfterResidual(l, matchedLeftVals, leftNames, cols)
         else padUnmatched(l, r, keys, cols, nullSafeKeys)
       }
       def padRight: Inc = {
-        val cols = left.output.map { a =>
-          if (mergedKeySet.contains(a.name.toLowerCase)) col(a.name)
-          else lit(null).cast(a.dataType).as(a.name)
+        val cols = lCols.map { n =>
+          if (mergedKeySet.contains(n.toLowerCase)) col(n)
+          else lit(null).cast(lType(n.toLowerCase)).as(n)
         } ++
-          right.output.filterNot(a => mergedKeySet.contains(a.name.toLowerCase))
-            .map { a =>
-              renameMap.get(a.name) match {
-                case Some(nn) => col(nn).as(a.name)
-                case None     => col(a.name)
+          rCols.filterNot(n => mergedKeySet.contains(n.toLowerCase))
+            .map { n =>
+              renameMap.get(n) match {
+                case Some(nn) => col(nn).as(n)
+                case None     => col(n)
               }
             }
         if (residualRowMatch) unmatchedAfterResidual(r, matchedRightVals, rNames, cols)
@@ -578,7 +625,7 @@ object SqlIncremental {
       if (!unitKey) joined
       else joinType match {
         case LeftSemi | LeftAnti =>
-          joined.select(left.output.map(a => col(a.name)): _*)
+          joined.select(lCols.map(col): _*)
         case _ => joined.select(outNames.map(col): _*)
       }
 
@@ -2204,6 +2251,36 @@ object SqlIncremental {
   private final case class EquiPair(l: AttributeReference,
                                     r: AttributeReference,
                                     nullSafe: Boolean)
+
+  /** The CIRCUIT frame's column names for a subplan — the plan's output
+    * names with every descendant inner join's merged same-named equi keys
+    * collapsed to the single USING-style column the walker actually
+    * produces. Plan-level `Join.output` keeps BOTH attributes (u.a and
+    * w.a after `u JOIN w ON u.a = w.a`), so reading names off plan attrs
+    * over-counts exactly those merges; reading them here keeps the upper
+    * joins' dupe checks and projections aligned with the walked frame
+    * (the r13 join.test alias-apart reject bucket). Non-join nodes pass
+    * plan names through — the walker preserves them. */
+  private def circuitCols(p: LogicalPlan): Seq[String] = p match {
+    case Join(l, r, joinType, cond, _) =>
+      joinType match {
+        case LeftSemi | LeftAnti => circuitCols(l)
+        case _ =>
+          val merged =
+            try analyzeCondition(cond, l, r)._1.collect {
+              case EquiPair(a, b, _) if a.name.equalsIgnoreCase(b.name) =>
+                a.name.toLowerCase
+            }.toSet
+            catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+          circuitCols(l) ++
+            circuitCols(r).filterNot(n => merged.contains(n.toLowerCase))
+      }
+    // pass-through nodes keep the child's circuit columns (a Filter or
+    // alias over a merged join must not re-read the doubled plan attrs)
+    case f: Filter => circuitCols(f.child)
+    case a: SubqueryAlias => circuitCols(a.child)
+    case other => other.output.map(_.name)
+  }
 
   /** Decompose a join condition into (left, right) equi-column pairs plus
     * an optional residual predicate, mirroring the reference's

@@ -1211,6 +1211,50 @@ object IncrementalQ {
       ZSet.toRows(ZSet.consolidate(r.output))
     }),
 
+    // CHAINED standing views through the public Engine API (r13 verdict
+    // #9): W_SEG is defined FROM V_ENRICH — not from the base tables —
+    // and compiled TOGETHER the structural-CSE memo hands W the same
+    // join-projection node V's sink uses, so V's deltas feed W's
+    // aggregate without re-deriving from sources (EngineSpec pins the
+    // node-count; this row pins end-to-end correctness through insert and
+    // retraction waves). Mirrors the reference's multi-view catalog
+    // composition (MultiViewTests).
+    "q175_incremental_chained_views" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.executeScript(
+        """CREATE TABLE XORD (o_orderkey BIGINT NOT NULL,
+                              o_custkey BIGINT NOT NULL,
+                              o_totalprice DOUBLE NOT NULL);
+          |CREATE TABLE XCUST (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR NOT NULL);
+          |CREATE VIEW V_ENRICH AS
+          |  SELECT c_mktsegment AS seg, o_orderkey AS k,
+          |         CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+          |  FROM XORD JOIN XCUST ON o_custkey = c_custkey;
+          |CREATE VIEW W_SEG AS
+          |  SELECT seg, COUNT(*) AS n, SUM(price) AS total
+          |  FROM V_ENRICH WHERE price > 50000 GROUP BY seg""".stripMargin)
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val r = e.incrementalRunner(Seq("V_ENRICH", "W_SEG"))
+      r.bootstrap(Map(
+        "XORD" -> ord.filter(col("o_orderkey") % 5 =!= 0),
+        "XCUST" -> cust))
+      r.stepAll(Map("XORD" -> ZSet.fromRows(
+        ord.filter(col("o_orderkey") % 5 === 0))))
+      r.stepAll(Map("XORD" -> ZSet.negate(ZSet.fromRows(
+        ord.filter(col("o_custkey") % 8 === 2)))))
+      ZSet.toRows(ZSet.consolidate(r.output("V_ENRICH")))
+        .select(lit("enrich").as("vw"), col("seg"), col("k"),
+          col("price").as("x"))
+        .unionByName(
+          ZSet.toRows(ZSet.consolidate(r.output("W_SEG")))
+            .select(lit("seg").as("vw"), col("seg"), col("n").as("k"),
+              col("total").as("x")))
+    }),
+
     // TPC-H Q12 as a STANDING view (r13 verdict #7): the CASE-sum pivot
     // over an equi-join with a NON-EQUI residual referencing both sides
     // (l_shipdate > o_orderdate + 30 days) — the residual rides the
@@ -1251,6 +1295,17 @@ object IncrementalQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_incremental_chained_views" ->
+      """WITH v AS (
+            SELECT c_mktsegment AS seg, o_orderkey AS k,
+                   CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_custkey % 8 <> 2)
+          SELECT 'enrich' AS vw, seg, k, price AS x FROM v
+          UNION ALL
+          SELECT 'seg' AS vw, seg, COUNT(*) AS k,
+                 CAST(SUM(price) AS BIGINT) AS x
+          FROM v WHERE price > 50000 GROUP BY seg""",
     "q181_incremental_tpch_q12" ->
       """SELECT l_returnflag,
              CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'

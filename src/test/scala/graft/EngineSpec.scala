@@ -288,6 +288,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.table("SQ").collect().map(_.getString(0)).toSet === Set("a;b", "c"))
   }
 
+  test("CHAINED views: W defined FROM V reuses V's circuit node and trace") {
+    // `CREATE VIEW W AS SELECT … FROM V` — the downstream view's analyzed
+    // plan inlines V's definition, so compiled TOGETHER the memo must hand
+    // W the SAME aggregate node V's sink uses (one trace, advanced once
+    // per step): V's deltas feed W's circuit without re-deriving from
+    // sources (the reference's multi-view catalog composes this way —
+    // MultiViewTests).
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE CH(k VARCHAR NOT NULL, v INT NOT NULL);
+        |CREATE VIEW CHV AS SELECT k, SUM(v) AS s FROM CH GROUP BY k;
+        |CREATE VIEW CHW AS SELECT k, s + 1 AS s1 FROM CHV WHERE s > 10""".stripMargin)
+    val r = e.incrementalRunner(Seq("CHV", "CHW"))
+    assert(r.statefulNodeCount === 1,
+      "the chained view must reuse the upstream view's aggregate trace")
+    import graft.zset.ZSet
+    import spark.implicits._
+    r.stepAll(Map("CH" -> ZSet.fromRows(
+      Seq(("a", 5), ("a", 7), ("b", 3)).toDF("k", "v"))))
+    r.stepAll(Map("CH" -> ZSet.fromRows(Seq(("b", 20)).toDF("k", "v"))))
+    val v = ZSet.toRows(ZSet.consolidate(r.output("CHV")))
+      .as[(String, Long)].collect().toSet
+    val w = ZSet.toRows(ZSet.consolidate(r.output("CHW")))
+      .as[(String, Long)].collect().toSet
+    assert(v === Set(("a", 12L), ("b", 23L)))
+    assert(w === Set(("a", 13L), ("b", 24L)))
+    // retraction flows THROUGH the chain: drop b's big row below the gate
+    r.stepAll(Map("CH" -> ZSet.negate(ZSet.fromRows(
+      Seq(("b", 20)).toDF("k", "v")))))
+    val w2 = ZSet.toRows(ZSet.consolidate(r.output("CHW")))
+      .as[(String, Long)].collect().toSet
+    assert(w2 === Set(("a", 13L)))
+  }
+
   test("unterminated block comment fails loudly, terminated ones are fine") {
     val e = new Engine(spark)
     e.executeScript(

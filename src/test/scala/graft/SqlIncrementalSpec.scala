@@ -1448,4 +1448,75 @@ class SqlIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     r.step(Map("GK" -> z(gk, Seq(0L, -1L), Seq(1L, 1L))))
     assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
   }
+
+  test("3-way chain of merged same-named keys projects every side " +
+    "(the r13 join.test alias-apart bucket)") {
+    // u JOIN w ON u.a = w.a JOIN x ON x.a = u.a, projecting a from ALL
+    // THREE sides plus the non-key collisions: each inner merge leaves two
+    // plan attributes carrying one name, so the upper join's checks and
+    // projections must read the CIRCUIT schema (circuitCols), not plan
+    // attrs. Previously rejected ("join sides share non-key column name").
+    // compiled directly (not through Engine: Spark temp-view registration
+    // rejects the duplicate OUTPUT names this shape legitimately produces)
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("a", "b").createOrReplaceTempView("MK1")
+    Seq((1L, 100L), (3L, 300L)).toDF("k", "v").createOrReplaceTempView("MK2")
+    Seq((1L, 1000L), (2L, 2000L)).toDF("k", "g").createOrReplaceTempView("MK3")
+    val sql =
+      """SELECT u.a, w.a, x.a, u.b, w.b, x.b FROM MK1 u
+        |JOIN (SELECT k AS a, v AS b FROM MK2) w ON u.a = w.a
+        |JOIN (SELECT k AS a, g AS b FROM MK3) x ON x.a = u.a""".stripMargin
+    val circuit = SqlIncremental.compile(spark, sql, Set("MK1", "MK2", "MK3"))
+    val m1 = spark.table("MK1").limit(0)
+    val m2 = spark.table("MK2").limit(0)
+    val m3 = spark.table("MK3").limit(0)
+    val r = new Runner(spark, circuit, Map("MK1" -> m1, "MK2" -> m2, "MK3" -> m3))
+    r.step(Map(
+      "MK1" -> ZSet.fromRows(spark.table("MK1")),
+      "MK2" -> ZSet.fromRows(spark.table("MK2")),
+      "MK3" -> ZSet.fromRows(spark.table("MK3"))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(spark.sql(sql)))
+    // retraction through the merged chain
+    r.step(Map("MK2" -> ZSet.negate(ZSet.fromRows(
+      Seq((1L, 100L)).toDF("k", "v")))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+  }
+
+  test("correlated EXISTS keyed on a RENAMED join column re-anchors the " +
+    "OuterReference name (rjoin.test bug)") {
+    // The right side's `id` is renamed id__rN apart from the left's; the
+    // EXISTS correlation references it through an OuterReference — a LEAF
+    // expression the rename pass could not reach, so the semi join
+    // silently keyed on the LEFT side's still-`id`-named column (wrong
+    // rows, no error). 68 rjoin.test records caught it.
+    val e = new Engine(spark)
+    e.executeScript(
+      """CREATE TABLE RX1 (id BIGINT NOT NULL, q BIGINT NOT NULL);
+        |CREATE TABLE RX2 (id BIGINT NOT NULL, p BIGINT NOT NULL, v BIGINT NOT NULL);
+        |CREATE VIEW RXV AS
+        |  SELECT a.q, b.id FROM RX1 a RIGHT JOIN RX2 b ON a.q = b.v
+        |  WHERE EXISTS (SELECT 1 FROM RX2 i WHERE i.p = b.id)""".stripMargin)
+    val s1 = StructType(Seq(StructField("id", LongType), StructField("q", LongType)))
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("p", LongType),
+      StructField("v", LongType)))
+    val r = e.incrementalRunner("RXV")
+    // RX1.id values deliberately COLLIDE with RX2.p so the old wrong key
+    // (left id ∈ p) differs from the right answer (b.id ∈ p)
+    r.step(Map(
+      "RX1" -> z(s1, Seq(7L, 50L, 1L), Seq(8L, 60L, 1L)),
+      "RX2" -> z(s2, Seq(1L, 7L, 50L, 1L), Seq(2L, 9L, 99L, 1L), Seq(7L, 2L, 60L, 1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+    import spark.implicits._
+    Seq((7L, 50L), (8L, 60L)).toDF("id", "q").createOrReplaceTempView("RX1_F")
+    Seq((1L, 7L, 50L), (2L, 9L, 99L), (7L, 2L, 60L))
+      .toDF("id", "p", "v").createOrReplaceTempView("RX2_F")
+    val want = spark.sql(
+      """SELECT a.q, b.id FROM RX1_F a RIGHT JOIN RX2_F b ON a.q = b.v
+        |WHERE EXISTS (SELECT 1 FROM RX2_F i WHERE i.p = b.id)""".stripMargin)
+    assert(canon(ZSet.toRows(ZSet.consolidate(r.output))) === canon(want))
+    // retract the witness row: ids keyed through it must drop
+    r.step(Map("RX2" -> z(s2, Seq(1L, 7L, 50L, -1L))))
+    assert(canon(ZSet.consolidate(r.output)) === canon(r.recompute))
+  }
 }

@@ -12,6 +12,7 @@ cd "$(dirname "$0")/.."
 SCRATCH=$(mktemp -d /tmp/slt_check.XXXXXX)
 trap 'rm -rf "$SCRATCH"' EXIT
 SLT_OUT="$SCRATCH" python3 tools/gen_slt.py >/dev/null
+SLT_OUT="$SCRATCH" python3 tools/gen_slt2.py >/dev/null
 SLT_OUT="$SCRATCH" python3 tools/gen_pg_date.py >/dev/null 2>&1 || true
 SLT_OUT="$SCRATCH" python3 tools/gen_pg_timestamp.py >/dev/null 2>&1 || true
 FAIL=0

@@ -28,7 +28,7 @@ import random
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
-from gen_slt import File, render
+from gen_slt import File, render, expected_block
 
 rng = random.Random(977413)
 
@@ -42,11 +42,18 @@ def query_guarded(f, sql, fmt, order):
     '-0.000' — the first unknown-unknown this generator caught (two
     records froze -0.000 from (x-x)*(x-y) shapes and failed ONLY via the
     engine cross-check). Keep such results out of the frozen corpus; the
-    deviation is documented in PROGRESS.md."""
+    deviation is documented in PROGRESS.md.
+
+    Emits from the single fetch (the guard used to re-execute each
+    candidate inside File.query, doubling generation time)."""
     rows = f.con.execute(sql).fetchall()
-    if any(l == "-0.000" for l in render(rows, fmt, order)):
+    lines = render(rows, fmt, order)
+    if any(l == "-0.000" for l in lines):
         raise ValueError("negative-zero result")
-    f.query(sql, fmt, order)
+    assert all(l.strip() for l in lines), \
+        f"whitespace-only result value breaks SLT framing: {sql!r}"
+    f.out += [f"query {fmt} {order}", sql, "----"] + expected_block(lines) + [""]
+    f.n_queries += 1
 
 # ---------------------------------------------------------------------------
 # typed expression grammar
@@ -304,9 +311,134 @@ def gen_rselect():
     return f
 
 
+# ---------------------------------------------------------------------------
+# random join trees (r13 verdict #5): the independent generator aimed at
+# the LOWERING machinery — 2-4-way join chains with mixed outer kinds,
+# name collisions BY CONSTRUCTION (u3 shares p/q/s with u1 and v with u2;
+# derived sides re-export whole colliding column sets), correlated
+# subqueries anchored to random tree aliases, and aggregates over join
+# results. Every ON/WHERE reference is alias-qualified so DuckDB binds
+# deterministically; OUTPUT-name collisions (SELECT a.p, b.p) are kept —
+# they are exactly the alias-apart class the circuit compiler must chew.
+# ---------------------------------------------------------------------------
+
+def u3_statements(f):
+    f.statement("CREATE TABLE u3(id INTEGER, p INTEGER, q INTEGER, "
+                "s TEXT, v INTEGER)")
+    texts = ["alpha", "", "kk", "NN", "a b", "zz-9"]
+    for i in range(31):
+        p = rng.randrange(-15, 85)     # overlaps u1.p / u2.p
+        q = "NULL" if rng.randrange(5) == 0 else str(rng.randrange(0, 60))
+        s = "'" + rng.choice(texts) + "'"
+        v = "NULL" if rng.randrange(7) == 0 else str(rng.randrange(0, 500))
+        f.statement(f"INSERT INTO u3 VALUES({i}, {p}, {q}, {s}, {v})")
+
+
+# table -> INT-typed columns usable in join keys / predicates / projections
+RJ_INT_COLS = {"u1": ["id", "p", "q", "r"],
+               "u2": ["id", "p", "v"],
+               "u3": ["id", "p", "q", "v"]}
+
+
+def gen_rjoin():
+    f = File("rjoin.test")
+    u1_statements(f)
+    u2_statements(f)
+    u3_statements(f)
+
+    def join_item(alias):
+        """One FROM item: base table or derived table re-exporting a
+        colliding column set. Returns (sql_fragment, int_cols)."""
+        t = rng.choice(["u1", "u2", "u3"])
+        if rng.randrange(3) == 0:
+            cols = RJ_INT_COLS[t]
+            keep = sorted(rng.sample(cols, rng.randrange(2, len(cols) + 1)))
+            w = ""
+            if rng.randrange(2):
+                c = rng.choice(keep)
+                w = f" WHERE {c} {rng.choice(['>', '<', '>='])} {rng.randrange(-10, 90)}"
+            return (f"(SELECT {', '.join(keep)} FROM {t}{w}) {alias}", keep)
+        return f"{t} {alias}", RJ_INT_COLS[t]
+
+    def on_cond(la, lcols, ra, rcols):
+        lk = rng.choice(lcols)
+        rk = rng.choice(rcols)
+        k = rng.randrange(6)
+        if k <= 2:
+            base = f"{la}.{lk} = {ra}.{rk}"
+        elif k == 3:
+            base = f"{la}.{lk} IS NOT DISTINCT FROM {ra}.{rk}"
+        elif k == 4:
+            base = f"{la}.{lk} = {ra}.{rk} % {rng.randrange(2, 60)}"
+        else:
+            base = f"{la}.{lk} + {rng.randrange(0, 5)} = {ra}.{rk}"
+        if rng.randrange(4) == 0:
+            base += f" AND {ra}.{rng.choice(rcols)} > {rng.randrange(-5, 120)}"
+        return base
+
+    aliases = ["a", "b", "c", "dd"]
+    made = 0
+    while made < 1600:
+        try:
+            n = rng.randrange(2, 5)
+            items = [join_item(aliases[i]) for i in range(n)]
+            frm = items[0][0]
+            for i in range(1, n):
+                jt = rng.choice(["JOIN", "JOIN", "LEFT JOIN", "LEFT JOIN",
+                                 "RIGHT JOIN", "FULL JOIN"])
+                # the left anchor of each ON is a random EARLIER item, so
+                # the tree is a chain with random cross-links
+                li = rng.randrange(0, i)
+                frm += f" {jt} {items[i][0]} ON " + on_cond(
+                    aliases[li], items[li][1], aliases[i], items[i][1])
+            wh = ""
+            r = rng.randrange(10)
+            if r <= 2:
+                # correlated subquery anchored to a random alias
+                ai = rng.randrange(0, n)
+                acol = rng.choice(items[ai][1])
+                sub = rng.choice([
+                    f"EXISTS (SELECT 1 FROM u2 WHERE u2.p = {aliases[ai]}.{acol})",
+                    f"NOT EXISTS (SELECT 1 FROM u3 WHERE u3.p = {aliases[ai]}.{acol} "
+                    f"AND u3.v > {rng.randrange(0, 400)})",
+                    f"{aliases[ai]}.{acol} IN (SELECT q FROM u3 WHERE v > {rng.randrange(0, 300)})",
+                    f"{aliases[ai]}.{acol} > (SELECT min(p) FROM u2) + {rng.randrange(0, 40)}",
+                ])
+                wh = f" WHERE {sub}"
+            elif r <= 4:
+                ai = rng.randrange(0, n)
+                acol = rng.choice(items[ai][1])
+                wh = f" WHERE {aliases[ai]}.{acol} {rng.choice(['>', '<', '='])} " \
+                     f"{rng.randrange(-10, 80)}"
+            if rng.randrange(4) == 0:
+                # aggregate over the join result, qualified group key
+                gi = rng.randrange(0, n)
+                gcol = rng.choice(items[gi][1])
+                si = rng.randrange(0, n)
+                scol = rng.choice(items[si][1])
+                sql = (f"SELECT {aliases[gi]}.{gcol}, count(*), "
+                       f"sum({aliases[si]}.{scol}) FROM {frm}{wh} "
+                       f"GROUP BY {aliases[gi]}.{gcol}")
+                query_guarded(f, sql, "III", "rowsort")
+            else:
+                # 2-4 projected columns across aliases; duplicates of the
+                # SAME column name from different sides are deliberate
+                k = rng.randrange(2, 5)
+                proj = []
+                for _ in range(k):
+                    pi = rng.randrange(0, n)
+                    proj.append(f"{aliases[pi]}.{rng.choice(items[pi][1])}")
+                sql = f"SELECT {', '.join(proj)} FROM {frm}{wh}"
+                query_guarded(f, sql, "I" * k, "rowsort")
+            made += 1
+        except Exception:
+            continue
+    return f
+
+
 def main():
     total = 0
-    for g in (gen_rexpr, gen_rselect):
+    for g in (gen_rexpr, gen_rselect, gen_rjoin):
         total += g().write()
     print(f"TOTAL: {total} queries")
 
