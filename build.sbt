@@ -31,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Commit AND pre-touch the whole heap at JVM start: a lazily-committed
+  // large heap (the bench driver sets SPARK_DRIVER_MEM ≈ 89 g) page-faults
+  // fresh pages continuously and commit/uncommit-thrashes as G1 resizes —
+  // measured 2-3× wall-time inflation on allocation-heavy queries at 89 g
+  // vs 8 g (q174 21-25 s → 7.2 s warm with these two flags; whole-bench
+  // task GC 293 s → see OPTIMIZATION_r15.md). One-time startup cost,
+  // outside any per-query timing.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

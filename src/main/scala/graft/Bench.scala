@@ -230,12 +230,27 @@ object Bench {
       val dir = java.nio.file.Paths.get(".")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val mins = scala.collection.mutable.Map.empty[String, Double]
+      // History rows are only comparable at the SAME scale factor: a
+      // historical round benched at a smaller sf would yield tiny minima
+      // that flag nearly every row and double the wall time on reruns.
+      // Compare by the sf directory's basename (the driver wrapper format
+      // stores the path under "parsed"."sf").
+      val curSf = java.nio.file.Paths.get(sfDir).getFileName.toString
       java.nio.file.Files.list(dir).iterator().asScala
         .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
         .foreach { p =>
           scala.util.Try {
             val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
-            val qs = root.get("queries")
+            // Two layouts: this main's own JSON line ("queries" at the
+            // root), and the driver's wrapper (the same object under
+            // "parsed"). Earlier code read only the root and silently
+            // skipped wrapper files — the adjudication never saw history.
+            val node = if (root.has("queries")) root else root.get("parsed")
+            val sfOk = node != null && {
+              val s = Option(node.get("sf")).map(_.asText("")).getOrElse("")
+              s == sfDir || s.endsWith("/" + curSf) || s == curSf
+            }
+            val qs = if (sfOk) node.get("queries") else null
             if (qs != null) qs.properties().asScala.foreach { e =>
               val v = e.getValue.asDouble(-1)
               if (v > 0) mins.updateWith(e.getKey) {

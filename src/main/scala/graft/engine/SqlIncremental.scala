@@ -98,11 +98,28 @@ object SqlIncremental {
     if (outCols.map(_.toLowerCase).distinct.size == outCols.size) inc
     else {
       val seen = mutable.Map.empty[String, Int]
+      // A generated name must not collide with ANY output name (a query
+      // can itself project a column literally named a__dup1) nor with a
+      // previously generated one — loop the suffix until free.
+      val allLower = outCols.map(_.toLowerCase).toSet
+      val emitted = mutable.Set.empty[String]
       val uniq = outCols.map { n =>
         val k = n.toLowerCase
         val c = seen.getOrElse(k, 0)
         seen(k) = c + 1
-        if (c == 0) n else s"${n}__dup$c"
+        val out =
+          if (c == 0) n
+          else {
+            var i = c
+            var cand = s"${n}__dup$i"
+            while (allLower.contains(cand.toLowerCase) ||
+                   emitted.contains(cand.toLowerCase)) {
+              i += 1; cand = s"${n}__dup$i"
+            }
+            cand
+          }
+        emitted += out.toLowerCase
+        out
       }
       inc.linear { df =>
         val it = uniq.iterator
@@ -2276,9 +2293,17 @@ object SqlIncremental {
             circuitCols(r).filterNot(n => merged.contains(n.toLowerCase))
       }
     // pass-through nodes keep the child's circuit columns (a Filter or
-    // alias over a merged join must not re-read the doubled plan attrs)
+    // alias over a merged join must not re-read the doubled plan attrs) —
+    // every output-preserving unary node qualifies, or the shapes it
+    // covers regress to the alias-apart reject this exists to close
     case f: Filter => circuitCols(f.child)
     case a: SubqueryAlias => circuitCols(a.child)
+    case s: Sort => circuitCols(s.child)
+    case l: GlobalLimit => circuitCols(l.child)
+    case l: LocalLimit => circuitCols(l.child)
+    case d: Deduplicate => circuitCols(d.child)
+    case w: Window =>
+      circuitCols(w.child) ++ w.windowExpressions.map(_.name)
     case other => other.output.map(_.name)
   }
 

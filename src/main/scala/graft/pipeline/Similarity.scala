@@ -58,7 +58,11 @@ object Similarity {
     (pmod(xxhash64(concat_ws("_", lit("rh"), lit(bit), dim)), lit(1000003L))
       .cast(DoubleType) / 500001.5) - 1.0
 
-  /** nBits-bit random-hyperplane signature of a vector. */
+  /** nBits-bit random-hyperplane signature of a vector. Row-expression
+    * form: correct at any width, but the per-bit `aggregate(zip_with(...))`
+    * folds are interpreted higher-order functions that re-run the hash
+    * chain per element — use [[lshSignatures]] (same values by
+    * construction, hash chain codegen'd) when signing a whole corpus. */
   def lshSignature(vec: Column, nBits: Int = 16): Column = {
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
@@ -68,6 +72,60 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** (idCol, vecCol, sigCol, normCol) for a whole corpus — the signing
+    * pass [[cosineNearDuplicates]] runs, restructured so the HOT work is
+    * whole-stage-codegen'd (guide §4: no interpreted expressions in the
+    * hot path).
+    *
+    * Spark evaluates higher-order functions (`aggregate`/`zip_with`/
+    * `transform`) INTERPRETED, so the row-expression [[lshSignature]]
+    * pays nBits interpreted folds per row, each re-running the
+    * concat/xxhash64/pmod hyperplane chain per element — measured 126 s
+    * for q104's 4,000-row corpus at sf0.1. Here the per-element products
+    * x_d·r_j[d] (and x_d² for the norm) are computed in a CODEGEN'D
+    * posexplode projection, then re-packed per row with one
+    * `collect_list` + pos-sort; the only interpreted folds left are pure
+    * additions over the precomputed doubles, added in the SAME ascending
+    * dimension order as the row expression's sequential fold — so every
+    * signature bit, norm, and downstream cosine is BIT-IDENTICAL to the
+    * row-expression path (same doubles, same order, same ops).
+    *
+    * Scale shape: one corpus scan + one keyed shuffle carrying
+    * dim×(nBits+2) doubles per row — same O(corpus) byte class as
+    * shuffling the vectors themselves. Degenerate rows (NULL/empty
+    * vector) keep the row-expression semantics via a union branch. */
+  def lshSignatures(corpus: DataFrame, nBits: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    sigCol: String = "sig", normCol: String = "__n"): DataFrame = {
+    val degenerate = corpus
+      .filter(col(vecCol).isNull || size(col(vecCol)) <= 0)
+      .select(col(idCol), col(vecCol),
+        lshSignature(col(vecCol), nBits).as(sigCol),
+        norm2(col(vecCol)).as(normCol))
+    val x = col("x").cast(DoubleType)
+    val fields = Seq(col("pos"), col("x")) ++
+      (0 until nBits).map(j => (x * planeComponent(j, col("pos"))).as(s"c$j")) :+
+      (x * x).as("xx")
+    val packed = corpus.filter(size(col(vecCol)) > 0)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), struct(fields: _*).as("pc"))
+      .groupBy(col(idCol))
+      // struct sort = by first field (pos, unique per row) — the fold
+      // below then adds contributions in ascending-dimension order,
+      // matching lshSignature's sequential zip_with fold exactly
+      .agg(array_sort(collect_list(col("pc"))).as("ps"))
+    def fold(field: String): Column =
+      aggregate(col("ps"), lit(0.0), (acc, p) => acc + p.getField(field))
+    val sig = (0 until nBits).map { j =>
+      when(fold(s"c$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    packed.select(col(idCol),
+      transform(col("ps"), p => p.getField("x")).as(vecCol),
+      sig.as(sigCol),
+      sqrt(fold("xx")).as(normCol))
+      .unionByName(degenerate)
   }
 
   /** ANN top-k: hash corpus and queries to signature buckets, join on the
@@ -260,16 +318,28 @@ object Similarity {
                            idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            maxBucket: Int = 1000): DataFrame = {
-    val sig = corpus.withColumn("sig", lshSignature(col(vecCol), nBits))
-    val bigBuckets = sig.groupBy(col("sig"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
-      .select(col("sig"))
-    val sized = sig.join(broadcast(bigBuckets), Seq("sig"), "left_anti")
-    val a = sized.select(col("sig"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = sized.select(col("sig"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // Signatures + hoisted norms via the codegen'd signing pass
+    // (bit-identical to the lshSignature row expression — see
+    // lshSignatures); the per-pair cost after the bucket join is then ONE
+    // dot-product fold instead of cosine's three (guide §4).
+    val sig = lshSignatures(corpus, nBits, idCol, vecCol)
+    // cap disabled (oracle paths) → skip the bucket-size pass entirely
+    // instead of anti-joining against a provably-empty list
+    val sized =
+      if (maxBucket == Int.MaxValue) sig
+      else {
+        val bigBuckets = sig.groupBy(col("sig"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucket)
+          .select(col("sig"))
+        sig.join(broadcast(bigBuckets), Seq("sig"), "left_anti")
+      }
+    val a = sized.select(col("sig"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("__n").as("__na"))
+    val b = sized.select(col("sig"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("__n").as("__nb"))
     a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos")).distinct()
   }

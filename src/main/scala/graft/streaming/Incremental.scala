@@ -1324,6 +1324,11 @@ object Incremental {
       * (−1 = no step measured yet → full width); the per-slot target is
       * pinnable for tests/deployments. See the stepParts sizing below. */
     @volatile private var cpuFloorParts: Int = -1
+    /** Previous step's own measured floor: the applied floor is the MAX of
+      * the last two measurements, so a reading the bus drain still missed
+      * (its events then land in the NEXT delta) widens rather than narrows
+      * — the stated safety direction. */
+    @volatile private var prevMeasuredFloor: Int = -1
     private val stepCpuPerSlotMs: Long = spark.conf
       .getOption("spark.graft.incremental.stepCpuMsPerSlot")
       .map(_.toLong).getOrElse(250L)
@@ -1549,9 +1554,20 @@ object Incremental {
       // re-derivation over stored closure) derives a wide floor without
       // anyone having to declare its operator compute-bound. Tasks from
       // concurrent queries inflate the reading, erring wide (safe).
+      // onTaskEnd events arrive ASYNCHRONOUSLY on the listener bus: drain
+      // it (bounded) before snapshotting, and additionally retain the max
+      // of the last two measurements — an under-counted step (drain timed
+      // out; its stragglers land in the next delta) then errs WIDE for one
+      // step instead of serializing a compute-bound successor (the
+      // q151-class regression this measurement replaces the whitelist to
+      // prevent).
+      org.apache.spark.GraftSparkBridge.drainListenerBus(
+        spark.sparkContext, 2000L)
       val stepCpuMs = (Runner.taskCpuNs(spark.sparkContext) - cpuNsBefore) / 1000000L
-      cpuFloorParts = math.max(8L, stepCpuMs / math.max(1L, stepCpuPerSlotMs))
+      val measuredFloor = math.max(8L, stepCpuMs / math.max(1L, stepCpuPerSlotMs))
         .min(Int.MaxValue).toInt
+      cpuFloorParts = math.max(measuredFloor, prevMeasuredFloor)
+      prevMeasuredFloor = measuredFloor
       if (sys.env.contains("GRAFT_STEP_DEBUG"))
         println(s"STEPCPU ${stepCpuMs}ms -> next floor $cpuFloorParts")
 

@@ -19,6 +19,10 @@ for m in java.base/java.lang java.base/java.lang.invoke \
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $m=ALL-UNNAMED"
 done
+# -Xms=-Xmx + AlwaysPreTouch: match build.sbt's javaOptions — a lazily
+# committed large heap page-fault/resize-thrashes under G1 (2-3x measured
+# on step-heavy queries at 89g); numbers without these are NOT comparable.
 exec java -cp "target/scala-2.13/classes:/opt/spark/jars/*" $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" "$@"
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" -Xms"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:+AlwaysPreTouch "$@"
