@@ -27,17 +27,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Commit AND pre-touch a heap floor at JVM start: a lazily-committed large
+// heap (the bench driver sets SPARK_DRIVER_MEM ≈ 89 g) page-faults fresh
+// pages continuously and commit/uncommit-thrashes as G1 resizes — measured
+// 2-3× wall-time inflation on allocation-heavy queries at 89 g vs 8 g
+// (q174 21-25 s → ~8 s warm with the floor; see OPTIMIZATION_r15.md). The
+// floor is CAPPED at 32 g: pre-touching the full 89 g grant put RSS at
+// ~97 GB and the sandbox OOM-killed the JVM once off-heap (netty, GC aux,
+// page cache for shuffle files) spiked — 32 g committed removes the resize
+// churn (sf0.1 state never outgrows it; -Xmx still honors the full grant)
+// while leaving real headroom. Pre-touch cost is startup-only, outside any
+// per-query timing.
+def graftMemMb(s: String): Long = {
+  val t = s.trim.toLowerCase
+  val n = t.takeWhile(_.isDigit).toLong
+  if (t.endsWith("g")) n * 1024 else if (t.endsWith("m")) n else n / (1 << 20)
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Commit AND pre-touch the whole heap at JVM start: a lazily-committed
-  // large heap (the bench driver sets SPARK_DRIVER_MEM ≈ 89 g) page-faults
-  // fresh pages continuously and commit/uncommit-thrashes as G1 resizes —
-  // measured 2-3× wall-time inflation on allocation-heavy queries at 89 g
-  // vs 8 g (q174 21-25 s → 7.2 s warm with these two flags; whole-bench
-  // task GC 293 s → see OPTIMIZATION_r15.md). One-time startup cost,
-  // outside any per-query timing.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${math.min(graftMemMb(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")), 32L * 1024)}m",
   "-XX:+AlwaysPreTouch",
 )

@@ -46,6 +46,10 @@ object ProfileQ {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"PROFILE $name rep=$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // Match Bench.timeOne: drop whatever this rep cached, or rep 2+'s
+      // structurally identical plans substitute rep 1's materialized cache
+      // entries and under-report the real per-query cost.
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -780,6 +780,9 @@ object Incremental {
       // when unknown.
       val bound = Fixpoint.Local.maxBytes(dChild.sparkSession)
       val est = Incremental.satAdd(ctx.traceBytes(id), ctx.childBytes(child))
+      if (sys.env.contains("GRAFT_STEP_DEBUG"))
+        println(s"CLOSUREEST est=$est bound=$bound " +
+          s"trace=${ctx.traceBytes(id)} child=${ctx.childBytes(child)}")
       val viaKernel = if (est <= bound) localDelta(ctx, dChild) else None
       viaKernel.getOrElse(distributedDelta(ctx, dChild))
     }
@@ -1415,7 +1418,16 @@ object Incremental {
         .getOption("spark.graft.incremental.stepShufflePartitions")
         .map(_.toInt).getOrElse {
           def planBytes(df: DataFrame): Long = {
-            val s = try df.queryExecution.optimizedPlan.stats.sizeInBytes
+            // Size from a FRESH wrapper Dataset: forcing the caller frame's
+            // OWN QueryExecution here would pin its plan BEFORE wave-0's
+            // persist registers it, and Spark's lazy QE then skips cache
+            // substitution for every later action on that frame — the
+            // persist never builds, each downstream reference re-executes
+            // the raw delta plan, and cachedSizeBytes falls back to the
+            // join-inflated optimizer estimate (measured: q151's 3,000-row
+            // delta reading 149 MB, defeating the closure's local kernel).
+            val s = try df.select(col("*"))
+              .queryExecution.optimizedPlan.stats.sizeInBytes
             catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
             if (s > Long.MaxValue) Long.MaxValue else s.toLong
           }
@@ -1643,15 +1655,23 @@ object Incremental {
     }
 
     /** Post-materialization cached size of a persisted DataFrame, from the
-      * InMemoryRelation's size accumulator (no job). Falls back to the
-      * optimizer estimate if cache substitution didn't apply. */
-    private def cachedSizeBytes(df: DataFrame): Long = {
-      val stats = df.queryExecution.withCachedData.collectFirst {
-        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          r.stats.sizeInBytes
-      }.getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
-      if (stats > Long.MaxValue) Long.MaxValue else stats.toLong
-    }
+      * cache entry's BUILD-TIME size accumulator (no job). The previous
+      * `withCachedData.collectFirst{ InMemoryRelation }.stats` read could
+      * silently return the plan's OPTIMIZER estimate (InMemoryRelation
+      * .stats falls back to it when the buffers-loaded check misses), and
+      * a join-derived estimate inflates 1000× — measured: q151's 3,000-row
+      * step-1 delta read 149 MB, pushing the closure off its local kernel
+      * onto the ~15-job distributed DRed cascade and poisoning accSize for
+      * the rest of the run. Falls back to the old path only when the
+      * accumulator route finds no built entry. */
+    private def cachedSizeBytes(df: DataFrame): Long =
+      org.apache.spark.sql.GraftSqlBridge.cachedBuiltBytes(df).getOrElse {
+        val stats = df.queryExecution.withCachedData.collectFirst {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            r.stats.sizeInBytes
+        }.getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        if (stats > Long.MaxValue) Long.MaxValue else stats.toLong
+      }
 
     /** Persist consolidated state to parquet so maintenance can resume in a
       * later session/process — the durable-state-table shape a cluster

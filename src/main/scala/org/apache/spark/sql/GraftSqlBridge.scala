@@ -58,6 +58,22 @@ object GraftSqlBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** ACTUAL built byte size of a DataFrame's cache entry, read from the
+    * CachedRDDBuilder's size accumulator — Some only when the frame is
+    * cached AND its column buffers were materialized. `InMemoryRelation
+    * .stats` falls back to the plan's OPTIMIZER estimate whenever the
+    * loaded-buffers check misses, and a join-derived estimate can be off
+    * by 1000× (a 3,000-row self-join delta estimating 149 MB) — poisoning
+    * any byte-driven decision (local-kernel gating, step-width sizing)
+    * fed from it. */
+  def cachedBuiltBytes(df: DataFrame): Option[Long] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).collect {
+      case cd if cd.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded =>
+        cd.cachedRepresentation.cacheBuilder.sizeInBytesStats.value.longValue
+    }
+  }
+
   /** Register a session-scoped SQL function whose body is composed from
     * Column expressions (stays fully codegen'd — this is NOT a UDF). */
   def registerSqlFunction(spark: SparkSession, name: String,

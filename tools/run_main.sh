@@ -19,10 +19,19 @@ for m in java.base/java.lang java.base/java.lang.invoke \
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $m=ALL-UNNAMED"
 done
-# -Xms=-Xmx + AlwaysPreTouch: match build.sbt's javaOptions — a lazily
-# committed large heap page-fault/resize-thrashes under G1 (2-3x measured
-# on step-heavy queries at 89g); numbers without these are NOT comparable.
+# Committed+pre-touched heap floor (capped 32g): match build.sbt's
+# javaOptions — a lazily committed large heap page-fault/resize-thrashes
+# under G1 (2-3x measured on step-heavy queries at 89g), while pre-touching
+# the FULL 89g grant OOM-killed the sandbox; numbers without these flags
+# are NOT comparable.
+MEM="${SPARK_DRIVER_MEM:-8g}"
+N="${MEM//[!0-9]/}"
+case "$MEM" in
+  *g|*G) MB=$((N * 1024));;
+  *m|*M) MB=$N;;
+  *) MB=$((N / 1048576));;
+esac
+XMS_MB=$(( MB < 32768 ? MB : 32768 ))
 exec java -cp "target/scala-2.13/classes:/opt/spark/jars/*" $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" -Xms"${SPARK_DRIVER_MEM:-8g}" \
-  -XX:+AlwaysPreTouch "$@"
+  -Xmx"$MEM" -Xms"${XMS_MB}m" -XX:+AlwaysPreTouch "$@"
