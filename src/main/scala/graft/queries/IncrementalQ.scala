@@ -799,11 +799,34 @@ object IncrementalQ {
         .where(size(col("__toks")) > 0)
         .select(col("doc_id"), shE.as("sh"))
       // hash shingles ONCE behind a projection boundary; the k permutation
-      // folds then run affine transforms over the bound hash column
+      // minima are then computed DISTRIBUTED (posexplode → k grouped MINs,
+      // whole-stage codegen + map-side partial aggregation) instead of the
+      // k interpreted array_min(transform(...)) folds per row — Spark
+      // higher-order functions are interpreted, and k×|shingles| lambda
+      // evaluations per doc per circuit evaluation dominated this query's
+      // step CPU (guide §4). Values are BIT-IDENTICAL: integer MIN over
+      // the same affine images is order-independent. Z-set semantics are
+      // preserved by consolidating first (canonical rows, so the groupBy
+      // on (doc_id, hs, weight) maps each row 1:1) — a linear op because
+      // signatures are a pure per-row function.
+      val P = 2305843009213693951L // 2^61 - 1, as minhashSignatureFromHashes
       val sig = sh
         .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-        .select(col("doc_id"),
-          graft.pipeline.Dedup.minhashSignatureFromHashes(col("hs"), k).as("sig"))
+        .linear { df =>
+          val z = graft.zset.ZSet.consolidate(df)
+          val W = graft.zset.ZSet.W
+          val mins = (0 until k).map { i =>
+            val a = 2L * i + 1; val b = 7919L * (i + 1)
+            min(pmod(col("__h") * a + b, lit(P))).as(s"__m$i")
+          }
+          z.select(col("doc_id"), col("hs"), col(W),
+              explode(col("hs")).as("__h"))
+            .groupBy(col("doc_id"), col("hs"), col(W))
+            .agg(mins.head, mins.tail: _*)
+            .select(col("doc_id"),
+              array((0 until k).map(i => col(s"__m$i")): _*).as("sig"),
+              col(W))
+        }
       val bandsInc = sig.select(col("doc_id"), posexplode(
           array((0 until bandCount).map(b => xxhash64(concat_ws("_",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
