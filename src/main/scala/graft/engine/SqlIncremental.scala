@@ -1589,7 +1589,18 @@ object SqlIncremental {
                   keep: Seq[String], otherPatterns: Inc): Inc = {
       val withBits = tuples.select(names.map(col) :+
         bitsOf(nullableSelf).as(bitsName) :+ lit(1).as("__one"): _*)
-      withBits.join(otherPatterns, Seq("__one")).linear { df =>
+      // Masking/keying FUSED into the join node, with the delta
+      // CONSOLIDATED before materialization (weight-linear post — exact,
+      // see JoinInc): distinct tuples sharing a masked image collapse to
+      // ONE stored row whose weight counts them. Unfused, the sub side's
+      // traced state held one row PER (tuple, mask) — the downstream
+      // masked-key join then paired every probe expansion with every raw
+      // witness (measured q160 sf0.1: 7.8M-row join deltas, ~52 s task
+      // CPU per step); consolidated, heavy masks collapse to one row per
+      // (masked image, own-pattern class), and the pair count is bounded
+      // by masked-image combinations, not tuple products — the difference
+      // between O(tuples²) and O(distinct images) at scale.
+      withBits.joinThen(otherPatterns, Seq("__one")) { df =>
         val masked = graft.zset.ZSet.map(df)(
           names.map(col) ++ Seq(col(bitsName),
             col(bitsName).bitwiseOR(col("__opat")).as("__mask")): _*)
@@ -1602,12 +1613,12 @@ object SqlIncremental {
             } :+ col(bitsName): _*)
         // same join-key shape as the static path: one 64-bit hash of
         // (mask, masked tuple) — see the narrow-key rationale above
-        graft.zset.ZSet.map(keyed)(
+        graft.zset.ZSet.consolidate(graft.zset.ZSet.map(keyed)(
           (keep.map(col) :+ col("__mask")) ++
             names.map(n => col(keyName(n))) ++
             Seq(col(bitsName),
               xxhash64(col("__mask") +:
-                names.map(n => col(keyName(n))): _*).as("__nh")): _*)
+                names.map(n => col(keyName(n))): _*).as("__nh")): _*))
       }
     }
 
@@ -1656,11 +1667,18 @@ object SqlIncremental {
     val residual = (col("__mask") === col("__smask")) &&
       names.zipWithIndex.map { case (n, i) => col(keyName(n)) <=> col(s"__sk$i") }
         .reduce(_ && _)
-    val blocked = probeExp
-      .join(subExp, Seq("__nh"))
-      .where(residual &&
-        col("__pbits").bitwiseOR(col("__qbits")) === col("__mask"))
-      .select(names.map(col): _*)
+    // Residual filter + tuple projection + consolidation FUSED into the
+    // witness join (weight-linear post — exact, see JoinInc): the traced
+    // delta/trace hold one consolidated row per blocked TUPLE instead of
+    // the full (probe-expansion × witness) pair list with its 17 carrier
+    // columns. The downstream distinct's touched-group refold then scans
+    // tuple-sized state.
+    val blocked = probeExp.joinThen(subExp, Seq("__nh")) { df =>
+      graft.zset.ZSet.consolidate(graft.zset.ZSet.map(
+        df.filter(residual &&
+          col("__pbits").bitwiseOR(col("__qbits")) === col("__mask")))(
+        names.map(col): _*))
+    }
     val pass = probeTuples.minus(blocked.distinct)
     node.joinNullSafe(pass, names).select(outerNames.map(col): _*)
   }

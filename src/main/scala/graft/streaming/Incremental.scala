@@ -188,6 +188,16 @@ object Incremental {
     def joinNullSafe(other: Inc, keys: Seq[String]): Inc =
       JoinInc(this, other, keys, nullSafe = true)
 
+    /** Bilinear equi-join fused with a LINEAR post-map (filter / narrow
+      * projection / consolidation over the join output) applied inside the
+      * node, so the traced delta/trace hold the post-map's (small) result
+      * rather than the raw join output. `post` MUST be weight-linear:
+      * per-row maps/filters that carry the weight column through, plus
+      * ZSet.consolidate (identity on Z-set values). See JoinInc. */
+    def joinThen(other: Inc, keys: Seq[String], nullSafe: Boolean = false)
+                (post: DataFrame => DataFrame): Inc =
+      JoinInc(this, other, keys, nullSafe, Some(post))
+
     /** Incremental grouped aggregate (weight-linear folds: COUNT = Σw,
       * SUM = Σ w·x): re-fold only groups present in the delta; retract
       * those groups' previous results from the own output trace. */
@@ -426,15 +436,28 @@ object Incremental {
       ZSet.plus(children.map(ctx.valueOf): _*)
   }
 
+  /** Bilinear incremental equi-join, optionally FUSED with a linear
+    * post-map (`post`: filter / projection / consolidation applied to the
+    * join output INSIDE the node, before the Runner materializes its
+    * delta). Linearity makes the fusion exact: for linear f,
+    * Δ(f(A⋈B)) = f(ΔA⋈B + A⋈ΔB + ΔA⋈ΔB), and consolidation is identity
+    * on Z-set values — so batch ≡ incremental is unchanged. The point is
+    * the TRACE: a traced join whose consumers immediately filter/narrow
+    * its output would otherwise integrate (and rescan, every step) the
+    * full pre-filter join output — for the NOT IN mask expansion that is
+    * millions of 17-column witness-pair rows per step where the fused
+    * node stores thousands of consolidated tuples. */
   private[streaming] final case class JoinInc(left: Inc, right: Inc,
                                               keys: Seq[String],
-                                              nullSafe: Boolean = false) extends Inc {
+                                              nullSafe: Boolean = false,
+                                              post: Option[DataFrame => DataFrame] = None) extends Inc {
     def kids: Seq[Inc] = Seq(left, right)
     override private[streaming] def valueDeps: Seq[Inc] = kids
+    private def app(df: DataFrame): DataFrame = post.fold(df)(f => f(df))
     private def jn(a: DataFrame, b: DataFrame): DataFrame =
       if (nullSafe) ZSet.joinNullSafe(a, b, keys) else ZSet.join(a, b, keys)
     def batch(in: Inputs): DataFrame =
-      jn(left.batch(in), right.batch(in))
+      app(jn(left.batch(in), right.batch(in)))
     private[streaming] def deltaEval(ctx: StepCtx): DataFrame = {
       // Broadcast-hint any provably-small operand (traces and anchored
       // deltas carry accurate cached stats; the check costs zero jobs).
@@ -456,12 +479,12 @@ object Incremental {
       val b = hintTiny(ctx.valueOf(right))
       val da = hintTiny(ctx.deltaOf(left))
       val db = hintTiny(ctx.deltaOf(right))
-      ZSet.plus(jn(da, b), jn(a, db), jn(da, db))
+      app(ZSet.plus(jn(da, b), jn(a, db), jn(da, db)))
     }
     // Reached only if this join's value is consulted but the Runner chose
     // not to trace it (never, per marking) — correct O(state) fallback.
     override private[streaming] def valueEval(ctx: StepCtx): DataFrame =
-      jn(ctx.valueOf(left), ctx.valueOf(right))
+      app(jn(ctx.valueOf(left), ctx.valueOf(right)))
   }
 
   private[streaming] final case class AggW(child: Inc, keys: Seq[String],
@@ -1203,7 +1226,8 @@ object Incremental {
           case l: BootLeaf      => l
           case Linear(c, f)     => Linear(subst(c), f)
           case SumN(cs)         => SumN(cs.map(subst))
-          case JoinInc(l, r, k, ns) => JoinInc(subst(l), subst(r), k, ns)
+          case JoinInc(l, r, k, ns, post) =>
+            JoinInc(subst(l), subst(r), k, ns, post)
           case AggW(c, k, a)    => AggW(subst(c), k, a)
           case AggRows(c, k, a, o) => AggRows(subst(c), k, a, o)
           case AggLinear(c, k, cs) => AggLinear(subst(c), k, cs)
@@ -1292,13 +1316,34 @@ object Incremental {
     def stepAll(deltas: Inputs): Map[String, DataFrame] = {
       val aqeKey = "spark.sql.adaptive.enabled"
       val partsKey = "spark.sql.shuffle.partitions"
+      val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
       val keepAqe = spark.conf.getOption("spark.graft.incremental.stepAqe")
         .exists(_.toBoolean)
       val prevAqe = spark.conf.getOption(aqeKey)
       val prevParts = spark.conf.getOption(partsKey)
+      val prevBcast = spark.conf.getOption(bcastKey)
       if (!keepAqe) spark.conf.set(aqeKey, "false")
+      // Step-scoped broadcast threshold. A step's joins run against
+      // ANCHORED frames whose stats are the actual cached byte sizes (see
+      // GraftSqlBridge.reanchor), so estimates inside a step are honest —
+      // and with AQE suspended, join strategy is decided purely from them.
+      // Raising the threshold to 64 MB (conf-able) lets touched-key semi
+      // joins and other delta-vs-state joins take the broadcast-hash path
+      // (measured: the q160 probe-distinct refold's sort-merge null-safe
+      // semi over 348k state rows cost 25 s task CPU vs 0.6 s broadcast —
+      // the composite coalesce/isnull sort dominates). 64 MB broadcasts
+      // are standard large-executor practice; deployments with tight
+      // drivers can lower spark.graft.incremental.stepBroadcastBytes.
+      val stepBcast = spark.conf
+        .getOption("spark.graft.incremental.stepBroadcastBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      if (stepBcast > 0) spark.conf.set(bcastKey, stepBcast.toString)
       try stepAllImpl(deltas)
       finally {
+        if (stepBcast > 0) prevBcast match {
+          case Some(v) => spark.conf.set(bcastKey, v)
+          case None => spark.conf.unset(bcastKey)
+        }
         if (!keepAqe) prevAqe match {
           case Some(v) => spark.conf.set(aqeKey, v)
           case None => spark.conf.unset(aqeKey)
@@ -1639,6 +1684,8 @@ object Incremental {
       val rdds = Await.result(
         Future.sequence(dfs.zipWithIndex.map { case (df, i) => Future {
           val t0 = System.nanoTime()
+          if (sys.env.contains("GRAFT_STEP_EXPLAIN"))
+            println(s"STEPPLAN[$i]\n${df.queryExecution.executedPlan.treeString.take(8000)}")
           val r = df.queryExecution.toRdd.map(_ => ())
           if (debugTiming)
             println(f"STEPPHASE   toRdd-$i%-8d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
@@ -1646,6 +1693,19 @@ object Incremental {
         }}),
         Duration.Inf)
       val t1 = System.nanoTime()
+      if (sys.env.contains("GRAFT_STEP_ISOLATE")) {
+        // Debug-only: run each frame's job SEQUENTIALLY and attribute task
+        // CPU per frame (slower than the union job; never the bench path).
+        rdds.zipWithIndex.foreach { case (r, i) =>
+          val ti = System.nanoTime()
+          val cpu0 = Runner.taskCpuNs(spark.sparkContext)
+          val n = r.count()
+          org.apache.spark.GraftSparkBridge.drainListenerBus(
+            spark.sparkContext, 2000L)
+          val cpuMs = (Runner.taskCpuNs(spark.sparkContext) - cpu0) / 1000000L
+          println(f"STEPISO[$i] wall ${(System.nanoTime() - ti) / 1e9}%7.2f s cpu $cpuMs%6d ms rows=$n")
+        }
+      } else
       spark.sparkContext.union(rdds).count()
       if (debugTiming)
         println(f"STEPPHASE   union-job        ${(System.nanoTime() - t1) / 1e9}%7.2f s (${dfs.size} states)")

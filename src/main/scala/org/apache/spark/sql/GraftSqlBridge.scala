@@ -24,12 +24,29 @@ object GraftSqlBridge {
     * The returned frame has an O(1)-depth plan, so standing state that is
     * advanced by union every step stops growing the analyzer/optimizer's
     * per-step work. The ORIGINAL frame owns the cache entry: keep it
-    * pinned until the re-anchored state is superseded. */
+    * pinned until the re-anchored state is superseded.
+    *
+    * The anchored leaf's `originStats` are OVERWRITTEN with the cache
+    * entry's ACTUAL built byte size when the frame is materialized:
+    * `fromDataset` copies the source plan's optimizer estimate, which for
+    * a delta plan derives from the full parquet inputs and inflates by
+    * 100-1000× — every downstream size-driven decision (broadcast vs
+    * sort-merge join selection against kilobyte deltas being the critical
+    * one) then plans against fiction. Real bytes make Catalyst's own
+    * JoinSelection do the right thing with no per-operator hints. */
   def reanchor(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
-    classic.Dataset.ofRows(ds.sparkSession,
-      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
-        isStreaming = false))
+    val lr = execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+      isStreaming = false)
+    val sized = cachedBuiltBytes(df) match {
+      case Some(b) =>
+        lr.copy()(ds.sparkSession,
+          Some(catalyst.plans.logical.Statistics(
+            sizeInBytes = BigInt(math.max(b, 1L)))),
+          None)
+      case None => lr
+    }
+    classic.Dataset.ofRows(ds.sparkSession, sized)
   }
 
   /** Run `f` under a THREAD-LOCAL clone of the session's SQLConf with
