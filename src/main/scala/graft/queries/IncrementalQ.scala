@@ -793,11 +793,17 @@ object IncrementalQ {
           .otherwise(transform(sequence(lit(0), size(col("__toks")) - n),
             i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
       val D = source("D")
+      // .traced: tokenize→shingle is the corpus's heaviest per-row
+      // derivation and BOTH jaccard-join sides consult it as a pre-step
+      // value — untraced, each step re-shingled the WHOLE corpus twice
+      // (measured 7-10 s/step at sf0.1); traced, steps shingle only the
+      // delta docs and joins read the stored result.
       val sh = D.select(col("doc_id"), toksE.as("__toks"))
         // zero-token docs emit no signature (mirrors the batch path, which
         // drops them at the explode, and the q76 oracle's len(t) > 0)
         .where(size(col("__toks")) > 0)
         .select(col("doc_id"), shE.as("sh"))
+        .traced
       // hash shingles ONCE behind a projection boundary; the k permutation
       // minima are then computed DISTRIBUTED (posexplode → k grouped MINs,
       // whole-stage codegen + map-side partial aggregation) instead of the
@@ -827,6 +833,9 @@ object IncrementalQ {
               array((0 until k).map(i => col(s"__m$i")): _*).as("sig"),
               col(W))
         }
+        // .traced: the band join reads signatures as pre-step values on
+        // both sides — store them so only delta docs are re-signed.
+        .traced
       val bandsInc = sig.select(col("doc_id"), posexplode(
           array((0 until bandCount).map(b => xxhash64(concat_ws("_",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))

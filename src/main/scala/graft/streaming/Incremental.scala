@@ -168,6 +168,13 @@ object Incremental {
     /** Linear unary op lifted to both modes (map/filter/negate/…). */
     def linear(f: DataFrame => DataFrame): Inc = Linear(this, f)
 
+    /** Materialization point: store this node's output integral as a trace
+      * so value-consulting consumers (bilinear joins, refolds) read the
+      * stored result instead of re-deriving the chain from the source
+      * integral every step. Use after expensive per-row derivations
+      * (signatures, shingles, tokenizations) consumed by joins. */
+    def traced: Inc = Traced(this)
+
     def select(exprs: Column*): Inc = linear(ZSet.map(_)(exprs: _*))
     def where(cond: Column): Inc = linear(_.filter(cond))
     def negate: Inc = linear(ZSet.negate)
@@ -425,6 +432,25 @@ object Incremental {
     private[streaming] def deltaEval(ctx: StepCtx): DataFrame = f(ctx.deltaOf(child))
     override private[streaming] def valueEval(ctx: StepCtx): DataFrame =
       f(ctx.valueOf(child))
+  }
+
+  /** Trace-owning IDENTITY: delta in → delta out (linear), but the Runner
+    * stores this node's output integral. Place it after an EXPENSIVE linear
+    * derivation (per-row tokenization, shingling, hashing, signatures)
+    * that a bilinear consumer reads as a pre-step VALUE: without it, value
+    * consultation passes through linear chains down to the source integral
+    * and re-derives the whole corpus every step (the A side of every
+    * Δ(A⋈B) term); with it, the derivation runs once per DELTA and the
+    * stored result serves all consumers — the incrementalizer's I placed
+    * mid-chain. Costs one state (the derived corpus) — the classic
+    * space-for-recompute trade, which at 100 TB is the difference between
+    * per-step work O(Δ) and O(corpus). */
+  private[streaming] final case class Traced(child: Inc) extends Inc {
+    def kids: Seq[Inc] = Seq(child)
+    override private[streaming] def ownTrace: Boolean = true
+    def batch(in: Inputs): DataFrame = child.batch(in)
+    private[streaming] def deltaEval(ctx: StepCtx): DataFrame =
+      ctx.deltaOf(child)
   }
 
   private[streaming] final case class SumN(children: Seq[Inc]) extends Inc {
@@ -1225,6 +1251,7 @@ object Incremental {
           case s: Source        => s
           case l: BootLeaf      => l
           case Linear(c, f)     => Linear(subst(c), f)
+          case Traced(c)        => Traced(subst(c))
           case SumN(cs)         => SumN(cs.map(subst))
           case JoinInc(l, r, k, ns, post) =>
             JoinInc(subst(l), subst(r), k, ns, post)
@@ -1257,24 +1284,30 @@ object Incremental {
           after(k, anchored)
         }
       }
-      // wave 0: input integrals (anchored — every batch plan reads these)
-      seed(schemas.toSeq.map { case (nm, df) =>
-        inKey(nm) -> ZSet.consolidate(init.get(nm).map(ZSet.fromRows)
-          .getOrElse(ZSet.fromRows(df.limit(0))))
-      }, (_, _) => ())
+      // wave 0: input integrals (anchored — every batch plan reads these).
+      // NOT consolidated: snapshot rows arrive at weight 1, and a Z-set of
+      // weight-1 duplicates equals its consolidated form — skipping the
+      // full-row groupBy turns each input seed into a map-only cache build
+      // (measured: 2.8 s of q130's bootstrap was consolidating the four
+      // TPC-H inputs). The adaptive compaction consolidates later if the
+      // state ever warrants it.
+      phase("boot-inputs")(seed(schemas.toSeq.map { case (nm, df) =>
+        inKey(nm) -> init.get(nm).map(ZSet.fromRows)
+          .getOrElse(ZSet.fromRows(df.limit(0)))
+      }, (_, _) => ()))
       val inputs: Inputs = integrated
       // traced nodes bottom-up, one materialization job per wave
       val maxWave = waveOf.values.maxOption.getOrElse(0)
       for (w <- 1 to maxWave) {
         val waveNodes = tracedNodes.filter(n => waveOf(n.id) == w)
-        seed(waveNodes.map(n =>
+        phase(s"boot-wave-$w")(seed(waveNodes.map(n =>
             traceKey(n.id) -> ZSet.consolidate(subst(n).batch(inputs))),
-          (k, a) => memo(idByTraceKey(k)) = a)
+          (k, a) => memo(idByTraceKey(k)) = a))
       }
       // stateless roots (linear chains over traced/source leaves)
-      seed(outs.keys.toSeq.map(nm =>
+      phase("boot-roots")(seed(outs.keys.toSeq.map(nm =>
         outKey(nm) -> ZSet.consolidate(subst(rootOf(nm)).batch(inputs))),
-        (_, _) => ())
+        (_, _) => ()))
     }
 
     /** Feed one step of input deltas (weighted); returns the primary
