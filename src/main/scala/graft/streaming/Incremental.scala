@@ -1138,9 +1138,17 @@ object Incremental {
       * but a global aggregate's Q(∅) is the zero row (COUNT=0, SUM=NULL),
       * the reference's empty-input correction
       * (CalciteToDBSPCompiler.java:349-381). Seeding makes each trace
-      * telescope to the node's batch value exactly. */
-    private var traces: Map[Long, DataFrame] =
-      tracedNodes.map(n => n.id -> n.batch(emptyInputs)).toMap
+      * telescope to the node's batch value exactly.
+      *
+      * Seeds are LAZY (computed on first read): building Q(∅) eagerly
+      * costs one full Catalyst analysis of the node's batch plan per
+      * traced node at Runner construction — measured ~1.3 s driver time
+      * for a 6-node circuit — and a snapshot bootstrap immediately
+      * overwrites every one of them without reading. */
+    private val traces = mutable.Map.empty[Long, DataFrame]
+    private val nodeById: Map[Long, Inc] = nodes.map(n => n.id -> n).toMap
+    private def traceOf(id: Long): DataFrame =
+      traces.getOrElseUpdate(id, nodeById(id).batch(emptyInputs))
     /** Output integrals for sinks whose root is stateless (a traced root's
       * output IS its trace). */
     private var outs: Map[String, DataFrame] =
@@ -1209,11 +1217,11 @@ object Incremental {
     private def stateByKey(k: String): DataFrame =
       if (k.startsWith("in_")) integrated(k.stripPrefix("in_"))
       else if (k.startsWith("out_")) outs(k.stripPrefix("out_"))
-      else traces(idByTraceKey(k))
+      else traceOf(idByTraceKey(k))
     private def setState(k: String, df: DataFrame): Unit =
       if (k.startsWith("in_")) integrated += k.stripPrefix("in_") -> df
       else if (k.startsWith("out_")) outs += k.stripPrefix("out_") -> df
-      else traces += idByTraceKey(k) -> df
+      else traces(idByTraceKey(k)) = df
 
     private var started = false
 
@@ -1555,7 +1563,8 @@ object Incremental {
       // the state bookkeeping these drive small-regime operator decisions.
       val inputDeltaBytes: Map[String, Long] =
         inputDeltas.map { case (nm, d) => nm -> cachedSizeBytes(d) }.toMap
-      val ctx = new StepCtx(integrated, full, id => traces.get(id),
+      val ctx = new StepCtx(integrated, full,
+        id => if (tracedIds(id)) Some(traceOf(id)) else None,
         id => stateBytes(traceKey(id)),
         n => sourcesBelow(n.id).toSeq
           .map(s => satAdd(stateBytes(inKey(s)),
@@ -1609,7 +1618,7 @@ object Incremental {
       // (key, new state union, this step's constituent original)
       val advancedStates: Seq[(String, DataFrame, DataFrame)] =
         advTraces.toSeq.map { case (n, d) =>
-          (traceKey(n.id), ZSet.plus(traces(n.id), anchored(d)), d)
+          (traceKey(n.id), ZSet.plus(traceOf(n.id), anchored(d)), d)
         } ++
           outs.collect {
             case (nm, o) if touchedNode(rootOf(nm)) =>
@@ -1670,7 +1679,7 @@ object Incremental {
     def output(name: String): DataFrame = {
       val r = rootOf.getOrElse(name, throw new IllegalArgumentException(
         s"unknown sink $name (have ${roots.map(_._1).mkString(", ")})"))
-      if (tracedIds(r.id)) traces(r.id) else outs(name)
+      if (tracedIds(r.id)) traceOf(r.id) else outs(name)
     }
     def output: DataFrame = output(primary)
 
@@ -1792,10 +1801,11 @@ object Incremental {
       }
       integrated.foreach { case (n, z) => writeSwap(ZSet.consolidate(z), s"$dir/${inKey(n)}") }
       outs.foreach { case (n, o) => writeSwap(ZSet.consolidate(o), s"$dir/${outKey(n)}") }
-      traces.foreach { case (id, t) => writeSwap(ZSet.consolidate(t), s"$dir/${traceKey(id)}") }
+      tracedNodes.foreach(n => writeSwap(ZSet.consolidate(traceOf(n.id)), s"$dir/${traceKey(n.id)}"))
       integrated = integrated.map { case (n, _) => n -> spark.read.parquet(s"$dir/${inKey(n)}") }
       outs = outs.map { case (n, _) => n -> spark.read.parquet(s"$dir/${outKey(n)}") }
-      traces = traces.map { case (id, _) => id -> spark.read.parquet(s"$dir/${traceKey(id)}") }
+      tracedNodes.foreach(n =>
+        traces(n.id) = spark.read.parquet(s"$dir/${traceKey(n.id)}"))
       releaseAll()
     }
 
@@ -1822,7 +1832,8 @@ object Incremental {
     def restore(dir: String): Unit = {
       integrated = integrated.map { case (n, _) => n -> spark.read.parquet(s"$dir/${inKey(n)}") }
       outs = outs.map { case (n, _) => n -> spark.read.parquet(s"$dir/${outKey(n)}") }
-      traces = traces.map { case (id, _) => id -> spark.read.parquet(s"$dir/${traceKey(id)}") }
+      tracedNodes.foreach(n =>
+        traces(n.id) = spark.read.parquet(s"$dir/${traceKey(n.id)}"))
       releaseAll()
     }
   }
