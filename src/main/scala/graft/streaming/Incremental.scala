@@ -1418,9 +1418,19 @@ object Incremental {
       * (its events then land in the NEXT delta) widens rather than narrows
       * — the stated safety direction. */
     @volatile private var prevMeasuredFloor: Int = -1
+    /** Per-slot CPU target for the width floor. 1 s (was 250 ms): the
+      * floor must only keep width for steps whose COMPUTE needs it, but a
+      * wide step's own scheduling overhead is itself task CPU (~10 ms ×
+      * width × stage count ≈ 4 s/step for a tiny-delta circuit at width
+      * 32), and at 250 ms/slot that overhead alone sustained a floor of
+      * 16-28 — width begetting width, so steady-state kilobyte steps
+      * never narrowed. At 1 s/slot, overhead-only steps derive a floor
+      * below the byte floor (8) and narrow, while genuinely compute-bound
+      * steps (the q151 closure fixpoint measures 100+ s of step CPU)
+      * still derive floors far above the session width. */
     private val stepCpuPerSlotMs: Long = spark.conf
       .getOption("spark.graft.incremental.stepCpuMsPerSlot")
-      .map(_.toLong).getOrElse(250L)
+      .map(_.toLong).getOrElse(1000L)
     /** The shuffle width the last step actually chose — observability for
       * the width-regression specs (timing-free). */
     @volatile private var lastStepWidth: Int = -1
