@@ -94,8 +94,9 @@ object Dedup {
 
   /** (id, shingle-set) per document, with the token array materialized as
     * a column so shingle windows are O(tokens), not O(tokens²). */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+  def shingleSets(docs0: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
+    val docs = widenIfNarrow(docs0, idCol)
     val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       t => length(t) > 0)
     docs.select(col(idCol), toks.as("__toks"))
@@ -149,8 +150,26 @@ object Dedup {
     * higher-order functions are interpreted, so a nested array expression
     * referenced inside a lambda re-evaluates per element — O(tokens²) —
     * while a column reference is an O(1) bound read. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+  /** Repartition a parallelism-STARVED source before an expensive per-row
+    * derivation (guide §2.5: one unsplittable input — here a single-row-
+    * group parquet file — leaves the scan, and every map-side stage fused
+    * onto it, on one or two cores; measured: q77's whole token-vote
+    * aggregation ran as a 2-task stage, 6.8 s of its 10 s). No-op when the
+    * frame already carries >= defaultParallelism partitions — warehouse-
+    * scale scans are wide, so this never fires there and adds no exchange.
+    * The probe plans a throwaway wrapper (no job, no caching side effects
+    * on the caller's lazy QueryExecution). */
+  private[graft] def widenIfNarrow(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = scala.util.Try(
+      df.select(col("*")).queryExecution.toRdd.getNumPartitions)
+      .getOrElse(target)
+    if (parts < target) df.repartition(target, col(key)) else df
+  }
+
+  def minhashSignatures(docs0: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64): DataFrame = {
+    val docs = widenIfNarrow(docs0, idCol)
     val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       t => length(t) > 0)
     val withTh = docs.select(col(idCol), transform(toks, t => xxhash64(t)).as("__th"))
@@ -256,7 +275,8 @@ object Dedup {
     // docs are excluded, mirroring the oracle's len(t) > 0.
     val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       t => length(t) > 0)
-    val tokRows = docs
+    val wide = widenIfNarrow(docs, idCol)
+    val tokRows = wide
       .select(col(idCol), posexplode(transform(toks, t => xxhash64(t)))
         .as(Seq("pos", "h0")))
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -272,7 +292,7 @@ object Dedup {
           .reduce(_ + _).as("h"))
     // docs with < n tokens collapse to ONE whole-doc shingle (the string
     // path's single concat_ws shingle); the fold runs once per short doc
-    val shortSh = docs
+    val shortSh = wide
       .select(col(idCol), aggregate(transform(toks, t => xxhash64(t)),
         lit(7L), (acc, h) => acc * 1000003L + h).as("h"),
         size(toks).as("__nt"))
@@ -325,7 +345,8 @@ object Dedup {
   /** Distributed SimHash signatures: explode tokens, hash once, 64 bit-vote
     * sums as grouped aggregates (map-side partial), then pack the sign bits.
     * Same scaling rationale as `minhashSignatures`. */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = widenIfNarrow(docs0, idCol)
     val toks = docs.select(col(idCol),
         explode(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
           t => length(t) > 0)).as("t"))

@@ -108,7 +108,10 @@ object Similarity {
     val fields = Seq(col("pos"), col("x")) ++
       (0 until nBits).map(j => (x * planeComponent(j, col("pos"))).as(s"c$j")) :+
       (x * x).as("xx")
-    val packed = corpus.filter(size(col(vecCol)) > 0)
+    // widen a single-row-group corpus before the per-element plane
+    // products — the signing pass is the pipeline's heaviest map stage
+    // (no-op on warehouse-wide scans; see Dedup.widenIfNarrow)
+    val packed = Dedup.widenIfNarrow(corpus.filter(size(col(vecCol)) > 0), idCol)
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col(idCol), struct(fields: _*).as("pc"))
       .groupBy(col(idCol))
