@@ -157,13 +157,26 @@ object Dedup {
     * aggregation ran as a 2-task stage, 6.8 s of its 10 s). No-op when the
     * frame already carries >= defaultParallelism partitions — warehouse-
     * scale scans are wide, so this never fires there and adds no exchange.
-    * The probe plans a throwaway wrapper (no job, no caching side effects
-    * on the caller's lazy QueryExecution). */
+    * The probe plans a throwaway wrapper under a THREAD-LOCAL conf clone
+    * with AQE disabled: with AQE on, `toRdd` over a plan containing
+    * exchanges materializes every query stage — silently executing the
+    * upstream query once per probe (today's call sites pass scan-only
+    * frames where AQE has nothing to wrap, but a future derived-frame
+    * caller must not pay a hidden duplicate execution). Non-adaptive RDD
+    * construction is lazy — no job. A failed probe falls back to `target`
+    * (frame untouched) with the failure logged, not swallowed. */
   private[graft] def widenIfNarrow(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val parts = scala.util.Try(
-      df.select(col("*")).queryExecution.toRdd.getNumPartitions)
-      .getOrElse(target)
+      org.apache.spark.sql.GraftSqlBridge.withScopedConf(df.sparkSession,
+        Map("spark.sql.adaptive.enabled" -> "false")) { _ =>
+        df.select(col("*")).queryExecution.toRdd.getNumPartitions
+      }) match {
+      case scala.util.Success(p) => p
+      case scala.util.Failure(e) =>
+        System.err.println(s"[dedup] widenIfNarrow probe failed (${e.getMessage}); leaving frame as-is")
+        target
+    }
     if (parts < target) df.repartition(target, col(key)) else df
   }
 

@@ -1144,8 +1144,15 @@ object Incremental {
       * costs one full Catalyst analysis of the node's batch plan per
       * traced node at Runner construction — measured ~1.3 s driver time
       * for a 6-node circuit — and a snapshot bootstrap immediately
-      * overwrites every one of them without reading. */
-    private val traces = mutable.Map.empty[Long, DataFrame]
+      * overwrites every one of them without reading.
+      *
+      * TrieMap, not mutable.Map: traceOf/stateByKey are reachable from
+      * step/checkpoint paths, and the Runner's other cross-thread fields
+      * are already @volatile — a lock-free concurrent map keeps the lazy
+      * getOrElseUpdate safe if any of those is ever driven off the
+      * construction thread (worst case under a race: Q(∅) is computed
+      * twice, both results identical, one wins). */
+    private val traces = scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
     private val nodeById: Map[Long, Inc] = nodes.map(n => n.id -> n).toMap
     private def traceOf(id: Long): DataFrame =
       traces.getOrElseUpdate(id, nodeById(id).batch(emptyInputs))
@@ -1241,11 +1248,43 @@ object Incremental {
       * Inputs absent from `init` start empty. Must precede the first step;
       * the circuit stays fully retraction-capable afterwards (the DBSP
       * algebra doesn't distinguish how state was reached). */
+    /** Disable columnar-cache compression while Runner frames are
+      * persisted (restored by popCacheCompression). Every state/delta the
+      * Runner materializes is written once and read a handful of times
+      * before release — thread-dump profiling (q160 sf0.1) showed the
+      * dictionary/RLE encoders (CompressibleColumnBuilder, dictionary
+      * HashMap growth) as a top RUNNABLE frame, pure build-side CPU paid
+      * per step for compression that never amortizes (guide §1 empirical
+      * loop; −24% q160 wall measured). Compression pays for LONG-LIVED hot
+      * caches, which these are not. Deployments that want it back (e.g.
+      * memory-starved executors where state must stay in-memory
+      * compressed) set spark.graft.incremental.cacheCompressed=true. */
+    private def pushCacheCompression(): Option[String] = {
+      val key = "spark.sql.inMemoryColumnarStorage.compressed"
+      val want = spark.conf
+        .getOption("spark.graft.incremental.cacheCompressed")
+        .getOrElse("false")
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, want)
+      prev
+    }
+    private def popCacheCompression(prev: Option[String]): Unit = prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.inMemoryColumnarStorage.compressed", v)
+      case None => spark.conf.unset(
+        "spark.sql.inMemoryColumnarStorage.compressed")
+    }
+
     def bootstrap(init: Map[String, DataFrame]): Unit = {
       val unknown = init.keySet -- schemas.keySet
       require(unknown.isEmpty, s"bootstrap for undeclared inputs: $unknown")
       require(!started, "bootstrap must precede the first step")
       started = true
+      val prevComp = pushCacheCompression()
+      try bootstrapImpl(init) finally popCacheCompression(prevComp)
+    }
+
+    private def bootstrapImpl(init: Map[String, DataFrame]): Unit = {
       // Staged evaluation, like stepAll's waves: seed (persist +
       // materialize + re-anchor) each state, then substitute the anchored
       // value for that node wherever a LATER wave's batch plan would
@@ -1363,6 +1402,7 @@ object Incremental {
       val prevAqe = spark.conf.getOption(aqeKey)
       val prevParts = spark.conf.getOption(partsKey)
       val prevBcast = spark.conf.getOption(bcastKey)
+      val prevComp = pushCacheCompression()
       if (!keepAqe) spark.conf.set(aqeKey, "false")
       // Step-scoped broadcast threshold. A step's joins run against
       // ANCHORED frames whose stats are the actual cached byte sizes (see
@@ -1375,12 +1415,27 @@ object Incremental {
       // the composite coalesce/isnull sort dominates). 64 MB broadcasts
       // are standard large-executor practice; deployments with tight
       // drivers can lower spark.graft.incremental.stepBroadcastBytes.
+      // SIZING MARGIN: anchored stats are COMPRESSED columnar cache bytes,
+      // and a broadcast hash relation deserializes to roughly 2-5x that —
+      // the 64 MB default is chosen with that inflation in mind (worst
+      // case ~300 MB built relation, routine executor practice; Spark's
+      // own hard cap of 8 GB/512M rows stays far away). Deployments
+      // sizing the conf themselves should budget the same multiplier.
+      // SESSION OWNERSHIP: like the AQE and shuffle-width toggles above,
+      // this is a session-global mutation for the step's duration — a
+      // Runner step must own its session (callers running concurrent
+      // queries on the same session fork it first, as the streaming
+      // fixtures do via GraftSqlBridge.cloneSession). A thread-local
+      // override cannot replace these: materializeWave plans on the
+      // materializeEc pool threads, which a calling thread's SQLConf
+      // clone does not reach.
       val stepBcast = spark.conf
         .getOption("spark.graft.incremental.stepBroadcastBytes")
         .map(_.toLong).getOrElse(64L << 20)
       if (stepBcast > 0) spark.conf.set(bcastKey, stepBcast.toString)
       try stepAllImpl(deltas)
       finally {
+        popCacheCompression(prevComp)
         if (stepBcast > 0) prevBcast match {
           case Some(v) => spark.conf.set(bcastKey, v)
           case None => spark.conf.unset(bcastKey)
@@ -1418,19 +1473,24 @@ object Incremental {
       * (its events then land in the NEXT delta) widens rather than narrows
       * — the stated safety direction. */
     @volatile private var prevMeasuredFloor: Int = -1
-    /** Per-slot CPU target for the width floor. 1 s (was 250 ms): the
-      * floor must only keep width for steps whose COMPUTE needs it, but a
-      * wide step's own scheduling overhead is itself task CPU (~10 ms ×
-      * width × stage count ≈ 4 s/step for a tiny-delta circuit at width
-      * 32), and at 250 ms/slot that overhead alone sustained a floor of
-      * 16-28 — width begetting width, so steady-state kilobyte steps
-      * never narrowed. At 1 s/slot, overhead-only steps derive a floor
-      * below the byte floor (8) and narrow, while genuinely compute-bound
-      * steps (the q151 closure fixpoint measures 100+ s of step CPU)
-      * still derive floors far above the session width. */
+    /** Per-slot CPU target for the width floor. 4 s (was 1 s, before that
+      * 250 ms): the floor must only keep width for steps whose COMPUTE
+      * needs it, but a wide step's own fixed work is itself task CPU —
+      * per-task scheduling/dispatch, task-binary deserialization, cache
+      * BUILD cost per partition (column builders run once per partition
+      * per persisted frame), codegen'd iterator setup — all of it scaling
+      * WITH width, so width begets width. At 1 s/slot q160's
+      * overhead-inflated 25-45 s step CPU readings sustained floors of
+      * 22-45 and the steps ran ~30% slower than at width 8 with identical
+      * plans (measured sf0.1, and the c8 driver run beat c32 2.3× on the
+      * same query). At 4 s/slot those steps derive floors ≤ 11 and narrow,
+      * while genuinely compute-bound steps still widen: q151's closure
+      * fixpoint measures 100+ s of step CPU → floor 25+, within 1.3× of
+      * the session width on this box and far above the byte floor —
+      * q151-class protection intact (StepWidthSpec pins it). */
     private val stepCpuPerSlotMs: Long = spark.conf
       .getOption("spark.graft.incremental.stepCpuMsPerSlot")
-      .map(_.toLong).getOrElse(1000L)
+      .map(_.toLong).getOrElse(4000L)
     /** The shuffle width the last step actually chose — observability for
       * the width-regression specs (timing-free). */
     @volatile private var lastStepWidth: Int = -1
@@ -1479,14 +1539,14 @@ object Incremental {
         val fresh = dfs.distinct
           .filterNot(anchorOf.containsKey).filterNot(anchors.contains)
         if (fresh.nonEmpty || extras.nonEmpty) {
-          fresh.foreach(_.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          phase("  persist")(fresh.foreach(_.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
           materialize(fresh ++ extras)
-          fresh.foreach { df =>
+          phase("  reanchor")(fresh.foreach { df =>
             val a = org.apache.spark.sql.GraftSqlBridge.reanchor(df)
             anchorOf.put(df, a)
             anchors.add(a)
-          }
+          })
           persisted ++= fresh
         }
       }

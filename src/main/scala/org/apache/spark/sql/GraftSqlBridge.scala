@@ -36,14 +36,45 @@ object GraftSqlBridge {
     * JoinSelection do the right thing with no per-operator hints. */
   def reanchor(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
+    // Truncate the cached-buffer RDD's LINEAGE (localCheckpoint): anchoring
+    // truncates the LOGICAL plan, but the buffers RDD still references the
+    // physical RDD chain that computed it — which itself ends in earlier
+    // anchored frames, so the object graph telescopes across waves and
+    // steps and every task binary ships it (measured: 1.0-1.35 MB task
+    // binaries by q160's step 3, java serialization of which showed up as
+    // a top executor RUNNABLE frame). The blocks are already materialized;
+    // localCheckpoint just drops the parent DAG at the next job boundary.
+    // Trade (the one Spark documents for localCheckpoint): a LOST block is
+    // a job failure instead of a recompute — with MEMORY_AND_DISK blocks
+    // that takes an executor death, and deployments that would rather
+    // recompute set spark.graft.incremental.anchorLocalCheckpoint=false.
+    if (ds.sparkSession.conf.get(
+        "spark.graft.incremental.anchorLocalCheckpoint", "true").toBoolean) {
+      ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).foreach {
+        cd =>
+          val b = cd.cachedRepresentation.cacheBuilder
+          if (b.isCachedColumnBuffersLoaded) {
+            val rdd = b.cachedColumnBuffers
+            if (!rdd.isLocallyCheckpointed) rdd.localCheckpoint()
+          }
+      }
+    }
     val lr = execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
       isStreaming = false)
     val sized = cachedBuiltBytes(df) match {
       case Some(b) =>
+        // Keep the constraints fromDataset derived from the source plan
+        // (not-null inference, downstream filter pruning) while replacing
+        // only the stats: recompute them the same way fromDataset does —
+        // rewrite the optimized plan's constraints onto the leaf's fresh
+        // output attributes. Passing None here silently dropped constraint
+        // propagation from every anchored state/delta.
+        val (_, constraints) = execution.LogicalRDD
+          .rewriteStatsAndConstraints(lr, ds.queryExecution.optimizedPlan)
         lr.copy()(ds.sparkSession,
           Some(catalyst.plans.logical.Statistics(
             sizeInBytes = BigInt(math.max(b, 1L)))),
-          None)
+          constraints)
       case None => lr
     }
     classic.Dataset.ofRows(ds.sparkSession, sized)
